@@ -1,0 +1,232 @@
+"""RIFF/WAVE codec (pure NumPy) — the framework's audio I/O layer.
+
+The reference reads/writes audio through soundfile/libsndfile
+(/root/reference/raytracer_studio.py:1013, :1084); that library is not in
+this image, so we implement the WAV contract directly:
+
+- read: PCM 16/24/32-bit, IEEE float32/64, plain and WAVE_FORMAT_EXTENSIBLE
+  headers; returns float32, always 2-D (samples, channels) — matching
+  ``sf.read(dtype='float32', always_2d=True)``.
+- write: PCM_16 (the output contract of raytracer_studio.py:1084, with
+  libsndfile's scale-by-32768 / round-half-even conversion) plus FLOAT for
+  intermediate assets; EXTENSIBLE header for >2 channels.
+
+An optional C++ fast path (utils/_native) accelerates PCM16 encode/decode.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import struct
+from typing import BinaryIO, Tuple, Union
+
+import numpy as np
+
+WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+# Standard channel masks for the layouts we emit.
+_CHANNEL_MASKS = {
+    1: 0x4,  # FC
+    2: 0x3,  # FL FR
+    6: 0x3F,  # FL FR FC LFE BL BR
+    8: 0x63F,  # FL FR FC LFE BL BR SL SR
+}
+
+try:  # optional native PCM16 codec (built by utils/_native)
+    from . import _native_pcm as _npcm  # type: ignore
+except Exception:  # pragma: no cover - absence is the default until built
+    _npcm = None
+
+
+def encode_pcm16(x: np.ndarray) -> np.ndarray:
+    """float → int16 with libsndfile semantics: ×32768, round-half-even."""
+    if _npcm is not None and x.dtype == np.float32:
+        return _npcm.encode_pcm16(np.ascontiguousarray(x))
+    scaled = np.rint(np.asarray(x, dtype=np.float64) * 32768.0)
+    return np.clip(scaled, -32768, 32767).astype(np.int16)
+
+
+def decode_pcm16(raw: np.ndarray) -> np.ndarray:
+    """int16 → float32 with libsndfile semantics: ÷32768."""
+    if _npcm is not None:
+        return _npcm.decode_pcm16(np.ascontiguousarray(raw))
+    return (raw.astype(np.float32)) / 32768.0
+
+
+def _decode_pcm24(raw: bytes, num_values: int) -> np.ndarray:
+    b = np.frombuffer(raw, dtype=np.uint8).reshape(num_values, 3)
+    as_int = (
+        b[:, 0].astype(np.int32)
+        | (b[:, 1].astype(np.int32) << 8)
+        | (b[:, 2].astype(np.int32) << 16)
+    )
+    as_int = np.where(as_int >= 0x800000, as_int - 0x1000000, as_int)
+    return as_int.astype(np.float32) / 8388608.0
+
+
+def read(path_or_file: Union[str, os.PathLike, BinaryIO]) -> Tuple[np.ndarray, int]:
+    """Read a WAV file → (float32 array of shape (samples, channels), rate)."""
+    if hasattr(path_or_file, "read"):
+        fh = path_or_file
+        close = False
+    else:
+        fh = open(path_or_file, "rb")
+        close = True
+    try:
+        return _read_stream(fh)
+    finally:
+        if close:
+            fh.close()
+
+
+def _read_stream(fh: BinaryIO) -> Tuple[np.ndarray, int]:
+    header = fh.read(12)
+    if len(header) < 12 or header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+
+    fmt = None
+    data_bytes = None
+    while True:
+        chunk_header = fh.read(8)
+        if len(chunk_header) < 8:
+            break
+        chunk_id, chunk_size = struct.unpack("<4sI", chunk_header)
+        if chunk_id == b"fmt ":
+            fmt_raw = fh.read(chunk_size)
+            (
+                audio_format,
+                channels,
+                rate,
+                _byte_rate,
+                _block_align,
+                bits,
+            ) = struct.unpack("<HHIIHH", fmt_raw[:16])
+            if audio_format == WAVE_FORMAT_EXTENSIBLE and chunk_size >= 40:
+                # sub-format GUID's first two bytes carry the real format tag
+                audio_format = struct.unpack("<H", fmt_raw[24:26])[0]
+            fmt = (audio_format, channels, rate, bits)
+        elif chunk_id == b"data":
+            data_bytes = fh.read(chunk_size)
+        else:
+            fh.seek(chunk_size + (chunk_size & 1), io.SEEK_CUR)
+        if fmt is not None and data_bytes is not None:
+            break
+
+    if fmt is None or data_bytes is None:
+        raise ValueError("WAV file missing fmt or data chunk")
+    audio_format, channels, rate, bits = fmt
+    if channels <= 0:
+        raise ValueError("WAV file reports zero channels")
+
+    if audio_format == WAVE_FORMAT_PCM and bits == 16:
+        values = np.frombuffer(data_bytes, dtype="<i2")
+        data = decode_pcm16(values)
+    elif audio_format == WAVE_FORMAT_PCM and bits == 24:
+        usable = (len(data_bytes) // 3) * 3
+        data = _decode_pcm24(data_bytes[:usable], usable // 3)
+    elif audio_format == WAVE_FORMAT_PCM and bits == 32:
+        values = np.frombuffer(data_bytes, dtype="<i4")
+        data = values.astype(np.float32) / 2147483648.0
+    elif audio_format == WAVE_FORMAT_PCM and bits == 8:
+        values = np.frombuffer(data_bytes, dtype=np.uint8)
+        data = (values.astype(np.float32) - 128.0) / 128.0
+    elif audio_format == WAVE_FORMAT_IEEE_FLOAT and bits == 32:
+        data = np.frombuffer(data_bytes, dtype="<f4").astype(np.float32)
+    elif audio_format == WAVE_FORMAT_IEEE_FLOAT and bits == 64:
+        data = np.frombuffer(data_bytes, dtype="<f8").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAV format: tag={audio_format}, bits={bits}")
+
+    frames = data.shape[0] // channels
+    return data[: frames * channels].reshape(frames, channels), int(rate)
+
+
+def write(
+    path_or_file: Union[str, os.PathLike, BinaryIO],
+    data: np.ndarray,
+    rate: int,
+    subtype: str = "PCM_16",
+) -> None:
+    """Write a WAV file. ``data`` is (samples,) or (samples, channels) float.
+
+    subtype: "PCM_16" (default output contract) or "FLOAT".
+    """
+    data = np.asarray(data)
+    if data.ndim == 1:
+        data = data[:, np.newaxis]
+    frames, channels = data.shape
+
+    if subtype == "PCM_16":
+        payload = encode_pcm16(data).astype("<i2").tobytes()
+        bits = 16
+        fmt_tag = WAVE_FORMAT_PCM
+    elif subtype == "FLOAT":
+        payload = data.astype("<f4").tobytes()
+        bits = 32
+        fmt_tag = WAVE_FORMAT_IEEE_FLOAT
+    else:
+        raise ValueError(f"unsupported subtype: {subtype}")
+
+    block_align = channels * bits // 8
+    byte_rate = rate * block_align
+    use_extensible = channels > 2
+
+    if use_extensible:
+        mask = _CHANNEL_MASKS.get(channels, (1 << channels) - 1)
+        fmt_chunk = struct.pack(
+            "<HHIIHHHHI",
+            WAVE_FORMAT_EXTENSIBLE,
+            channels,
+            rate,
+            byte_rate,
+            block_align,
+            bits,
+            22,  # cbSize
+            bits,  # valid bits per sample
+            mask,
+        ) + struct.pack("<H", fmt_tag) + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    else:
+        fmt_chunk = struct.pack(
+            "<HHIIHH", fmt_tag, channels, rate, byte_rate, block_align, bits
+        )
+        if fmt_tag == WAVE_FORMAT_IEEE_FLOAT:
+            fmt_chunk += struct.pack("<H", 0)  # cbSize=0 for float fmt
+
+    chunks = [(b"fmt ", fmt_chunk)]
+    if fmt_tag == WAVE_FORMAT_IEEE_FLOAT:
+        chunks.append((b"fact", struct.pack("<I", frames)))
+    chunks.append((b"data", payload))
+
+    total = 4 + sum(8 + len(c) + (len(c) & 1) for _, c in chunks)
+
+    if hasattr(path_or_file, "write"):
+        fh = path_or_file
+        close = False
+    else:
+        fh = open(path_or_file, "wb")
+        close = True
+    try:
+        fh.write(b"RIFF" + struct.pack("<I", total) + b"WAVE")
+        for cid, c in chunks:
+            fh.write(cid + struct.pack("<I", len(c)))
+            fh.write(c)
+            if len(c) & 1:
+                fh.write(b"\x00")
+    finally:
+        if close:
+            fh.close()
+
+
+def info(path: Union[str, os.PathLike]) -> dict:
+    """Basic file info: rate, channels, frames, duration (analyser.py:50-58)."""
+    with open(path, "rb") as fh:
+        data, rate = _read_stream(fh)
+    return {
+        "samplerate": rate,
+        "channels": data.shape[1],
+        "frames": data.shape[0],
+        "duration": data.shape[0] / rate if rate > 0 else 0.0,
+    }

@@ -1,0 +1,38 @@
+"""Test configuration: force the JAX CPU backend with 8 virtual devices.
+
+Multi-chip sharding paths (mesh/pjit/shard_map) are exercised on a virtual
+8-device CPU mesh; TPU hardware is only used by bench.py.  Must run before
+jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0xA0D10)
+
+
+@pytest.fixture
+def tone48k(rng):
+    """1.2 s, 48 kHz mono test tone with transient + noise content."""
+    rate = 48000
+    t = np.arange(int(1.2 * rate)) / rate
+    x = (
+        0.5 * np.sin(2 * np.pi * 440.0 * t)
+        + 0.2 * np.sin(2 * np.pi * 3150.0 * t)
+        + 0.05 * rng.standard_normal(t.shape)
+    )
+    x[: rate // 100] = 0.0
+    x[rate // 2] = 0.9  # click transient
+    return x.astype(np.float32), rate
