@@ -1,0 +1,297 @@
+"""The end-to-end render graphs — the framework's flagship "model".
+
+One XLA-compiled graph per static configuration covers everything the
+reference does per click across convolve_audio_split_3d /
+convolve_audio_external_ir / apply_surround_panning_3d / map_channels
+(/root/reference/raytracer_studio.py:338-571) — IR synthesis, batched FFT
+convolution, air absorption, dry/wet mix with dry-kill, shelf EQ, conditional
+normalizations, 5.1 panning and layout mapping — with zero host round-trips.
+
+Layout inside the graph is channels-leading (C, N): FFTs run over the long
+contiguous last axis, and the pan/downmix einsums contract the small channel
+axis.  The host wrapper keeps the reference's (N, C) convention.
+
+Parity notes:
+- all value scalars are derived on host in float64 (params.py) and enter the
+  graph as traced f32 scalars → moving a slider never recompiles unless it
+  changes a shape (room size / hall type / clip length / rate / layout);
+- air-absorption and shelf-EQ FFTs run at the exact output length — that
+  length is part of the reference's circular-filter semantics (§ops.filters);
+- static branch decisions (EQ on, air on, early/late on) replicate the
+  reference's host-visible skips (:312, :360, :369, :389).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..ops import convolution, filters, ir_synth, spatial
+from ..params import (
+    IRDraws,
+    RenderParams,
+    adapt_early_late_levels,
+    adjust_parameters_for_3d,
+    compute_final_directionality_3d,
+    derive_ir_geometry,
+    dry_kill_factor,
+)
+
+
+class MixScalars(NamedTuple):
+    """Traced f32 scalars shared by both render modes."""
+
+    early_level: jax.Array
+    late_level: jax.Array
+    dry_wet: jax.Array
+    dry_factor: jax.Array
+    bass_gain: jax.Array
+    treble_gain: jax.Array
+    air_absorption: jax.Array
+    x_pos: jax.Array
+    y_pos: jax.Array
+    z_pos: jax.Array
+
+
+class StaticSpec(NamedTuple):
+    """Static (hashable) render configuration — one compile per value."""
+
+    n_in: int
+    ir_length: int
+    rate: int
+    layout: str
+    eq_on: bool
+    air_on: bool
+    early_on: bool
+    late_on: bool
+
+    @property
+    def len_out(self) -> int:
+        return max(self.n_in, self.n_in + self.ir_length - 1)
+
+
+def _mix_eq_spatial(
+    dry_cn: jnp.ndarray,
+    wet_cn: jnp.ndarray,
+    scal: MixScalars,
+    spec: StaticSpec,
+) -> jnp.ndarray:
+    """Shared back half: dry/wet mix → EQ → normalize → pan → map (C-leading)."""
+    mixed = scal.dry_factor * (1.0 - scal.dry_wet) * dry_cn + scal.dry_wet * wet_cn
+    if spec.eq_on:
+        mixed = filters.apply_shelf_eq(mixed, spec.rate, scal.bass_gain, scal.treble_gain)
+    mixed = filters.conditional_peak_normalize(mixed)
+
+    six = spatial.apply_pan(mixed, spatial.pan_matrix(scal.x_pos, scal.y_pos, scal.z_pos))
+    six = filters.conditional_peak_normalize(six)
+
+    out = spatial.map_layout(six, spec.layout, spec.rate, scal.z_pos)
+    return filters.conditional_peak_normalize(out)
+
+
+@functools.partial(jax.jit, static_argnames=("ir_shape", "spec"))
+def _render_internal_core(
+    audio_cn: jnp.ndarray,
+    delays: jnp.ndarray,
+    strengths: jnp.ndarray,
+    noise: jnp.ndarray,
+    ir_scalars: ir_synth.IRScalars,
+    scal: MixScalars,
+    *,
+    ir_shape: ir_synth.IRShape,
+    spec: StaticSpec,
+) -> jnp.ndarray:
+    """Internal-hall render: synthesize IRs on device, convolve, mix, map."""
+    len_out = spec.len_out
+    early_ir, late_ir = ir_synth.synthesize(ir_shape, delays, strengths, noise, ir_scalars)
+
+    kernels = []
+    if spec.early_on:
+        kernels.append(early_ir)
+    if spec.late_on:
+        kernels.append(late_ir)
+
+    early_wet = jnp.zeros((audio_cn.shape[0], len_out), dtype=jnp.float32)
+    late_wet = jnp.zeros_like(early_wet)
+    if kernels:
+        conv = convolution.convolve_full(audio_cn, jnp.stack(kernels), len_out)
+        idx = 0
+        if spec.early_on:
+            early_wet = conv[idx]
+            idx += 1
+        if spec.late_on:
+            late_wet = conv[idx]
+
+    if spec.air_on:
+        late_wet = filters.apply_air_absorption(late_wet, spec.rate, scal.air_absorption)
+
+    wet = early_wet * scal.early_level + late_wet * scal.late_level
+    dry = jnp.pad(audio_cn, ((0, 0), (0, len_out - spec.n_in)))
+    return _mix_eq_spatial(dry, wet, scal, spec)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _render_external_core(
+    audio_cn: jnp.ndarray,
+    ir_cn: jnp.ndarray,
+    scal: MixScalars,
+    *,
+    spec: StaticSpec,
+) -> jnp.ndarray:
+    """External true-stereo IR render: L⊛IR_L, R⊛IR_R, mix, map."""
+    len_out = spec.len_out
+    wet = convolution.convolve_pairwise(audio_cn, ir_cn, len_out)
+    dry = jnp.pad(audio_cn, ((0, 0), (0, len_out - spec.n_in)))
+    return _mix_eq_spatial(dry, wet, scal, spec)
+
+
+def _ensure_stereo_host(audio: np.ndarray) -> np.ndarray:
+    """Mono → duplicated stereo; >2 ch → first two (raytracer_studio.py:1020-1022)."""
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim == 1:
+        audio = audio[:, np.newaxis]
+    if audio.shape[1] == 1:
+        audio = np.repeat(audio, 2, axis=1)
+    elif audio.shape[1] > 2:
+        audio = audio[:, :2]
+    return audio
+
+
+def _mix_scalars(p: RenderParams, early_lvl: float, late_lvl: float) -> MixScalars:
+    f = jnp.float32
+    return MixScalars(
+        early_level=f(early_lvl),
+        late_level=f(late_lvl),
+        dry_wet=f(np.clip(p.dry_wet, 0.0, 1.0)),
+        dry_factor=f(dry_kill_factor(p.dry_wet, p.dry_wet_kill_start)),
+        bass_gain=f(p.bass_gain),
+        treble_gain=f(p.treble_gain),
+        air_absorption=f(p.air_absorption),
+        x_pos=f(np.clip(p.x_pos, 0.0, 1.0)),
+        y_pos=f(np.clip(p.y_pos, 0.0, 1.0)),
+        z_pos=f(np.clip(p.z_pos, 0.0, 1.0)),
+    )
+
+
+def prepare_external_ir(
+    ir: np.ndarray, ir_rate: int, target_rate: int
+) -> np.ndarray:
+    """Validate and (FFT-)resample an external IR to the clip's sample rate.
+
+    Mirrors the external-IR handling at raytracer_studio.py:1034-1041:
+    resample on rate mismatch, reject non-stereo.
+    """
+    ir = np.asarray(ir, dtype=np.float32)
+    if ir.ndim != 2:
+        raise ValueError("External IR must be a 2-D (samples, channels) array.")
+    if ir.size == 0:
+        raise ValueError("External IR is empty.")
+    if ir_rate != target_rate:
+        from scipy.signal import resample
+
+        n_resampled = int(ir.shape[0] * target_rate / ir_rate)
+        if n_resampled <= 0:
+            raise ValueError("Resampling would produce an empty IR.")
+        ir = resample(ir, n_resampled, axis=0).astype(np.float32)
+    if ir.shape[1] != 2:
+        raise ValueError("External IR must be stereo.")
+    return ir
+
+
+def render(
+    audio: np.ndarray,
+    rate: int,
+    p: RenderParams,
+    seed: Optional[int] = None,
+    draws: Optional[IRDraws] = None,
+    external_ir: Optional[np.ndarray] = None,
+    external_ir_rate: Optional[int] = None,
+) -> np.ndarray:
+    """Render one clip through the jitted pipeline → (len_out, channels) f32.
+
+    For the internal hall, randomness comes from ``seed`` (device PRNG,
+    deterministic) or injected ``draws`` (oracle parity).  For the external
+    mode, pass ``external_ir`` (+ its rate if it differs from ``rate``).
+    """
+    audio_nc = _ensure_stereo_host(audio)
+    audio_cn = jnp.asarray(audio_nc.T)
+    n_in = audio_nc.shape[0]
+    eq_on = not (np.isclose(p.bass_gain, 1.0) and np.isclose(p.treble_gain, 1.0))
+
+    if p.use_external_ir:
+        if external_ir is None:
+            raise ValueError("use_external_ir=True requires external_ir data")
+        ir = prepare_external_ir(
+            external_ir, external_ir_rate if external_ir_rate else rate, rate
+        )
+        spec = StaticSpec(
+            n_in=n_in,
+            ir_length=ir.shape[0],
+            rate=int(rate),
+            layout=p.target_layout,
+            eq_on=eq_on,
+            air_on=False,
+            early_on=False,
+            late_on=False,
+        )
+        early_lvl, late_lvl = 1.0, 1.0
+        out_cn = _render_external_core(
+            audio_cn, jnp.asarray(ir.T), _mix_scalars(p, early_lvl, late_lvl), spec=spec
+        )
+        return np.asarray(out_cn).T
+
+    # --- Internal hall path ---
+    adj_duration, adj_ref_count, adj_max_delay, adj_split = adjust_parameters_for_3d(
+        p.hall_type, p.room_size, p.z_pos
+    )
+    directionality = compute_final_directionality_3d(
+        p.x_pos, p.y_pos, p.z_pos, p.hall_type, p.diffusion, p.dry_wet
+    )
+    geometry = derive_ir_geometry(
+        rate,
+        adj_duration,
+        adj_ref_count,
+        adj_max_delay,
+        p.material,
+        directionality,
+        adj_split,
+        p.diffusion,
+    )
+    early_lvl, late_lvl = adapt_early_late_levels(p.dry_wet, p.early_level, p.late_level)
+
+    ir_shape = ir_synth.IRShape.from_geometry(geometry)
+    ir_scalars = ir_synth.IRScalars.from_geometry(geometry)
+
+    if draws is not None:
+        delays, strengths, noise = ir_synth.draws_to_device(draws)
+    else:
+        key = jax.random.PRNGKey(0 if seed is None else seed)
+        delays, strengths, noise = ir_synth.sample_draws(key, ir_shape)
+
+    spec = StaticSpec(
+        n_in=n_in,
+        ir_length=geometry.length,
+        rate=int(rate),
+        layout=p.target_layout,
+        eq_on=eq_on,
+        air_on=p.air_absorption > config.AIR_ABSORPTION_MIN_FACTOR,
+        early_on=ir_shape.early_taps_active and early_lvl > 1e-6,
+        late_on=ir_shape.late_length > 0 and late_lvl > 1e-6,
+    )
+
+    out_cn = _render_internal_core(
+        audio_cn,
+        delays,
+        strengths,
+        noise,
+        ir_scalars,
+        _mix_scalars(p, early_lvl, late_lvl),
+        ir_shape=ir_shape,
+        spec=spec,
+    )
+    return np.asarray(out_cn).T

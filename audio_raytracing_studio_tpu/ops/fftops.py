@@ -1,0 +1,100 @@
+"""Exact arbitrary-length FFTs on TPU via Bluestein's chirp-z transform.
+
+The reference applies its EQ and air-absorption filters as circular gain
+curves at the *exact* signal length (raytracer_studio.py:318, :392) — a
+parity-bearing choice (see ops.filters).  XLA's TPU backend only has a fast
+path for power-of-two FFTs; arbitrary lengths lower to a dense O(n²) DFT
+matmul that is infeasible at render lengths (~10⁷ samples would want a
+67 GB matrix).  Bluestein re-expresses a length-n DFT as one length-m
+(power-of-two, m ≥ 2n−1) convolution:
+
+    X[k] = w[k] · IFFT_m( FFT_m(x·w) · B )[k],   w[k] = exp(−iπ k² / n)
+
+with the chirp ``w`` and the spectrum ``B`` of the symmetric chirp kernel
+precomputed on host in float64 (k² is reduced mod 2n in int64 so the phase
+stays exact even at n ~ 10⁷).  Cost: ~3 power-of-two FFTs per transform.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def is_power_of_two(n: int) -> bool:
+    return n > 0 and (n & (n - 1)) == 0
+
+
+def next_power_of_two(n: int) -> int:
+    return 1 << max(0, int(np.ceil(np.log2(max(1, n)))))
+
+
+@functools.lru_cache(maxsize=64)
+def _bluestein_constants(n: int, inverse: bool):
+    """Host-precomputed (w, B, m) for a length-n (i)DFT, float64 → complex64.
+
+    Returns NumPy arrays only — device constants must be materialized inside
+    the calling trace (caching jnp arrays here would leak tracers between
+    jit traces).
+    """
+    m = next_power_of_two(2 * n - 1)
+    k = np.arange(n, dtype=np.int64)
+    q = (k * k) % (2 * n)  # exact phase: k² mod 2n keeps |angle| < 2π
+    sign = 1.0 if inverse else -1.0
+    w = np.exp(sign * 1j * np.pi * q / n)  # chirp
+
+    kernel = np.zeros(m, dtype=np.complex128)
+    wc = np.conj(w)
+    kernel[:n] = wc
+    kernel[m - (n - 1) :] = wc[1:][::-1]
+    B = np.fft.fft(kernel)
+
+    return w.astype(np.complex64), B.astype(np.complex64), m
+
+
+def _bluestein_dft(x: jnp.ndarray, n: int, inverse: bool) -> jnp.ndarray:
+    """Length-n (i)DFT of complex input (..., n) via one length-m convolution.
+
+    The inverse variant returns the *unnormalized* sum (caller divides by n).
+    """
+    w_np, B_np, m = _bluestein_constants(n, inverse)
+    w = jnp.asarray(w_np)
+    B = jnp.asarray(B_np)
+    a = x.astype(jnp.complex64) * w
+    conv = jnp.fft.ifft(jnp.fft.fft(a, n=m, axis=-1) * B, axis=-1)[..., :n]
+    return conv * w
+
+
+def rfft_exact(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """rfft of real (..., n) input at exactly length n (any n ≥ 2)."""
+    if is_power_of_two(n):
+        return jnp.fft.rfft(x, n=n, axis=-1)
+    full = _bluestein_dft(x[..., :n].astype(jnp.complex64), n, inverse=False)
+    return full[..., : n // 2 + 1]
+
+
+def irfft_exact(spec: jnp.ndarray, n: int) -> jnp.ndarray:
+    """irfft back to real length n from a (..., n//2+1) half spectrum."""
+    if is_power_of_two(n):
+        return jnp.fft.irfft(spec, n=n, axis=-1)
+    # Rebuild the full Hermitian spectrum, inverse-DFT, take the real part.
+    if n % 2 == 0:
+        mirror = jnp.conj(spec[..., -2:0:-1])
+    else:
+        mirror = jnp.conj(spec[..., -1:0:-1])
+    full = jnp.concatenate([spec, mirror], axis=-1)
+    out = _bluestein_dft(full, n, inverse=True) / n
+    return jnp.real(out)
+
+
+def apply_circular_gain(signal: jnp.ndarray, gain: jnp.ndarray) -> jnp.ndarray:
+    """y = irfft_n( rfft_n(signal) · gain ) at n = signal.shape[-1].
+
+    The primitive both reference filters reduce to.  ``gain`` is a real
+    (n//2+1,) per-bin curve (possibly traced).
+    """
+    n = signal.shape[-1]
+    spec = rfft_exact(signal, n) * gain
+    return irfft_exact(spec, n).astype(jnp.float32)

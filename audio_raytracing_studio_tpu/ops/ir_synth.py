@@ -1,0 +1,208 @@
+"""On-device impulse-response synthesis (the "audio raytracer").
+
+TPU-first reformulation of the reference's Python reflection loop and noise
+shaping (/root/reference/raytracer_studio.py:238-308):
+
+- early reflections: the per-tap interpreted loop (:261-268) becomes one
+  vectorized masked scatter-add over a static 80-tap budget,
+- late tail: uniform noise → static-width moving average → exponential decay
+  envelope computed as ``exp(k·log d)`` (no sequential dependence),
+- normalizations: data-dependent rescales via ``jnp.where`` (XLA-friendly,
+  no host sync).
+
+Static shape ints live in ``IRShape`` (hashable → jit static arg); value
+scalars (directionality, decay, amplitudes) live in the traced ``IRScalars``
+pytree so slider moves don't recompile.  Randomness is either injected
+(``IRDraws`` — oracle-parity mode) or drawn from a ``jax.random`` key (the
+framework's deterministic contract, fixing the reference's unseeded global
+RNG at :262-285).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..params import IRDraws, IRGeometry
+
+MAX_REFLECTIONS = config.REF_COUNT_CLIP[1]  # static tap budget (80)
+
+
+class IRShape(NamedTuple):
+    """Shape-determining (static, hashable) part of an IR synthesis."""
+
+    length: int
+    split_point: int
+    actual_max_early_delay: int
+    reflection_count: int
+    late_length: int
+    noise_smooth_width: int
+    early_taps_active: bool
+
+    @classmethod
+    def from_geometry(cls, g: IRGeometry) -> "IRShape":
+        return cls(
+            length=g.length,
+            split_point=g.split_point,
+            actual_max_early_delay=g.actual_max_early_delay,
+            reflection_count=g.reflection_count,
+            late_length=g.late_length,
+            noise_smooth_width=g.noise_smooth_width,
+            early_taps_active=g.early_taps_active,
+        )
+
+
+class IRScalars(NamedTuple):
+    """Traced f32 value scalars (host-derived in float64)."""
+
+    one_minus_absorption: jax.Array
+    directionality: jax.Array
+    log_decay_factor: jax.Array
+    initial_late_amp: jax.Array
+
+    @classmethod
+    def from_geometry(cls, g: IRGeometry) -> "IRScalars":
+        # log of the decay factor MUST be taken on host in float64: the
+        # factor sits within ~2e-5 of 1.0, so a float32 log would lose ~3
+        # digits and skew the tail envelope by percents over a 10 s IR.
+        return cls(
+            one_minus_absorption=jnp.float32(1.0 - g.absorption),
+            directionality=jnp.float32(g.directionality),
+            log_decay_factor=jnp.float32(math.log(g.decay_factor)),
+            initial_late_amp=jnp.float32(g.initial_late_amp),
+        )
+
+
+def sample_draws(
+    key: jax.Array, shape: IRShape
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Draw (delays, strengths, noise) on device from a PRNG key.
+
+    Uses the full static MAX_REFLECTIONS budget; taps beyond the shape's
+    reflection_count are masked out downstream, so the same key gives the
+    same IR regardless of the configured tap count.
+    """
+    k_delay, k_strength, k_noise = jax.random.split(key, 3)
+    hi = max(2, shape.actual_max_early_delay)
+    delays = jax.random.randint(k_delay, (MAX_REFLECTIONS,), 1, hi, dtype=jnp.int32)
+    strengths = jax.random.uniform(
+        k_strength,
+        (MAX_REFLECTIONS,),
+        minval=config.EARLY_STRENGTH_RANGE[0],
+        maxval=config.EARLY_STRENGTH_RANGE[1],
+        dtype=jnp.float32,
+    )
+    noise = jax.random.uniform(
+        k_noise,
+        (max(1, shape.late_length),),
+        minval=-1.0,
+        maxval=1.0,
+        dtype=jnp.float32,
+    )
+    return delays, strengths, noise
+
+
+def draws_to_device(draws: IRDraws) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pad host IRDraws to the static tap budget and move to device arrays."""
+    n = len(draws.delays)
+    delays = np.zeros(MAX_REFLECTIONS, dtype=np.int32)
+    strengths = np.zeros(MAX_REFLECTIONS, dtype=np.float32)
+    delays[:n] = draws.delays
+    strengths[:n] = draws.strengths
+    noise = np.asarray(draws.noise, dtype=np.float32)
+    if noise.size == 0:
+        noise = np.zeros(1, dtype=np.float32)
+    return jnp.asarray(delays), jnp.asarray(strengths), jnp.asarray(noise)
+
+
+def _moving_average_same(noise: jax.Array, width: int) -> jax.Array:
+    """np.convolve(x, ones(w)/w, mode='same') with static width.
+
+    Matches the reference's smoothing alignment (raytracer_studio.py:288):
+    'same' keeps the centre of the full convolution, leading offset w//2.
+    """
+    if width <= 1:
+        return noise
+    n = noise.shape[-1]
+    lead = width // 2
+    trail = width - 1 - lead
+    padded = jnp.pad(noise, (lead, trail))
+    # Direct sum of `width` (≤ 10) shifted copies.  A cumsum-based sliding
+    # window would be O(n) too but its float32 running sum accumulates
+    # random-walk error ~sqrt(n)·eps that the downstream dense convolution
+    # amplifies past the 1e-3 parity budget; the shifted-add form keeps
+    # per-sample error at a few ulps.
+    acc = padded[0:n]
+    for k in range(1, width):
+        acc = acc + padded[k : k + n]
+    return acc / width
+
+
+def synthesize(
+    shape: IRShape,
+    delays: jax.Array,
+    strengths: jax.Array,
+    noise: jax.Array,
+    scalars: IRScalars,
+) -> Tuple[jax.Array, jax.Array]:
+    """Build (early_ir, late_ir), both of static length ``shape.length``."""
+    s = shape
+    early_ir = jnp.zeros(s.length, dtype=jnp.float32)
+    late_ir = jnp.zeros(s.length, dtype=jnp.float32)
+
+    # --- Early reflections: masked scatter-add (ref :258-268) ---
+    if s.early_taps_active:
+        tap_index = jnp.arange(MAX_REFLECTIONS)
+        active = tap_index < s.reflection_count
+        valid = active & (delays > 0) & (delays < s.split_point)
+        falloff = 1.0 - (
+            delays.astype(jnp.float32) / float(s.actual_max_early_delay)
+        ) ** config.EARLY_DELAY_DECAY_EXP
+        amp = (
+            strengths
+            * scalars.one_minus_absorption
+            * jnp.clip(scalars.directionality, 0.1, 1.0)
+            * falloff
+        )
+        amp = jnp.where(valid, amp, 0.0)
+        safe_delays = jnp.where(valid, delays, 0)
+        early_ir = early_ir.at[safe_delays].add(amp)
+        # masked taps accumulate 0.0 at sample 0 — harmless; sample 0 of the
+        # early IR is by construction silent (delays >= 1, ref :262)
+
+    # --- Late tail (ref :270-296) ---
+    if s.late_length > 0:
+        w = s.noise_smooth_width
+        if w > 1 and s.late_length >= w:
+            smoothed = _moving_average_same(noise, w)
+            std_raw = jnp.std(noise)
+            std_smooth = jnp.std(smoothed)
+            smoothed = jnp.where(
+                std_smooth > 1e-6, smoothed / std_smooth * std_raw, noise
+            )
+        else:
+            smoothed = noise
+        k = jnp.arange(s.late_length, dtype=jnp.float32)
+        envelope = jnp.exp(k * scalars.log_decay_factor)
+        tail = smoothed[: s.late_length] * scalars.initial_late_amp * envelope
+        late_ir = late_ir.at[s.split_point :].set(tail)
+
+    # --- Normalization (ref :299-303) ---
+    if s.length > 1:
+        early_max = jnp.max(jnp.abs(early_ir[1:]))
+        early_ir = early_ir * jnp.where(
+            early_max > 1e-6, config.EARLY_NORM_PEAK / early_max, 1.0
+        )
+        # sample 0 is excluded from scaling in the reference; it is always 0
+        # here, so whole-array scaling is equivalent.
+    late_max = jnp.max(jnp.abs(late_ir))
+    late_ir = late_ir * jnp.where(
+        late_max > 1e-6, config.LATE_NORM_PEAK / late_max, 1.0
+    )
+
+    return early_ir, late_ir

@@ -7,12 +7,18 @@ jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon TPU plugin in this image ignores the JAX_PLATFORMS env var; only
+# the config API reliably forces the CPU backend.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

@@ -1,0 +1,175 @@
+"""Golden parity: JAX pipeline vs the seeded NumPy oracle, ≤1e-3 max-abs
+(BASELINE.json contract) on the five baseline configurations, with identical
+injected random draws.  Runs on the CPU backend (conftest)."""
+
+import numpy as np
+import pytest
+
+from audio_raytracing_studio_tpu import config
+from audio_raytracing_studio_tpu.models import pipeline
+from audio_raytracing_studio_tpu.oracle import dsp
+from audio_raytracing_studio_tpu.params import (
+    IRDraws,
+    RenderParams,
+    adjust_parameters_for_3d,
+    compute_final_directionality_3d,
+    derive_ir_geometry,
+)
+
+TOL = 1e-3
+
+
+def geometry_for(p: RenderParams, rate: int):
+    dur, refs, max_delay, split = adjust_parameters_for_3d(p.hall_type, p.room_size, p.z_pos)
+    directionality = compute_final_directionality_3d(
+        p.x_pos, p.y_pos, p.z_pos, p.hall_type, p.diffusion, p.dry_wet
+    )
+    return derive_ir_geometry(
+        rate, dur, refs, max_delay, p.material, directionality, split, p.diffusion
+    )
+
+
+def draws_for(p: RenderParams, rate: int, seed=123):
+    return IRDraws.sample(np.random.default_rng(seed), geometry_for(p, rate))
+
+
+def assert_parity(p: RenderParams, tone, seed=123, external_ir=None, tol=TOL):
+    x, rate = tone
+    if p.use_external_ir:
+        ours = pipeline.render(x, rate, p, external_ir=external_ir)
+        ref = dsp.render(x, rate, p, external_ir=external_ir)
+    else:
+        d = draws_for(p, rate, seed)
+        ours = pipeline.render(x, rate, p, draws=d)
+        ref = dsp.render(x, rate, p, draws=d)
+    assert ours.shape == ref.shape, f"{ours.shape} vs {ref.shape}"
+    err = float(np.max(np.abs(ours - ref)))
+    assert err <= tol, f"max-abs deviation {err:.2e} > {tol}"
+    # PCM16 quantization contract: bit-comparable within 1 LSB
+    q_ours = dsp.quantize_pcm16(ours)
+    q_ref = dsp.quantize_pcm16(ref)
+    lsb = int(np.max(np.abs(q_ours.astype(np.int32) - q_ref.astype(np.int32))))
+    assert lsb <= max(1, int(np.ceil(tol * 32768))), f"PCM16 differs by {lsb} LSB"
+    return err
+
+
+class TestBaselineConfigParity:
+    def test_config1_internal_room_mono_to_stereo(self, tone48k):
+        """BASELINE config 1: internal Room reverb, mono 48 kHz → stereo."""
+        x, rate = tone48k
+        p = RenderParams(target_layout="Stereo")  # Room, Holz defaults
+        assert_parity(p, (x, rate))
+
+    def test_config2_external_ir_mix_kill_eq(self, rng, tone48k):
+        """BASELINE config 2: external stereo IR + dry/wet + dry-kill + EQ."""
+        x, rate = tone48k
+        n_ir = 4800
+        env = np.exp(-np.arange(n_ir) / 800.0)[:, None]
+        ir = (rng.standard_normal((n_ir, 2)) * env * 0.3).astype(np.float32)
+        ir[0] = 1.0
+        p = RenderParams(
+            use_external_ir=True,
+            dry_wet=0.7,
+            dry_wet_kill_start=0.4,
+            bass_gain=1.6,
+            treble_gain=0.6,
+            target_layout="Stereo",
+        )
+        assert_parity(p, (x, rate), external_ir=ir)
+
+    def test_config3_cathedral_large_air_diffusion(self, tone48k):
+        """BASELINE config 3: Cathedral, large room, air absorption, diffusion."""
+        x, rate = tone48k
+        p = RenderParams(
+            hall_type="Cathedral",
+            room_size=600.0,
+            air_absorption=0.5,
+            diffusion=0.8,
+            target_layout="Stereo",
+        )
+        assert_parity(p, (x, rate))
+
+    def test_config4_3d_positioned_51(self, tone48k):
+        """BASELINE config 4: 3D-positioned source → 5.1 bus."""
+        x, rate = tone48k
+        p = RenderParams(
+            x_pos=0.2, y_pos=0.8, z_pos=0.3, target_layout="5.1 (Standard)"
+        )
+        assert_parity(p, (x, rate))
+
+    def test_config5_71_and_512_layouts(self, tone48k):
+        """BASELINE config 5: 7.1 and 5.1.2 renders (rear/height derivation)."""
+        x, rate = tone48k
+        for layout in ("7.1 (Surround)", "5.1.2 (Atmos Light)"):
+            p = RenderParams(target_layout=layout, z_pos=0.7)
+            assert_parity(p, (x, rate))
+
+
+class TestParityEdgeCases:
+    def test_plate_small_room(self, tone48k):
+        x, rate = tone48k
+        p = RenderParams(hall_type="Plate", room_size=10.0, target_layout="Stereo")
+        assert_parity(p, (x, rate))
+
+    def test_all_materials(self, tone48k):
+        x, rate = tone48k
+        for material in config.MATERIAL_ABSORPTION:
+            p = RenderParams(material=material, target_layout="Stereo")
+            assert_parity(p, (x, rate), seed=hash(material) % 2**31)
+
+    def test_extreme_dry_wet(self, tone48k):
+        x, rate = tone48k
+        for dw in (0.0, 0.5, 0.55, 1.0):
+            p = RenderParams(dry_wet=dw, target_layout="Stereo")
+            assert_parity(p, (x, rate))
+
+    def test_dry_kill_disabled(self, tone48k):
+        x, rate = tone48k
+        p = RenderParams(dry_wet=0.9, dry_wet_kill_start=1.0, target_layout="Stereo")
+        assert_parity(p, (x, rate))
+
+    def test_44100_rate(self, rng):
+        rate = 44100
+        t = np.arange(int(0.7 * rate)) / rate
+        x = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+        p = RenderParams(target_layout="5.1 (Standard)")
+        assert_parity(p, (x, rate))
+
+    def test_stereo_input(self, rng, tone48k):
+        x, rate = tone48k
+        stereo = np.stack([x, np.roll(x, 100)], axis=1)
+        p = RenderParams(target_layout="Stereo")
+        assert_parity(p, (stereo, rate))
+
+    def test_external_ir_resampled(self, rng, tone48k):
+        x, rate = tone48k
+        ir44 = (rng.standard_normal((2205, 2)) * 0.2).astype(np.float32)
+        # pipeline resamples 44.1k IR to 48k; oracle receives the resampled IR
+        ir48 = pipeline.prepare_external_ir(ir44, 44100, rate)
+        p = RenderParams(use_external_ir=True, target_layout="Stereo")
+        ours = pipeline.render(x, rate, p, external_ir=ir44, external_ir_rate=44100)
+        ref = dsp.render(x, rate, p, external_ir=ir48)
+        assert ours.shape == ref.shape
+        assert np.max(np.abs(ours - ref)) <= TOL
+
+    def test_external_ir_rejects_mono(self, tone48k):
+        x, rate = tone48k
+        p = RenderParams(use_external_ir=True)
+        with pytest.raises(ValueError, match="stereo"):
+            pipeline.render(x, rate, p, external_ir=np.zeros((100, 1), np.float32))
+
+
+class TestDeterminism:
+    def test_same_seed_same_output(self, tone48k):
+        x, rate = tone48k
+        p = RenderParams(target_layout="Stereo")
+        a = pipeline.render(x, rate, p, seed=42)
+        b = pipeline.render(x, rate, p, seed=42)
+        assert np.array_equal(a, b)
+
+    def test_different_seed_different_output(self, tone48k):
+        x, rate = tone48k
+        p = RenderParams(target_layout="Stereo")
+        a = pipeline.render(x, rate, p, seed=1)
+        b = pipeline.render(x, rate, p, seed=2)
+        assert not np.array_equal(a, b)
