@@ -94,8 +94,7 @@ def _mix_eq_spatial(
     return filters.conditional_peak_normalize(out)
 
 
-@functools.partial(jax.jit, static_argnames=("ir_shape", "spec"))
-def _render_internal_core(
+def internal_graph(
     audio_cn: jnp.ndarray,
     delays: jnp.ndarray,
     strengths: jnp.ndarray,
@@ -106,7 +105,10 @@ def _render_internal_core(
     ir_shape: ir_synth.IRShape,
     spec: StaticSpec,
 ) -> jnp.ndarray:
-    """Internal-hall render: synthesize IRs on device, convolve, mix, map."""
+    """Internal-hall render graph (pure; jit/vmap/shard-composable).
+
+    Synthesize IRs on device, convolve, mix, map → (channels, len_out).
+    """
     len_out = spec.len_out
     early_ir, late_ir = ir_synth.synthesize(ir_shape, delays, strengths, noise, ir_scalars)
 
@@ -135,19 +137,22 @@ def _render_internal_core(
     return _mix_eq_spatial(dry, wet, scal, spec)
 
 
-@functools.partial(jax.jit, static_argnames=("spec",))
-def _render_external_core(
+def external_graph(
     audio_cn: jnp.ndarray,
     ir_cn: jnp.ndarray,
     scal: MixScalars,
     *,
     spec: StaticSpec,
 ) -> jnp.ndarray:
-    """External true-stereo IR render: L⊛IR_L, R⊛IR_R, mix, map."""
+    """External true-stereo IR render graph: L⊛IR_L, R⊛IR_R, mix, map."""
     len_out = spec.len_out
     wet = convolution.convolve_pairwise(audio_cn, ir_cn, len_out)
     dry = jnp.pad(audio_cn, ((0, 0), (0, len_out - spec.n_in)))
     return _mix_eq_spatial(dry, wet, scal, spec)
+
+
+_render_internal_core = jax.jit(internal_graph, static_argnames=("ir_shape", "spec"))
+_render_external_core = jax.jit(external_graph, static_argnames=("spec",))
 
 
 def _ensure_stereo_host(audio: np.ndarray) -> np.ndarray:
@@ -203,49 +208,21 @@ def prepare_external_ir(
     return ir
 
 
-def render(
-    audio: np.ndarray,
-    rate: int,
-    p: RenderParams,
-    seed: Optional[int] = None,
-    draws: Optional[IRDraws] = None,
-    external_ir: Optional[np.ndarray] = None,
-    external_ir_rate: Optional[int] = None,
-) -> np.ndarray:
-    """Render one clip through the jitted pipeline → (len_out, channels) f32.
+class InternalSetup(NamedTuple):
+    """Host-derived pieces of one internal-hall render."""
 
-    For the internal hall, randomness comes from ``seed`` (device PRNG,
-    deterministic) or injected ``draws`` (oracle parity).  For the external
-    mode, pass ``external_ir`` (+ its rate if it differs from ``rate``).
+    ir_shape: ir_synth.IRShape
+    ir_scalars: ir_synth.IRScalars
+    mix_scalars: MixScalars
+    spec: StaticSpec
+
+
+def build_internal_setup(p: RenderParams, rate: int, n_in: int) -> InternalSetup:
+    """Derive all host scalars / static config for an internal-hall render.
+
+    Shared by the single-clip renderer and the batched/sharded renderers
+    (parallel.sharding), which stack the traced pytrees across a batch.
     """
-    audio_nc = _ensure_stereo_host(audio)
-    audio_cn = jnp.asarray(audio_nc.T)
-    n_in = audio_nc.shape[0]
-    eq_on = not (np.isclose(p.bass_gain, 1.0) and np.isclose(p.treble_gain, 1.0))
-
-    if p.use_external_ir:
-        if external_ir is None:
-            raise ValueError("use_external_ir=True requires external_ir data")
-        ir = prepare_external_ir(
-            external_ir, external_ir_rate if external_ir_rate else rate, rate
-        )
-        spec = StaticSpec(
-            n_in=n_in,
-            ir_length=ir.shape[0],
-            rate=int(rate),
-            layout=p.target_layout,
-            eq_on=eq_on,
-            air_on=False,
-            early_on=False,
-            late_on=False,
-        )
-        early_lvl, late_lvl = 1.0, 1.0
-        out_cn = _render_external_core(
-            audio_cn, jnp.asarray(ir.T), _mix_scalars(p, early_lvl, late_lvl), spec=spec
-        )
-        return np.asarray(out_cn).T
-
-    # --- Internal hall path ---
     adj_duration, adj_ref_count, adj_max_delay, adj_split = adjust_parameters_for_3d(
         p.hall_type, p.room_size, p.z_pos
     )
@@ -265,14 +242,7 @@ def render(
     early_lvl, late_lvl = adapt_early_late_levels(p.dry_wet, p.early_level, p.late_level)
 
     ir_shape = ir_synth.IRShape.from_geometry(geometry)
-    ir_scalars = ir_synth.IRScalars.from_geometry(geometry)
-
-    if draws is not None:
-        delays, strengths, noise = ir_synth.draws_to_device(draws)
-    else:
-        key = jax.random.PRNGKey(0 if seed is None else seed)
-        delays, strengths, noise = ir_synth.sample_draws(key, ir_shape)
-
+    eq_on = not (np.isclose(p.bass_gain, 1.0) and np.isclose(p.treble_gain, 1.0))
     spec = StaticSpec(
         n_in=n_in,
         ir_length=geometry.length,
@@ -283,15 +253,78 @@ def render(
         early_on=ir_shape.early_taps_active and early_lvl > 1e-6,
         late_on=ir_shape.late_length > 0 and late_lvl > 1e-6,
     )
-
-    out_cn = _render_internal_core(
-        audio_cn,
-        delays,
-        strengths,
-        noise,
-        ir_scalars,
-        _mix_scalars(p, early_lvl, late_lvl),
+    return InternalSetup(
         ir_shape=ir_shape,
+        ir_scalars=ir_synth.IRScalars.from_geometry(geometry),
+        mix_scalars=_mix_scalars(p, early_lvl, late_lvl),
         spec=spec,
     )
+
+
+def render(
+    audio: np.ndarray,
+    rate: int,
+    p: RenderParams,
+    seed: Optional[int] = None,
+    draws: Optional[IRDraws] = None,
+    external_ir: Optional[np.ndarray] = None,
+    external_ir_rate: Optional[int] = None,
+    return_metrics: bool = False,
+):
+    """Render one clip through the jitted pipeline → (len_out, channels) f32.
+
+    For the internal hall, randomness comes from ``seed`` (device PRNG,
+    deterministic) or injected ``draws`` (oracle parity).  For the external
+    mode, pass ``external_ir`` (+ its rate if it differs from ``rate``).
+    With ``return_metrics`` the on-device meter also runs and a
+    (audio, metrics-dict) tuple is returned.
+    """
+    audio_nc = _ensure_stereo_host(audio)
+    audio_cn = jnp.asarray(audio_nc.T)
+    n_in = audio_nc.shape[0]
+
+    if p.use_external_ir:
+        if external_ir is None:
+            raise ValueError("use_external_ir=True requires external_ir data")
+        ir = prepare_external_ir(
+            external_ir, external_ir_rate if external_ir_rate else rate, rate
+        )
+        eq_on = not (np.isclose(p.bass_gain, 1.0) and np.isclose(p.treble_gain, 1.0))
+        spec = StaticSpec(
+            n_in=n_in,
+            ir_length=ir.shape[0],
+            rate=int(rate),
+            layout=p.target_layout,
+            eq_on=eq_on,
+            air_on=False,
+            early_on=False,
+            late_on=False,
+        )
+        out_cn = _render_external_core(
+            audio_cn, jnp.asarray(ir.T), _mix_scalars(p, 1.0, 1.0), spec=spec
+        )
+    else:
+        setup = build_internal_setup(p, rate, n_in)
+        if draws is not None:
+            delays, strengths, noise = ir_synth.draws_to_device(draws)
+        else:
+            key = jax.random.PRNGKey(0 if seed is None else seed)
+            delays, strengths, noise = ir_synth.sample_draws(key, setup.ir_shape)
+
+        out_cn = _render_internal_core(
+            audio_cn,
+            delays,
+            strengths,
+            noise,
+            setup.ir_scalars,
+            setup.mix_scalars,
+            ir_shape=setup.ir_shape,
+            spec=setup.spec,
+        )
+
+    if return_metrics:
+        from ..metering import loudness
+
+        metrics = {k: float(v) for k, v in loudness.audio_metrics(out_cn, int(rate)).items()}
+        return np.asarray(out_cn).T, metrics
     return np.asarray(out_cn).T

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import List, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,8 +54,17 @@ def pan_matrix(
 
 
 def apply_pan(audio: jnp.ndarray, matrix: jnp.ndarray) -> jnp.ndarray:
-    """audio (..., 2, n) @ pan matrix (2, 6) → (..., 6, n)."""
-    return jnp.einsum("...cn,cd->...dn", audio, matrix)
+    """audio (..., 2, n) @ pan matrix (2, 6) → (..., 6, n).
+
+    Channel mixes are deliberately elementwise (VPU), not einsum: the TPU
+    default matmul path runs bf16 on the MXU — ~0.3% error on every sample,
+    far past the 1e-3 parity budget — and the 2×6 contraction is too small
+    to earn its MXU layout shuffles anyway.
+    """
+    left = audio[..., 0, :]
+    right = audio[..., 1, :]
+    out = [left * matrix[0, c] + right * matrix[1, c] for c in range(6)]
+    return jnp.stack(out, axis=-2)
 
 
 def _delay_last_axis(x: jnp.ndarray, delay: int) -> jnp.ndarray:
@@ -95,8 +105,11 @@ def map_layout(
         target_layout_name = config.DEFAULT_CHANNEL_LAYOUT
 
     if target_layout_name == "Stereo":
-        m = jnp.asarray(stereo_downmix_matrix())
-        return jnp.einsum("...cn,cd->...dn", data_6ch, m)
+        c = config.DOWNMIX_CENTER_GAIN
+        r = config.DOWNMIX_REAR_GAIN
+        left = data_6ch[..., 0, :] + data_6ch[..., 2, :] * c + data_6ch[..., 4, :] * r
+        right = data_6ch[..., 1, :] + data_6ch[..., 2, :] * c + data_6ch[..., 5, :] * r
+        return jnp.stack([left, right], axis=-2)
 
     if target_layout_name == "5.1 (Standard)":
         return data_6ch

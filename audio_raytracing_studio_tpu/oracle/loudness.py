@@ -46,12 +46,13 @@ def integrated_loudness(data: np.ndarray, rate: float) -> float:
     if num_blocks <= 0:
         return float("-inf")
 
-    # Per-block mean square z_ij, computed for every channel.
+    # Per-block mean square z_ij, computed for every channel
+    # (pyloudnorm convention: Σx² / (T_g·rate), slices clipped by numpy).
     z = np.zeros((num_channels, num_blocks))
     for j in range(num_blocks):
         lo = int(T_g * (j * step) * rate)
         hi = int(T_g * (j * step + 1) * rate)
-        z[:, j] = np.mean(np.square(filtered[lo:hi, :]), axis=0)
+        z[:, j] = np.sum(np.square(filtered[lo:hi, :]), axis=0) / (T_g * rate)
 
     with np.errstate(divide="ignore"):
         block_loudness = kw.LOUDNESS_OFFSET + 10.0 * np.log10(weights @ z)

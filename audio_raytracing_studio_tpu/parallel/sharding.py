@@ -1,0 +1,145 @@
+"""Batched, mesh-sharded rendering — the production throughput path.
+
+``render_batch`` vmaps the single-clip render graph over a batch of clips
+(and, for parameter sweeps, over per-clip scalar pytrees), shards the batch
+axis over the mesh's "data" axis with NamedSharding, and optionally meters
+every clip on device.  XLA turns the whole thing into one SPMD program whose
+only collectives are the (absent, for pure data parallel) cross-clip ones —
+clip renders are embarrassingly parallel, exactly what the ≥100×-realtime
+north star wants per chip and across a slice.
+
+Value-parameter sweeps (diffusion, air, position, mix, EQ, levels) share one
+compiled executable because they only change traced scalars; shape-changing
+parameters (hall type, room size, clip length, rate, layout) bucket into
+separate compiles by design (SURVEY §7 hard part 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..metering import loudness
+from ..models import pipeline
+from ..ops import ir_synth
+from ..params import RenderParams
+from . import mesh as meshlib
+
+
+def _stack_pytrees(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ir_shape", "spec", "with_metrics", "num_devices")
+)
+def _batched_internal(
+    audio_bcn: jnp.ndarray,
+    keys: jnp.ndarray,
+    ir_scalars,
+    mix_scalars,
+    *,
+    ir_shape: ir_synth.IRShape,
+    spec: pipeline.StaticSpec,
+    with_metrics: bool,
+    num_devices: int,
+):
+    def one(audio_cn, key, ir_sc, mix_sc):
+        delays, strengths, noise = ir_synth.sample_draws(key, ir_shape)
+        out = pipeline.internal_graph(
+            audio_cn, delays, strengths, noise, ir_sc, mix_sc,
+            ir_shape=ir_shape, spec=spec,
+        )
+        if with_metrics:
+            return out, loudness.audio_metrics(out, spec.rate)
+        return out, None
+
+    return jax.vmap(one)(audio_bcn, keys, ir_scalars, mix_scalars)
+
+
+def render_batch(
+    audio: np.ndarray,
+    rate: int,
+    params: RenderParams | Sequence[RenderParams],
+    seeds: Optional[Sequence[int]] = None,
+    device_mesh: Optional[Mesh] = None,
+    with_metrics: bool = False,
+):
+    """Render a batch of clips (B, N) or (B, N, C) through one SPMD program.
+
+    ``params`` is either one RenderParams (shared) or one per clip — all must
+    agree on shape-determining fields (hall_type, room_size, rate, layout,
+    clip length); value fields may sweep freely.
+
+    Returns (B, len_out, channels) float32 — plus a list of per-clip metric
+    dicts when ``with_metrics``.
+    """
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim == 2:
+        audio = audio[:, :, np.newaxis]
+    batch = audio.shape[0]
+
+    param_list = (
+        list(params) if isinstance(params, (list, tuple)) else [params] * batch
+    )
+    if len(param_list) != batch:
+        raise ValueError(f"{len(param_list)} params for batch of {batch}")
+    if any(p.use_external_ir for p in param_list):
+        raise NotImplementedError("render_batch currently covers the internal hall path")
+
+    # Stereo-ize each clip, stack channels-leading.
+    clips = [pipeline._ensure_stereo_host(audio[i]) for i in range(batch)]
+    n_in = clips[0].shape[0]
+    audio_bcn = jnp.asarray(np.stack([c.T for c in clips]))
+
+    setups = [pipeline.build_internal_setup(p, rate, n_in) for p in param_list]
+    spec0, shape0 = setups[0].spec, setups[0].ir_shape
+    for s in setups[1:]:
+        if s.spec != spec0 or s.ir_shape != shape0:
+            raise ValueError(
+                "shape-determining parameters must match across a batch "
+                f"(got {s.spec} vs {spec0}); bucket your sweep by shape"
+            )
+
+    ir_scalars = _stack_pytrees([s.ir_scalars for s in setups])
+    mix_scalars = _stack_pytrees([s.mix_scalars for s in setups])
+
+    if seeds is None:
+        seeds = range(batch)
+    keys = jnp.asarray(np.stack([np.asarray(jax.random.PRNGKey(s)) for s in seeds]))
+
+    num_devices = 1
+    if device_mesh is not None:
+        num_devices = device_mesh.shape[meshlib.DATA_AXIS]
+        if batch % num_devices:
+            raise ValueError(f"batch {batch} not divisible by data axis {num_devices}")
+        bs = meshlib.batch_sharding(device_mesh)
+        audio_bcn = jax.device_put(audio_bcn, bs)
+        keys = jax.device_put(keys, bs)
+        ir_scalars = jax.device_put(ir_scalars, bs)
+        mix_scalars = jax.device_put(mix_scalars, bs)
+
+    out, metrics = _batched_internal(
+        audio_bcn,
+        keys,
+        ir_scalars,
+        mix_scalars,
+        ir_shape=shape0,
+        spec=spec0,
+        with_metrics=with_metrics,
+        num_devices=num_devices,
+    )
+    result = np.asarray(out).transpose(0, 2, 1)
+    if with_metrics:
+        metrics_np = jax.tree.map(np.asarray, metrics)
+        per_clip = [
+            {k: float(v[i]) for k, v in metrics_np.items()} for i in range(batch)
+        ]
+        return result, per_clip
+    return result

@@ -1,0 +1,101 @@
+"""Headline benchmark: batched realtime factor on one TPU chip.
+
+BASELINE.json metric: "Realtime factor (audio-sec rendered/sec/chip), 60 s
+48 kHz clip, IR synth + convolve" — rendered through the full internal-hall
+graph (BASELINE config 1: Room hall, default material, mono → stereo,
+including the air-absorption filter and all normalizations) batched over B
+clips in one SPMD program.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the ratio against the measured CPU oracle realtime factor
+(BASELINE_CPU.json — the reference-equivalent NumPy/SciPy pipeline on this
+machine; the reference itself publishes no numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DURATION_S = 60.0
+RATE = 48000
+
+
+def _cpu_baseline_rtf() -> float:
+    path = os.path.join(REPO, "BASELINE_CPU.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["realtime_factor"])
+    except Exception:
+        return 8.53  # measured 2026-08-16 on this image (tools/measure_cpu_baseline.py)
+
+
+def main() -> None:
+    import jax
+
+    from audio_raytracing_studio_tpu.models import pipeline
+    from audio_raytracing_studio_tpu.ops import ir_synth
+    from audio_raytracing_studio_tpu.parallel import sharding
+    from audio_raytracing_studio_tpu.params import RenderParams
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+
+    t = np.arange(int(DURATION_S * RATE)) / RATE
+    base = (0.3 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    clips = np.stack([base] * batch)
+    p = RenderParams(target_layout="Stereo")
+
+    # Build the batched program pieces once (host setup + device inputs).
+    clips_cn = np.stack([pipeline._ensure_stereo_host(c).T for c in clips])
+    setup = pipeline.build_internal_setup(p, RATE, clips.shape[1])
+    import jax.numpy as jnp
+
+    audio_bcn = jnp.asarray(clips_cn)
+    keys = jnp.asarray(np.stack([np.asarray(jax.random.PRNGKey(s)) for s in range(batch)]))
+    ir_scalars = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,)), setup.ir_scalars)
+    mix_scalars = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,)), setup.mix_scalars)
+
+    def run():
+        out, _ = sharding._batched_internal(
+            audio_bcn,
+            keys,
+            ir_scalars,
+            mix_scalars,
+            ir_shape=setup.ir_shape,
+            spec=setup.spec,
+            with_metrics=False,
+            num_devices=1,
+        )
+        out.block_until_ready()
+        return out
+
+    run()  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run()
+    wall = (time.perf_counter() - t0) / iters
+
+    rtf = batch * DURATION_S / wall
+    baseline = _cpu_baseline_rtf()
+    print(
+        json.dumps(
+            {
+                "metric": "realtime_factor_60s48k_batched_per_chip",
+                "value": round(rtf, 2),
+                "unit": "audio_seconds_per_second",
+                "vs_baseline": round(rtf / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Preset store: v4 JSON schema, sanitization, last-used, CRUD, ZIP export."""
+
+import json
+import zipfile
+
+import pytest
+
+from audio_raytracing_studio_tpu import config
+from audio_raytracing_studio_tpu.params import RenderParams
+from audio_raytracing_studio_tpu.utils.presets import PresetStore
+
+
+@pytest.fixture
+def store(tmp_path):
+    return PresetStore(str(tmp_path))
+
+
+def test_save_schema_exact_keys(store):
+    p = RenderParams(hall_type="Cathedral", room_size=250.0)
+    _, filename = store.save("My Hall", p)
+    assert filename == "My_Hall_v4.json"
+    data = json.loads(open(f"{store.preset_dir}/{filename}", encoding="utf-8").read())
+    assert list(data.keys()) == config.PRESET_KEYS + ["_source_name", "_version"]
+    assert data["hall_type"] == "Cathedral"
+    assert data["_source_name"] == "My Hall"  # name differed from sanitized base
+
+
+def test_source_name_none_when_safe(store):
+    _, filename = store.save("CleanName", RenderParams())
+    data = json.loads(open(f"{store.preset_dir}/{filename}", encoding="utf-8").read())
+    assert data["_source_name"] is None
+
+
+def test_sanitization():
+    assert PresetStore.sanitize_name("a/b:c*d") == "abcd_v4.json"
+    assert PresetStore.sanitize_name("  my preset  ") == "my_preset_v4.json"
+    assert PresetStore.sanitize_name("///") is None
+    assert PresetStore.sanitize_name("") is None
+
+
+def test_roundtrip(store):
+    p = RenderParams(dry_wet=0.77, x_pos=0.12, target_layout="7.1 (Surround)")
+    _, filename = store.save("rt", p)
+    loaded = store.load(filename)
+    assert loaded == p
+
+
+def test_load_coerces_types(store):
+    store.ensure_dir()
+    with open(f"{store.preset_dir}/weird_v4.json", "w") as f:
+        json.dump({"use_external_ir": 1, "room_size": "250", "dry_wet": None}, f)
+    p = store.load("weird_v4.json")
+    assert p.use_external_ir is True
+    assert p.room_size == 250.0
+    assert p.dry_wet == config.PRESET_DEFAULTS["dry_wet"]  # None → default
+
+
+def test_last_used_tracking(store):
+    _, f1 = store.save("one", RenderParams())
+    assert store.load_last() == f1
+    _, f2 = store.save("two", RenderParams())
+    assert store.load_last() == f2
+    store.load(f1)
+    assert store.load_last() == f1
+
+
+def test_delete_clears_last(store):
+    _, f1 = store.save("gone", RenderParams())
+    assert store.delete(f1) is True
+    assert store.load_last() is None
+    assert store.delete(f1) is False  # already gone
+
+
+def test_last_pointer_invalidated_when_file_missing(store):
+    store.save_last("nonexistent_v4.json")
+    assert store.load_last() is None
+    # pointer file cleared afterwards
+    assert open(store.last_preset_file).read().strip() == ""
+
+
+def test_list_sorted_case_insensitive(store):
+    store.save("Zeta", RenderParams())
+    store.save("alpha", RenderParams())
+    store.save("Beta", RenderParams())
+    names = store.list_presets()
+    assert names == sorted(names, key=str.lower)
+    assert len(names) == 3
+
+
+def test_zip_export(store, tmp_path):
+    store.save("a", RenderParams())
+    store.save("b", RenderParams())
+    zpath = store.export_zip(str(tmp_path / "out.zip"))
+    with zipfile.ZipFile(zpath) as zf:
+        assert sorted(zf.namelist()) == ["a_v4.json", "b_v4.json"]
+
+
+def test_zip_export_empty(store):
+    assert store.export_zip() is None
