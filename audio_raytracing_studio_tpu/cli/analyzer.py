@@ -1,0 +1,129 @@
+"""Audio analyzer CLI — the sidecar tool's capabilities, TPU-native.
+
+Covers /root/reference/analyser.py (a standalone Streamlit app shelling out
+to ffmpeg/pydub): file analysis (rate/channels/duration/LUFS), normalization
+to a target LUFS, and format conversion.  LUFS measurement and gain-based
+normalization run through the framework's own BS.1770 meter — no external
+binaries needed for WAV; non-WAV codecs route through ffmpeg when present
+(this image ships none, so they are gated with a clear error).
+
+Usage:
+  python -m audio_raytracing_studio_tpu.cli.analyzer analyze in.wav
+  python -m audio_raytracing_studio_tpu.cli.analyzer normalize in.wav out.wav --target -16
+  python -m audio_raytracing_studio_tpu.cli.analyzer convert in.wav out.mp3 --bitrate 256
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import subprocess
+import sys
+
+import numpy as np
+
+from ..analysis.metrics import calculate_audio_metrics
+from ..utils import wavio
+
+
+def analyze(path: str, backend: str = "jax") -> dict:
+    """Rate / channels / duration / LUFS — analyser.py:50-70 equivalents."""
+    meta = wavio.info(path)
+    data, rate = wavio.read(path)
+    metrics = calculate_audio_metrics(data, rate, backend=backend)
+    lufs = metrics["lufs"]
+    return {
+        "Pfad": str(path),
+        "Abtastrate": meta["samplerate"],
+        "Kanäle": meta["channels"],
+        "Dauer (Sekunden)": round(meta["duration"], 2),
+        "LUFS": round(lufs, 2) if lufs is not None and np.isfinite(lufs) else "Nicht messbar",
+        "Peak (dBFS)": round(metrics["true_peak_dbfs"], 2)
+        if np.isfinite(metrics["true_peak_dbfs"]) else "-inf",
+    }
+
+
+def normalize_to_lufs(
+    input_path: str, output_path: str, target_lufs: float = -16.0, backend: str = "jax"
+) -> dict:
+    """Static-gain normalization to the target integrated loudness.
+
+    analyser.py:86-105 runs ffmpeg loudnorm; for integrated-loudness
+    targeting a constant gain is exact (loudness is gain-equivariant), keeps
+    dynamics untouched, and needs no external binary.
+    """
+    data, rate = wavio.read(input_path)
+    metrics = calculate_audio_metrics(data, rate, backend=backend)
+    lufs = metrics["lufs"]
+    if lufs is None or not np.isfinite(lufs):
+        raise ValueError("LUFS nicht messbar (Stille oder zu kurz)")
+    gain_db = target_lufs - lufs
+    gain = 10.0 ** (gain_db / 20.0)
+    out = np.clip(data * gain, -1.0, 1.0)
+    wavio.write(output_path, out, rate, subtype="PCM_16")
+    after = calculate_audio_metrics(out, rate, backend=backend)
+    return {
+        "input_lufs": round(lufs, 2),
+        "gain_db": round(gain_db, 2),
+        "output_lufs": round(after["lufs"], 2),
+        "output": output_path,
+    }
+
+
+def convert(input_path: str, output_path: str, bitrate: str = "256") -> str:
+    """Format conversion (analyser.py:73-83).  WAV↔WAV natively; other
+    codecs require ffmpeg on PATH."""
+    if output_path.lower().endswith(".wav"):
+        data, rate = wavio.read(input_path)
+        wavio.write(output_path, data, rate, subtype="PCM_16")
+        return output_path
+    if shutil.which("ffmpeg") is None:
+        raise RuntimeError(
+            "ffmpeg not found — non-WAV conversion needs ffmpeg on PATH"
+        )
+    subprocess.run(
+        ["ffmpeg", "-y", "-i", str(input_path), "-b:a", f"{bitrate}k", str(output_path)],
+        check=True, capture_output=True,
+    )
+    return output_path
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="ars-analyze", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("analyze", help="rate/channels/duration/LUFS")
+    a.add_argument("input")
+    a.add_argument("--backend", default="jax", choices=["jax", "oracle"])
+
+    n = sub.add_parser("normalize", help="normalize to target LUFS")
+    n.add_argument("input")
+    n.add_argument("output")
+    n.add_argument("--target", type=float, default=-16.0)
+    n.add_argument("--backend", default="jax", choices=["jax", "oracle"])
+
+    c = sub.add_parser("convert", help="convert format (non-WAV needs ffmpeg)")
+    c.add_argument("input")
+    c.add_argument("output")
+    c.add_argument("--bitrate", default="256")
+
+    from ..utils.runtime import ensure_backend
+
+    ensure_backend()
+    args = ap.parse_args(argv)
+    try:
+        if args.cmd == "analyze":
+            print(json.dumps(analyze(args.input, args.backend), ensure_ascii=False, indent=2))
+        elif args.cmd == "normalize":
+            print(json.dumps(normalize_to_lufs(args.input, args.output, args.target, args.backend), indent=2))
+        elif args.cmd == "convert":
+            print(convert(args.input, args.output, args.bitrate))
+    except Exception as e:  # noqa: BLE001 — CLI error surface
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,152 @@
+"""Headless batch renderer — the TPU-native CLI entry point.
+
+New capability vs the reference (which is UI-only): render one clip or a
+whole parameter sweep from the command line, using presets (v4 JSON) or
+flags, batched over the chip via the SPMD renderer.
+
+Examples:
+  python -m audio_raytracing_studio_tpu.cli.render in.wav out.wav \
+      --hall Cathedral --room-size 400 --layout "5.1 (Standard)" --metrics
+  python -m audio_raytracing_studio_tpu.cli.render in.wav out_{i}.wav \
+      --preset my_hall_v4.json --sweep diffusion=0.1,0.5,0.9 --seed 7
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+from .. import config
+from ..analysis.metrics import metrics_string
+from ..models import pipeline
+from ..params import RenderParams
+from ..utils import wavio
+from ..utils.presets import PresetStore
+
+SWEEPABLE = (
+    "diffusion", "air_absorption", "early_level", "late_level", "dry_wet",
+    "dry_wet_kill_start", "bass_gain", "treble_gain", "x_pos", "y_pos", "z_pos",
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="ars-render", description="Audio Raytracing Studio TPU — headless renderer"
+    )
+    ap.add_argument("input", help="input WAV file")
+    ap.add_argument("output", help="output WAV file; use {i} for sweep index")
+    ap.add_argument("--preset", help="v4 preset JSON filename (from --preset-dir)")
+    ap.add_argument("--preset-dir", default=".", help="directory containing presets_v4/")
+    ap.add_argument("--hall", choices=list(config.HALL_PRESETS), help="hall type")
+    ap.add_argument("--material", choices=list(config.MATERIAL_ABSORPTION))
+    ap.add_argument("--layout", choices=list(config.CHANNEL_LAYOUTS))
+    ap.add_argument("--room-size", type=float)
+    ap.add_argument("--diffusion", type=float)
+    ap.add_argument("--air-absorption", type=float)
+    ap.add_argument("--early-level", type=float)
+    ap.add_argument("--late-level", type=float)
+    ap.add_argument("--dry-wet", type=float)
+    ap.add_argument("--kill-start", type=float)
+    ap.add_argument("--bass-gain", type=float)
+    ap.add_argument("--treble-gain", type=float)
+    ap.add_argument("--x", type=float, dest="x_pos")
+    ap.add_argument("--y", type=float, dest="y_pos")
+    ap.add_argument("--z", type=float, dest="z_pos")
+    ap.add_argument("--external-ir", help="stereo IR WAV (switches to external mode)")
+    ap.add_argument("--seed", type=int, default=0, help="deterministic render seed")
+    ap.add_argument("--metrics", action="store_true", help="print LUFS/Peak/RMS")
+    ap.add_argument(
+        "--sweep",
+        help=f"param sweep 'name=v1,v2,...' over one of {SWEEPABLE} "
+        "(batched in one SPMD program)",
+    )
+    ap.add_argument("--json", action="store_true", help="machine-readable output")
+    return ap
+
+
+def params_from_args(args) -> RenderParams:
+    p = RenderParams()
+    if args.preset:
+        store = PresetStore(args.preset_dir)
+        p = store.load(args.preset)
+    overrides = {
+        "hall_type": args.hall,
+        "material": args.material,
+        "target_layout": args.layout,
+        "room_size": args.room_size,
+        "diffusion": args.diffusion,
+        "air_absorption": args.air_absorption,
+        "early_level": args.early_level,
+        "late_level": args.late_level,
+        "dry_wet": args.dry_wet,
+        "dry_wet_kill_start": args.kill_start,
+        "bass_gain": args.bass_gain,
+        "treble_gain": args.treble_gain,
+        "x_pos": args.x_pos,
+        "y_pos": args.y_pos,
+        "z_pos": args.z_pos,
+    }
+    overrides = {k: v for k, v in overrides.items() if v is not None}
+    if args.external_ir:
+        overrides["use_external_ir"] = True
+    return dataclasses.replace(p, **overrides)
+
+
+def main(argv=None) -> int:
+    from ..utils.runtime import ensure_backend
+
+    ensure_backend()
+    args = build_parser().parse_args(argv)
+    audio, rate = wavio.read(args.input)
+    base_params = params_from_args(args)
+
+    external_ir = external_rate = None
+    if args.external_ir:
+        external_ir, external_rate = wavio.read(args.external_ir)
+
+    results = []
+    if args.sweep:
+        name, _, values_str = args.sweep.partition("=")
+        if name not in SWEEPABLE:
+            print(f"error: sweep over '{name}' not supported (shape-changing)", file=sys.stderr)
+            return 2
+        values = [float(v) for v in values_str.split(",") if v]
+        from ..parallel.sharding import render_batch
+
+        param_list = [dataclasses.replace(base_params, **{name: v}) for v in values]
+        clips = np.stack([audio] * len(values))
+        outs, metrics = render_batch(
+            clips, rate, param_list,
+            seeds=[args.seed] * len(values), with_metrics=True,
+        )
+        for i, v in enumerate(values):
+            out_path = args.output.format(i=i)
+            wavio.write(out_path, np.clip(outs[i], -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
+            results.append({"output": out_path, name: v, "metrics": metrics[i]})
+    else:
+        out, metrics = pipeline.render(
+            audio, rate, base_params, seed=args.seed,
+            external_ir=external_ir, external_ir_rate=external_rate,
+            return_metrics=True,
+        )
+        out_path = args.output.format(i=0)
+        wavio.write(out_path, np.clip(out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
+        results.append({"output": out_path, "metrics": metrics})
+
+    if args.json:
+        print(json.dumps(results))
+    else:
+        for r in results:
+            line = r["output"]
+            if args.metrics:
+                line += "  " + metrics_string(r["metrics"])
+            print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

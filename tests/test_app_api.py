@@ -1,0 +1,216 @@
+"""Public API contract tests: apply_raytrace_convolution_3d /
+process_audio_main_v41 signatures, error strings, WAV output; visualizer,
+profiler, marker, CLI."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from audio_raytracing_studio_tpu import config
+from audio_raytracing_studio_tpu.app import api, marker
+from audio_raytracing_studio_tpu.analysis.metrics import metrics_string
+from audio_raytracing_studio_tpu.analysis.profiler import run_audio_profiler
+from audio_raytracing_studio_tpu.analysis.visualize import plot_waveform_and_spectrogram
+from audio_raytracing_studio_tpu.utils import wavio
+
+
+@pytest.fixture
+def wav_file(tmp_path, tone48k):
+    x, rate = tone48k
+    path = tmp_path / "in.wav"
+    wavio.write(path, x, rate)
+    return str(path)
+
+
+DEFAULT_ARGS = dict(
+    external_ir_path=None,
+    use_external_ir_cb=False,
+    hall_type_val="Room",
+    room_size_val=100.0,
+    diffusion_val=0.5,
+    air_absorption_val=0.1,
+    base_early_level=0.8,
+    base_late_level=0.6,
+    dry_wet=0.5,
+    dry_wet_kill_start=0.5,
+    bass_gain=1.0,
+    treble_gain=1.0,
+    x_pos=0.5,
+    y_pos=0.5,
+    z_pos=0.5,
+    material="Holz",
+    target_channel_layout="5.1 (Standard)",
+)
+
+
+class TestApplyRaytrace:
+    def test_happy_path(self, wav_file):
+        player, download, metrics = api.apply_raytrace_convolution_3d(
+            wav_file, seed=3, **DEFAULT_ARGS
+        )
+        assert player == download and os.path.exists(player)
+        assert metrics.startswith("LUFS: ") and "| Peak: " in metrics and "dBFS" in metrics
+        data, rate = wavio.read(player)
+        assert rate == 48000 and data.shape[1] == 6
+        os.remove(player)
+
+    def test_missing_file_error_contract(self):
+        player, download, msg = api.apply_raytrace_convolution_3d(
+            "/nonexistent.wav", **DEFAULT_ARGS
+        )
+        assert player is None and download is None
+        assert "Fehler beim Laden" in msg
+
+    def test_bad_params_error_contract(self, wav_file):
+        args = dict(DEFAULT_ARGS, room_size_val="not a number")
+        player, _, msg = api.apply_raytrace_convolution_3d(wav_file, **args)
+        assert player is None and "Fehlerhafte Eingabeparameter" in msg
+
+    def test_external_ir_missing(self, wav_file):
+        args = dict(DEFAULT_ARGS, use_external_ir_cb=True)
+        player, _, msg = api.apply_raytrace_convolution_3d(wav_file, **args)
+        assert player is None and "keine Datei gefunden" in msg
+
+    def test_external_ir_mono_rejected(self, wav_file, tmp_path):
+        ir_path = tmp_path / "mono_ir.wav"
+        wavio.write(ir_path, np.zeros(100, np.float32), 48000)
+        args = dict(DEFAULT_ARGS, use_external_ir_cb=True, external_ir_path=str(ir_path))
+        player, _, msg = api.apply_raytrace_convolution_3d(wav_file, **args)
+        assert player is None and "Stereo" in msg
+
+    def test_seeded_determinism(self, wav_file):
+        a = api.apply_raytrace_convolution_3d(wav_file, seed=9, **DEFAULT_ARGS)
+        b = api.apply_raytrace_convolution_3d(wav_file, seed=9, **DEFAULT_ARGS)
+        da, _ = wavio.read(a[0])
+        db, _ = wavio.read(b[0])
+        assert np.array_equal(da, db)
+        os.remove(a[0]); os.remove(b[0])
+
+
+class TestProcessMain:
+    def test_upload_over_mic(self, wav_file):
+        args16 = [False, "Room", "Holz", 100.0, 0.5, 0.1, 0.8, 0.6, 0.5, 0.5,
+                  1.0, 1.0, 0.5, 0.5, 0.5, "Stereo"]
+        player, download, metrics = api.process_audio_main_v41(
+            wav_file, None, None, *args16, seed=1
+        )
+        assert player and os.path.exists(player)
+        assert "LUFS" in metrics
+        os.remove(player)
+
+    def test_no_source(self):
+        args16 = [False, "Room", "Holz", 100.0, 0.5, 0.1, 0.8, 0.6, 0.5, 0.5,
+                  1.0, 1.0, 0.5, 0.5, 0.5, "Stereo"]
+        player, download, msg = api.process_audio_main_v41(None, None, None, *args16)
+        assert player is None and msg == "Keine gültige Quelle"
+
+    def test_wrong_arg_count(self, wav_file):
+        player, _, msg = api.process_audio_main_v41(wav_file, None, None, False, "Room")
+        assert player is None and "Argumentanzahl" in msg
+
+
+class TestMetricsString:
+    def test_format(self):
+        s = metrics_string({"lufs": -23.456, "true_peak_dbfs": -3.21, "rms_dbfs": -20.0})
+        assert s == "LUFS: -23.46 | Peak: -3.2 dBFS | RMS: -20.0 dBFS"
+
+    def test_silence(self):
+        s = metrics_string({"lufs": float("-inf"), "true_peak_dbfs": float("-inf"),
+                            "rms_dbfs": float("-inf")})
+        assert s == "LUFS: N/A | Peak: -inf dBFS | RMS: -inf dBFS"
+
+
+class TestAnalysis:
+    def test_visualizer_produces_png(self, wav_file):
+        path = plot_waveform_and_spectrogram(wav_file, "Test")
+        assert path and path.endswith(".png") and os.path.getsize(path) > 1000
+        os.remove(path)
+
+    def test_visualizer_device_stft(self, wav_file):
+        path = plot_waveform_and_spectrogram(wav_file, "Test", use_device_stft=True)
+        assert path and os.path.getsize(path) > 1000
+        os.remove(path)
+
+    def test_visualizer_error_png(self):
+        path = plot_waveform_and_spectrogram("/nonexistent.wav", "Test")
+        assert path and path.endswith(".png")  # error-PNG fallback
+        os.remove(path)
+
+    def test_profiler_report(self, wav_file, tmp_path, tone48k):
+        x, rate = tone48k
+        proc = tmp_path / "proc.wav"
+        wavio.write(proc, np.stack([x * 0.5, x * 0.4], 1), rate)
+        report = run_audio_profiler(wav_file, str(proc))
+        assert "Audio-Profiler Bericht" in report
+        assert "Integrated LUFS" in report
+        assert "Stereo-Breite" in report
+        assert "Kanalpegel" in report
+        assert "Zusammenfassung" in report
+
+    def test_profiler_rate_mismatch(self, wav_file, tmp_path):
+        other = tmp_path / "o.wav"
+        wavio.write(other, np.zeros(1000, np.float32), 44100)
+        report = run_audio_profiler(wav_file, str(other))
+        assert "Sample-Raten unterschiedlich" in report
+
+    def test_profiler_missing_file(self, wav_file):
+        report = run_audio_profiler(wav_file, "/nonexistent.wav")
+        assert "Bearbeitete Datei fehlt" in report
+
+
+class TestMarker:
+    def test_marker_roundtrip(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        base = marker.ensure_map_asset()
+        assert os.path.exists(base)
+        m = marker.update_marker_image(0.3, 0.7)
+        assert m and os.path.exists(m)
+        norm = marker.click_to_normalized(150, 100)
+        assert norm == (0.5, 0.5)
+        os.remove(m)
+
+
+class TestStudioGating:
+    def test_import_without_gradio(self):
+        from audio_raytracing_studio_tpu.app import studio
+
+        assert studio.GRADIO_AVAILABLE is False
+        with pytest.raises(ImportError, match="gradio"):
+            studio.build_demo()
+
+
+class TestCLI:
+    def test_render_cli(self, wav_file, tmp_path, capsys):
+        from audio_raytracing_studio_tpu.cli.render import main
+
+        out = tmp_path / "out.wav"
+        rc = main([wav_file, str(out), "--layout", "Stereo", "--seed", "1",
+                   "--metrics", "--room-size", "50"])
+        assert rc == 0 and out.exists()
+        assert "LUFS" in capsys.readouterr().out
+
+    def test_render_cli_sweep(self, wav_file, tmp_path, capsys):
+        from audio_raytracing_studio_tpu.cli.render import main
+
+        rc = main([wav_file, str(tmp_path / "s{i}.wav"), "--layout", "Stereo",
+                   "--room-size", "50", "--sweep", "diffusion=0.2,0.8", "--json"])
+        assert rc == 0
+        results = json.loads(capsys.readouterr().out)
+        assert len(results) == 2
+        assert (tmp_path / "s0.wav").exists() and (tmp_path / "s1.wav").exists()
+
+    def test_analyzer_cli(self, wav_file, tmp_path, capsys):
+        from audio_raytracing_studio_tpu.cli.analyzer import main
+
+        rc = main(["analyze", wav_file])
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out)
+        assert info["Abtastrate"] == 48000 and info["Kanäle"] == 1
+
+        out = tmp_path / "norm.wav"
+        rc = main(["normalize", wav_file, str(out), "--target", "-20"])
+        assert rc == 0
+        result = json.loads(capsys.readouterr().out)
+        assert abs(result["output_lufs"] + 20.0) < 0.3
