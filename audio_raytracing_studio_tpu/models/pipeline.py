@@ -94,24 +94,17 @@ def _mix_eq_spatial(
     return filters.conditional_peak_normalize(out)
 
 
-def internal_graph(
+def internal_graph_with_irs(
     audio_cn: jnp.ndarray,
-    delays: jnp.ndarray,
-    strengths: jnp.ndarray,
-    noise: jnp.ndarray,
-    ir_scalars: ir_synth.IRScalars,
+    early_ir: jnp.ndarray,
+    late_ir: jnp.ndarray,
     scal: MixScalars,
     *,
-    ir_shape: ir_synth.IRShape,
     spec: StaticSpec,
 ) -> jnp.ndarray:
-    """Internal-hall render graph (pure; jit/vmap/shard-composable).
-
-    Synthesize IRs on device, convolve, mix, map → (channels, len_out).
-    """
+    """Internal-hall render from prebuilt IRs (e.g. a fused Pallas RIR bank):
+    convolve, mix, map → (channels, len_out)."""
     len_out = spec.len_out
-    early_ir, late_ir = ir_synth.synthesize(ir_shape, delays, strengths, noise, ir_scalars)
-
     kernels = []
     if spec.early_on:
         kernels.append(early_ir)
@@ -135,6 +128,27 @@ def internal_graph(
     wet = early_wet * scal.early_level + late_wet * scal.late_level
     dry = jnp.pad(audio_cn, ((0, 0), (0, len_out - spec.n_in)))
     return _mix_eq_spatial(dry, wet, scal, spec)
+
+
+def internal_graph(
+    audio_cn: jnp.ndarray,
+    delays: jnp.ndarray,
+    strengths: jnp.ndarray,
+    noise: jnp.ndarray,
+    ir_scalars: ir_synth.IRScalars,
+    scal: MixScalars,
+    *,
+    ir_shape: ir_synth.IRShape,
+    spec: StaticSpec,
+) -> jnp.ndarray:
+    """Internal-hall render graph (pure; jit/vmap/shard-composable).
+
+    Synthesize IRs on device, convolve, mix, map → (channels, len_out).
+    """
+    early_ir, late_ir = ir_synth.synthesize(
+        ir_shape, delays, strengths, noise, ir_scalars
+    )
+    return internal_graph_with_irs(audio_cn, early_ir, late_ir, scal, spec=spec)
 
 
 def external_graph(

@@ -63,6 +63,36 @@ def _batched_internal(
     return jax.vmap(one)(audio_bcn, keys, ir_scalars, mix_scalars)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("ir_shape", "spec", "with_metrics", "num_devices")
+)
+def _batched_internal_pallas(
+    audio_bcn: jnp.ndarray,
+    seeds: jnp.ndarray,
+    ir_scalars,
+    mix_scalars,
+    *,
+    ir_shape: ir_synth.IRShape,
+    spec: pipeline.StaticSpec,
+    with_metrics: bool,
+    num_devices: int,
+):
+    """Batched render with the fused Pallas RIR bank as the IR source."""
+    from ..ops.ir_synth_pallas import fused_rir_bank
+
+    early_bank, late_bank = fused_rir_bank(seeds, ir_shape, ir_scalars)
+
+    def one(audio_cn, early_ir, late_ir, mix_sc):
+        out = pipeline.internal_graph_with_irs(
+            audio_cn, early_ir, late_ir, mix_sc, spec=spec
+        )
+        if with_metrics:
+            return out, loudness.audio_metrics(out, spec.rate)
+        return out, None
+
+    return jax.vmap(one)(audio_bcn, early_bank, late_bank, mix_scalars)
+
+
 def render_batch(
     audio: np.ndarray,
     rate: int,
@@ -70,12 +100,17 @@ def render_batch(
     seeds: Optional[Sequence[int]] = None,
     device_mesh: Optional[Mesh] = None,
     with_metrics: bool = False,
+    ir_backend: str = "jnp",
 ):
     """Render a batch of clips (B, N) or (B, N, C) through one SPMD program.
 
     ``params`` is either one RenderParams (shared) or one per clip — all must
     agree on shape-determining fields (hall_type, room_size, rate, layout,
     clip length); value fields may sweep freely.
+
+    ``ir_backend``: "jnp" (jax.random synthesis inside the vmapped graph) or
+    "pallas" (fused RIR-bank kernel; its own PRNG stream — see
+    ops.ir_synth_pallas).
 
     Returns (B, len_out, channels) float32 — plus a list of per-clip metric
     dicts when ``with_metrics``.
@@ -112,7 +147,18 @@ def render_batch(
 
     if seeds is None:
         seeds = range(batch)
-    keys = jnp.asarray(np.stack([np.asarray(jax.random.PRNGKey(s)) for s in seeds]))
+    if ir_backend == "pallas":
+        if device_mesh is not None:
+            raise NotImplementedError(
+                "pallas IR backend is single-chip for now (a Pallas custom "
+                "call does not SPMD-partition automatically; wrap in "
+                "shard_map in a future round)"
+            )
+        keys = jnp.asarray(np.asarray(list(seeds), dtype=np.int32))
+        batched_fn = _batched_internal_pallas
+    else:
+        keys = jnp.asarray(np.stack([np.asarray(jax.random.PRNGKey(s)) for s in seeds]))
+        batched_fn = _batched_internal
 
     num_devices = 1
     if device_mesh is not None:
@@ -125,7 +171,7 @@ def render_batch(
         ir_scalars = jax.device_put(ir_scalars, bs)
         mix_scalars = jax.device_put(mix_scalars, bs)
 
-    out, metrics = _batched_internal(
+    out, metrics = batched_fn(
         audio_bcn,
         keys,
         ir_scalars,
