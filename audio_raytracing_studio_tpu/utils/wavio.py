@@ -42,10 +42,11 @@ except Exception:  # pragma: no cover - absence is the default until built
 
 
 def encode_pcm16(x: np.ndarray) -> np.ndarray:
-    """float → int16 with libsndfile semantics: ×32768, round-half-even."""
-    if _npcm is not None and x.dtype == np.float32:
-        return _npcm.encode_pcm16(np.ascontiguousarray(x))
-    scaled = np.rint(np.asarray(x, dtype=np.float64) * 32768.0)
+    """float → int16 with libsndfile semantics: ×32768 in float32,
+    round-half-even (lrintf), saturate."""
+    if _npcm is not None:
+        return _npcm.encode_pcm16(np.ascontiguousarray(x, dtype=np.float32))
+    scaled = np.rint(np.asarray(x, dtype=np.float32) * np.float32(32768.0))
     return np.clip(scaled, -32768, 32767).astype(np.int16)
 
 
