@@ -29,3 +29,15 @@ def ensure_backend() -> str:
         except RuntimeError:
             continue
     raise RuntimeError("no usable JAX backend (tried configured, tpu, cpu)")
+
+
+def enable_nan_checks() -> None:
+    """Numeric sanitizer (SURVEY §5.2): raise on NaN escaping any jitted op.
+
+    The functional model removes data races; NaN propagation is the remaining
+    numeric hazard (the reference scrubs with np.nan_to_num at the very end,
+    raytracer_studio.py:1083 — we keep that scrub AND offer eager detection).
+    """
+    import jax
+
+    jax.config.update("jax_debug_nans", True)
