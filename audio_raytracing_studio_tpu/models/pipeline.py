@@ -59,7 +59,15 @@ class MixScalars(NamedTuple):
 
 
 class StaticSpec(NamedTuple):
-    """Static (hashable) render configuration — one compile per value."""
+    """Static (hashable) render configuration — one compile per value.
+
+    ``fast_air``: apply the air-absorption gain on the convolution's
+    power-of-two FFT grid instead of the reference's exact-length grid.
+    Free (rides the conv spectrum, no Bluestein round trips); deviates from
+    the reference only in circular-wrap terms near the signal tail, measured
+    ≤ ~2e-4 max-abs — inside the 1e-3 contract.  Default off for bit-honest
+    parity.
+    """
 
     n_in: int
     ir_length: int
@@ -69,6 +77,7 @@ class StaticSpec(NamedTuple):
     air_on: bool
     early_on: bool
     late_on: bool
+    fast_air: bool = False
 
     @property
     def len_out(self) -> int:
@@ -106,15 +115,31 @@ def internal_graph_with_irs(
     convolve, mix, map → (channels, len_out)."""
     len_out = spec.len_out
     kernels = []
+    gains = []
+    fast_air = spec.air_on and spec.fast_air
+    if fast_air:
+        nfft = convolution.fast_fft_length(
+            max(len_out, audio_cn.shape[-1] + early_ir.shape[-1] - 1)
+        )
+        air_gain = filters.air_absorption_gain(nfft, spec.rate, scal.air_absorption)
     if spec.early_on:
         kernels.append(early_ir)
+        if fast_air:
+            gains.append(jnp.ones_like(air_gain))
     if spec.late_on:
         kernels.append(late_ir)
+        if fast_air:
+            gains.append(air_gain)
 
     early_wet = jnp.zeros((audio_cn.shape[0], len_out), dtype=jnp.float32)
     late_wet = jnp.zeros_like(early_wet)
     if kernels:
-        conv = convolution.convolve_full(audio_cn, jnp.stack(kernels), len_out)
+        conv = convolution.convolve_full(
+            audio_cn,
+            jnp.stack(kernels),
+            len_out,
+            kernel_gains=jnp.stack(gains) if fast_air else None,
+        )
         idx = 0
         if spec.early_on:
             early_wet = conv[idx]
@@ -122,7 +147,7 @@ def internal_graph_with_irs(
         if spec.late_on:
             late_wet = conv[idx]
 
-    if spec.air_on:
+    if spec.air_on and not spec.fast_air:
         late_wet = filters.apply_air_absorption(late_wet, spec.rate, scal.air_absorption)
 
     wet = early_wet * scal.early_level + late_wet * scal.late_level
@@ -231,7 +256,9 @@ class InternalSetup(NamedTuple):
     spec: StaticSpec
 
 
-def build_internal_setup(p: RenderParams, rate: int, n_in: int) -> InternalSetup:
+def build_internal_setup(
+    p: RenderParams, rate: int, n_in: int, fast_filters: bool = False
+) -> InternalSetup:
     """Derive all host scalars / static config for an internal-hall render.
 
     Shared by the single-clip renderer and the batched/sharded renderers
@@ -266,6 +293,7 @@ def build_internal_setup(p: RenderParams, rate: int, n_in: int) -> InternalSetup
         air_on=p.air_absorption > config.AIR_ABSORPTION_MIN_FACTOR,
         early_on=ir_shape.early_taps_active and early_lvl > 1e-6,
         late_on=ir_shape.late_length > 0 and late_lvl > 1e-6,
+        fast_air=fast_filters,
     )
     return InternalSetup(
         ir_shape=ir_shape,
@@ -284,6 +312,7 @@ def render(
     external_ir: Optional[np.ndarray] = None,
     external_ir_rate: Optional[int] = None,
     return_metrics: bool = False,
+    fast_filters: bool = False,
 ):
     """Render one clip through the jitted pipeline → (len_out, channels) f32.
 
@@ -318,7 +347,7 @@ def render(
             audio_cn, jnp.asarray(ir.T), _mix_scalars(p, 1.0, 1.0), spec=spec
         )
     else:
-        setup = build_internal_setup(p, rate, n_in)
+        setup = build_internal_setup(p, rate, n_in, fast_filters=fast_filters)
         if draws is not None:
             delays, strengths, noise = ir_synth.draws_to_device(draws)
         else:

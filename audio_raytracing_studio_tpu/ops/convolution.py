@@ -23,7 +23,12 @@ def fast_fft_length(n: int) -> int:
     return 1 << max(0, int(np.ceil(np.log2(max(1, n)))))
 
 
-def convolve_full(signal: jnp.ndarray, kernels: jnp.ndarray, out_length: int) -> jnp.ndarray:
+def convolve_full(
+    signal: jnp.ndarray,
+    kernels: jnp.ndarray,
+    out_length: int,
+    kernel_gains: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Linear convolution of each signal channel with each kernel.
 
     Args:
@@ -32,6 +37,9 @@ def convolve_full(signal: jnp.ndarray, kernels: jnp.ndarray, out_length: int) ->
       kernels: (K, L) float32 — e.g. stacked (early, late) IRs, or per-channel
         external IRs.
       out_length: static output sample count (the reference's N+L−1 slice).
+      kernel_gains: optional (K, F) per-bin gains (F = nfft//2+1) multiplied
+        into each kernel's spectrum — lets a smooth filter (e.g. air
+        absorption in fast mode) ride the convolution for free.
 
     Returns:
       (..., K, C, out_length) float32 — one convolved stream per kernel per
@@ -43,6 +51,8 @@ def convolve_full(signal: jnp.ndarray, kernels: jnp.ndarray, out_length: int) ->
 
     sig_f = jnp.fft.rfft(signal, n=nfft, axis=-1)  # (..., C, F)
     ker_f = jnp.fft.rfft(kernels, n=nfft, axis=-1)  # (K, F)
+    if kernel_gains is not None:
+        ker_f = ker_f * kernel_gains
     prod = sig_f[..., None, :, :] * ker_f[..., :, None, :]  # (..., K, C, F)
     full = jnp.fft.irfft(prod, n=nfft, axis=-1)
     return full[..., :out_length].astype(jnp.float32)

@@ -101,6 +101,7 @@ def render_batch(
     device_mesh: Optional[Mesh] = None,
     with_metrics: bool = False,
     ir_backend: str = "jnp",
+    fast_filters: bool = False,
 ):
     """Render a batch of clips (B, N) or (B, N, C) through one SPMD program.
 
@@ -133,7 +134,10 @@ def render_batch(
     n_in = clips[0].shape[0]
     audio_bcn = jnp.asarray(np.stack([c.T for c in clips]))
 
-    setups = [pipeline.build_internal_setup(p, rate, n_in) for p in param_list]
+    setups = [
+        pipeline.build_internal_setup(p, rate, n_in, fast_filters=fast_filters)
+        for p in param_list
+    ]
     spec0, shape0 = setups[0].spec, setups[0].ir_shape
     for s in setups[1:]:
         if s.spec != spec0 or s.ir_shape != shape0:

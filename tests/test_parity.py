@@ -173,3 +173,36 @@ class TestDeterminism:
         a = pipeline.render(x, rate, p, seed=1)
         b = pipeline.render(x, rate, p, seed=2)
         assert not np.array_equal(a, b)
+
+
+class TestFastFilters:
+    """fast_air mode: air gain on the conv grid — must stay inside 1e-3."""
+
+    def test_fast_air_parity_config1(self, tone48k):
+        x, rate = tone48k
+        p = RenderParams(target_layout="Stereo")  # air 0.1 default
+        d = draws_for(p, rate)
+        fast = pipeline.render(x, rate, p, draws=d, fast_filters=True)
+        ref = dsp.render(x, rate, p, draws=d)
+        err = float(np.max(np.abs(fast - ref)))
+        assert err <= TOL, f"fast-air deviation {err:.2e}"
+
+    def test_fast_air_parity_heavy_absorption(self, tone48k):
+        x, rate = tone48k
+        p = RenderParams(
+            hall_type="Cathedral", room_size=600.0, air_absorption=1.0,
+            diffusion=0.8, target_layout="5.1 (Standard)",
+        )
+        d = draws_for(p, rate)
+        fast = pipeline.render(x, rate, p, draws=d, fast_filters=True)
+        ref = dsp.render(x, rate, p, draws=d)
+        err = float(np.max(np.abs(fast - ref)))
+        assert err <= TOL, f"fast-air deviation {err:.2e}"
+
+    def test_fast_matches_exact_closely(self, tone48k):
+        x, rate = tone48k
+        p = RenderParams(target_layout="Stereo", air_absorption=0.6)
+        d = draws_for(p, rate)
+        fast = pipeline.render(x, rate, p, draws=d, fast_filters=True)
+        exact = pipeline.render(x, rate, p, draws=d, fast_filters=False)
+        assert float(np.max(np.abs(fast - exact))) <= 5e-4
