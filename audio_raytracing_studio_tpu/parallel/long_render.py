@@ -1,0 +1,184 @@
+"""Sequence-parallel rendering of arbitrarily long clips (SURVEY §5.7).
+
+One clip's sample axis is sharded over the mesh's "block" axis; every stage
+of the render is either blockwise-local (convolution via overlap-add with a
+ring ppermute halo — partitioned_conv), elementwise (mix, pan), a cheap
+collective (global max for the conditional normalizations → lax.pmax), or a
+small neighbor halo (the 12/18 ms layout-mapping delays → one ppermute).
+Per-device FFT size and HBM stay flat as clip length grows with the mesh —
+the reference would instead take one O(N log N) FFT over the whole clip
+(raytracer_studio.py:362) and run out of memory.
+
+Long mode is a *fast* mode: the air-absorption gain rides the block
+convolution spectra (see StaticSpec.fast_air; same ≤1e-3 envelope), and the
+shelf EQ — a whole-signal circular filter in the reference — must be at
+unity (the default).  Metering runs on the gathered result host-side.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import config
+from ..models import pipeline
+from ..ops import convolution, filters, ir_synth, spatial
+from ..params import RenderParams
+from . import mesh as meshlib
+from .partitioned_conv import _ring_overlap_add
+
+
+def _pmax_abs(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    return jax.lax.pmax(jnp.max(jnp.abs(x)), axis_name)
+
+
+def _normalize_sharded(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """Conditional peak normalization with a cross-block max (ref :402-404)."""
+    max_val = _pmax_abs(x, axis_name)
+    scale = jnp.where(max_val > 1.0, 1.0 / max_val, 1.0)
+    return jnp.where(max_val < 1e-9, jnp.zeros_like(x), x * scale)
+
+
+def _delay_sharded(x: jnp.ndarray, delay: int, axis_name: str, num_blocks: int) -> jnp.ndarray:
+    """Delay (..., n_block) by ``delay`` samples across block boundaries.
+
+    The first ``delay`` samples of each block come from the previous block's
+    tail (one ppermute hop; requires delay ≤ block length, true for the
+    12/18 ms layout delays at any practical block size).
+    """
+    if delay <= 0:
+        return x
+    n = x.shape[-1]
+    tail = x[..., n - delay :]
+    perm = [(i, (i + 1) % num_blocks) for i in range(num_blocks)]
+    prev_tail = jax.lax.ppermute(tail, axis_name, perm)
+    # block 0 has no predecessor: its head is zeros (ref zero-pads, :513)
+    idx = jax.lax.axis_index(axis_name)
+    prev_tail = jnp.where(idx == 0, jnp.zeros_like(prev_tail), prev_tail)
+    return jnp.concatenate([prev_tail, x[..., : n - delay]], axis=-1)
+
+
+def _map_layout_sharded(
+    six: jnp.ndarray, layout: str, rate: int, z_pos, axis_name: str, num_blocks: int
+) -> jnp.ndarray:
+    """Blockwise map_channels (ops.spatial.map_layout with sharded delays)."""
+    if layout == "Stereo":
+        c = config.DOWNMIX_CENTER_GAIN
+        r = config.DOWNMIX_REAR_GAIN
+        left = six[..., 0, :] + six[..., 2, :] * c + six[..., 4, :] * r
+        right = six[..., 1, :] + six[..., 2, :] * c + six[..., 5, :] * r
+        return jnp.stack([left, right], axis=-2)
+    if layout == "5.1 (Standard)":
+        return six
+    if layout == "7.1 (Surround)":
+        delay = int(rate * config.SIDE_DELAY_MS / 1000)
+        sides = _delay_sharded(six[..., 4:6, :], delay, axis_name, num_blocks)
+        return jnp.concatenate([six, sides * config.SIDE_GAIN], axis=-2)
+    delay = int(rate * config.HEIGHT_DELAY_MS / 1000)
+    height_gain = jnp.clip(z_pos, 0.0, 1.0) * config.HEIGHT_Z_GAIN
+    heights = _delay_sharded(six[..., 4:6, :], delay, axis_name, num_blocks)
+    return jnp.concatenate([six, heights * height_gain], axis=-2)
+
+
+def render_long(
+    audio: np.ndarray,
+    rate: int,
+    p: RenderParams,
+    device_mesh: Mesh,
+    seed: int = 0,
+    axis_name: str = meshlib.BLOCK_AXIS,
+) -> np.ndarray:
+    """Render one long clip with its sample axis sharded over the mesh.
+
+    Internal-hall path; requires unity EQ gains (whole-signal circular EQ is
+    not blockwise).  Returns (len_out, channels) float32 on host.
+    """
+    if p.use_external_ir:
+        raise NotImplementedError("render_long covers the internal hall path")
+    audio_nc = pipeline._ensure_stereo_host(audio)
+    n_in = audio_nc.shape[0]
+
+    setup = pipeline.build_internal_setup(p, rate, n_in, fast_filters=True)
+    spec = setup.spec
+    if spec.eq_on:
+        raise NotImplementedError(
+            "render_long requires unity bass/treble gains (whole-signal EQ "
+            "does not decompose across sample blocks)"
+        )
+
+    num_blocks = device_mesh.shape[axis_name]
+    len_out = spec.len_out
+    block_len = math.ceil(len_out / num_blocks)
+    # round block length up so the IR tail halo is a bounded number of hops
+    n_total = block_len * num_blocks
+
+    audio_cn = np.zeros((2, n_total), dtype=np.float32)
+    audio_cn[:, :n_in] = audio_nc.T
+
+    # IR synthesis once (replicated input to the sharded stage).
+    key = jax.random.PRNGKey(seed)
+    delays, strengths, noise = ir_synth.sample_draws(key, setup.ir_shape)
+    early_ir, late_ir = ir_synth.synthesize(
+        setup.ir_shape, delays, strengths, noise, setup.ir_scalars
+    )
+    kernels = []
+    kernel_is_late = []
+    if spec.early_on:
+        kernels.append(early_ir)
+        kernel_is_late.append(False)
+    if spec.late_on:
+        kernels.append(late_ir)
+        kernel_is_late.append(True)
+    kernels_arr = (
+        jnp.stack(kernels) if kernels else jnp.zeros((1, spec.ir_length), jnp.float32)
+    )
+
+    scal = setup.mix_scalars
+    l = int(kernels_arr.shape[-1])
+
+    def local(audio_block: jnp.ndarray, kers: jnp.ndarray) -> jnp.ndarray:
+        # --- wet path: block conv + ring overlap-add, air gain on kernels ---
+        out_len_local = block_len + l - 1
+        nfft = convolution.fast_fft_length(out_len_local)
+        gains = None
+        if spec.air_on:  # fast_air: gain on the block conv grid
+            air_gain = filters.air_absorption_gain(nfft, spec.rate, scal.air_absorption)
+            gains = jnp.stack(
+                [air_gain if is_late else jnp.ones_like(air_gain) for is_late in kernel_is_late]
+            ) if kernels else None
+        conv = convolution.convolve_full(audio_block, kers, out_len_local, kernel_gains=gains)
+        local_out = conv[..., :block_len]
+        tail = conv[..., block_len:]
+        conv_oa = _ring_overlap_add(local_out, tail, axis_name, num_blocks, block_len)
+
+        if spec.early_on and spec.late_on:
+            wet = conv_oa[0] * scal.early_level + conv_oa[1] * scal.late_level
+        elif spec.early_on:
+            wet = conv_oa[0] * scal.early_level
+        elif spec.late_on:
+            wet = conv_oa[0] * scal.late_level
+        else:
+            wet = jnp.zeros((2, block_len), jnp.float32)
+
+        # --- mix, normalize, pan, map (blockwise + pmax collectives) ---
+        mixed = scal.dry_factor * (1.0 - scal.dry_wet) * audio_block + scal.dry_wet * wet
+        mixed = _normalize_sharded(mixed, axis_name)
+        six = spatial.apply_pan(mixed, spatial.pan_matrix(scal.x_pos, scal.y_pos, scal.z_pos))
+        six = _normalize_sharded(six, axis_name)
+        out = _map_layout_sharded(six, spec.layout, spec.rate, scal.z_pos, axis_name, num_blocks)
+        return _normalize_sharded(out, axis_name)
+
+    shard = jax.shard_map(
+        local,
+        mesh=device_mesh,
+        in_specs=(P(None, axis_name), P(None, None)),
+        out_specs=P(None, axis_name),
+    )
+    out_cn = shard(jnp.asarray(audio_cn), kernels_arr)
+    return np.asarray(out_cn).T[:len_out]

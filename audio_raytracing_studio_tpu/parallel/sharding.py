@@ -93,6 +93,48 @@ def _batched_internal_pallas(
     return jax.vmap(one)(audio_bcn, early_bank, late_bank, mix_scalars)
 
 
+def _sharded_internal_pallas(
+    device_mesh: Mesh,
+    audio_bcn: jnp.ndarray,
+    seeds: jnp.ndarray,
+    ir_scalars,
+    mix_scalars,
+    *,
+    ir_shape: ir_synth.IRShape,
+    spec: pipeline.StaticSpec,
+    with_metrics: bool,
+):
+    """Data-parallel Pallas-bank render: shard_map over the "data" axis.
+
+    A Pallas custom call does not SPMD-partition under plain jit sharding, so
+    each device runs its own bank + render over its batch shard explicitly.
+    """
+    from ..ops.ir_synth_pallas import fused_rir_bank
+
+    def local(audio_shard, seed_shard, ir_sc_shard, mix_shard):
+        early_bank, late_bank = fused_rir_bank(seed_shard, ir_shape, ir_sc_shard)
+
+        def one(audio_cn, early_ir, late_ir, mix_sc):
+            out = pipeline.internal_graph_with_irs(
+                audio_cn, early_ir, late_ir, mix_sc, spec=spec
+            )
+            if with_metrics:
+                return out, loudness.audio_metrics(out, spec.rate)
+            return out, None
+
+        return jax.vmap(one)(audio_shard, early_bank, late_bank, mix_shard)
+
+    data_spec = P(meshlib.DATA_AXIS)
+    shard = jax.shard_map(
+        local,
+        mesh=device_mesh,
+        in_specs=(data_spec, data_spec, data_spec, data_spec),
+        out_specs=data_spec,  # pytree-prefix: both outputs batch-sharded
+        check_vma=False,  # pallas_call outputs don't carry vma annotations
+    )
+    return shard(audio_bcn, seeds, ir_scalars, mix_scalars)
+
+
 def render_batch(
     audio: np.ndarray,
     rate: int,
@@ -152,12 +194,6 @@ def render_batch(
     if seeds is None:
         seeds = range(batch)
     if ir_backend == "pallas":
-        if device_mesh is not None:
-            raise NotImplementedError(
-                "pallas IR backend is single-chip for now (a Pallas custom "
-                "call does not SPMD-partition automatically; wrap in "
-                "shard_map in a future round)"
-            )
         keys = jnp.asarray(np.asarray(list(seeds), dtype=np.int32))
         batched_fn = _batched_internal_pallas
     else:
@@ -175,16 +211,28 @@ def render_batch(
         ir_scalars = jax.device_put(ir_scalars, bs)
         mix_scalars = jax.device_put(mix_scalars, bs)
 
-    out, metrics = batched_fn(
-        audio_bcn,
-        keys,
-        ir_scalars,
-        mix_scalars,
-        ir_shape=shape0,
-        spec=spec0,
-        with_metrics=with_metrics,
-        num_devices=num_devices,
-    )
+    if ir_backend == "pallas" and device_mesh is not None:
+        out, metrics = _sharded_internal_pallas(
+            device_mesh,
+            audio_bcn,
+            keys,
+            ir_scalars,
+            mix_scalars,
+            ir_shape=shape0,
+            spec=spec0,
+            with_metrics=with_metrics,
+        )
+    else:
+        out, metrics = batched_fn(
+            audio_bcn,
+            keys,
+            ir_scalars,
+            mix_scalars,
+            ir_shape=shape0,
+            spec=spec0,
+            with_metrics=with_metrics,
+            num_devices=num_devices,
+        )
     result = np.asarray(out).transpose(0, 2, 1)
     if with_metrics:
         metrics_np = jax.tree.map(np.asarray, metrics)

@@ -1,0 +1,60 @@
+"""Sequence-parallel long-clip render vs the single-device pipeline."""
+
+import jax
+import numpy as np
+import pytest
+
+from audio_raytracing_studio_tpu.models import pipeline
+from audio_raytracing_studio_tpu.parallel import long_render, mesh as meshlib
+from audio_raytracing_studio_tpu.params import RenderParams
+
+
+@pytest.fixture(scope="module")
+def block_mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return meshlib.make_mesh(data=1, block=8)
+
+
+def clip(rng, seconds, rate):
+    t = np.arange(int(seconds * rate)) / rate
+    return (0.4 * np.sin(2 * np.pi * 330 * t)
+            + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+class TestRenderLong:
+    def test_matches_single_device_air_off(self, rng, block_mesh):
+        rate = 16000
+        x = clip(rng, 1.0, rate)
+        p = RenderParams(target_layout="Stereo", room_size=60.0, air_absorption=0.0)
+        long = long_render.render_long(x, rate, p, block_mesh, seed=3)
+        single = pipeline.render(x, rate, p, seed=3)
+        assert long.shape == single.shape
+        assert np.max(np.abs(long - single)) < 2e-4
+
+    def test_matches_single_device_with_air(self, rng, block_mesh):
+        rate = 16000
+        x = clip(rng, 1.0, rate)
+        p = RenderParams(target_layout="Stereo", room_size=60.0, air_absorption=0.6)
+        long = long_render.render_long(x, rate, p, block_mesh, seed=3)
+        exact = pipeline.render(x, rate, p, seed=3, fast_filters=False)
+        # block-grid air gain vs exact-length circular filter: ≤1e-3 contract
+        assert np.max(np.abs(long - exact)) < 1e-3
+
+    def test_layouts_with_cross_block_delays(self, rng, block_mesh):
+        rate = 16000
+        x = clip(rng, 0.8, rate)
+        for layout in ("5.1 (Standard)", "7.1 (Surround)", "5.1.2 (Atmos Light)"):
+            p = RenderParams(target_layout=layout, room_size=60.0,
+                             air_absorption=0.0, z_pos=0.7)
+            long = long_render.render_long(x, rate, p, block_mesh, seed=1)
+            single = pipeline.render(x, rate, p, seed=1)
+            assert long.shape == single.shape
+            assert np.max(np.abs(long - single)) < 2e-4, layout
+
+    def test_eq_rejected(self, rng, block_mesh):
+        rate = 16000
+        x = clip(rng, 0.5, rate)
+        p = RenderParams(target_layout="Stereo", bass_gain=2.0)
+        with pytest.raises(NotImplementedError, match="EQ"):
+            long_render.render_long(x, rate, p, block_mesh)

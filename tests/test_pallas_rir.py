@@ -117,3 +117,36 @@ def test_render_batch_pallas_backend(rng, room_shape):
     assert out.shape[0] == 2 and out.shape[2] == 2
     assert np.max(np.abs(out)) <= 1.0 + 1e-5
     assert np.max(np.abs(out)) > 0.01
+
+
+def test_render_batch_pallas_sharded(rng, room_shape):
+    """Pallas bank under shard_map over the data axis (4 virtual devices)."""
+    import jax
+    from unittest import mock
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from audio_raytracing_studio_tpu.ops import ir_synth_pallas
+    from audio_raytracing_studio_tpu.parallel import mesh as meshlib
+    from audio_raytracing_studio_tpu.parallel import sharding
+
+    rate = 16000
+    t = np.arange(rate // 4) / rate
+    clips = np.stack(
+        [(0.4 * np.sin(2 * np.pi * (200 + 30 * i) * t)).astype(np.float32) for i in range(8)]
+    )
+    p = RenderParams(target_layout="Stereo")
+    m = meshlib.make_mesh(data=4, block=1, devices=jax.devices()[:4])
+
+    original = ir_synth_pallas.fused_rir_bank
+
+    def interpreted(seeds, shape, scalars, interpret=False):
+        return original(seeds, shape, scalars, interpret=True)
+
+    with mock.patch.object(ir_synth_pallas, "fused_rir_bank", interpreted):
+        out, metrics = sharding.render_batch(
+            clips, rate, p, device_mesh=m, ir_backend="pallas", with_metrics=True
+        )
+    assert out.shape[0] == 8 and out.shape[2] == 2
+    assert len(metrics) == 8
+    assert np.max(np.abs(out)) <= 1.0 + 1e-5
