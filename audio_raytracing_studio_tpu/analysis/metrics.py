@@ -8,16 +8,7 @@ missing LUFS and "-inf" for silent peak/RMS.
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import numpy as np
-
-
-def _is_neg_inf(v) -> bool:
-    try:
-        return math.isinf(float(v)) and float(v) < 0
-    except (TypeError, ValueError):
-        return False
 
 
 def metrics_string(metrics: dict) -> str:

@@ -10,8 +10,6 @@ framework meter instead of pyloudnorm.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from .. import config

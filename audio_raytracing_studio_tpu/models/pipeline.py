@@ -23,7 +23,6 @@ Parity notes:
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax

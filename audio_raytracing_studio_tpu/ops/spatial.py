@@ -8,9 +8,8 @@ the MXU can batch.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -17,14 +17,11 @@ unity (the default).  Metering runs on the gathered result host-side.
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import config
 from ..models import pipeline

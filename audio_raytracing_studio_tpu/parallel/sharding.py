@@ -16,7 +16,6 @@ separate compiles by design (SURVEY §7 hard part 3).
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Optional, Sequence
 
