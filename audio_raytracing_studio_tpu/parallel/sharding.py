@@ -62,6 +62,26 @@ def _batched_internal(
     return jax.vmap(one)(audio_bcn, keys, ir_scalars, mix_scalars)
 
 
+@functools.partial(jax.jit, static_argnames=("spec", "with_metrics"))
+def _batched_external(
+    audio_bcn: jnp.ndarray,
+    ir_cn: jnp.ndarray,
+    mix_scalars,
+    *,
+    spec: pipeline.StaticSpec,
+    with_metrics: bool,
+):
+    """Batched external-IR render: every clip convolved with the shared IR."""
+
+    def one(audio_cn, mix_sc):
+        out = pipeline.external_graph(audio_cn, ir_cn, mix_sc, spec=spec)
+        if with_metrics:
+            return out, loudness.audio_metrics(out, spec.rate)
+        return out, None
+
+    return jax.vmap(one)(audio_bcn, mix_scalars)
+
+
 @functools.partial(
     jax.jit, static_argnames=("ir_shape", "spec", "with_metrics", "num_devices")
 )
@@ -143,6 +163,8 @@ def render_batch(
     with_metrics: bool = False,
     ir_backend: str = "jnp",
     fast_filters: bool = False,
+    external_ir: Optional[np.ndarray] = None,
+    external_ir_rate: Optional[int] = None,
 ):
     """Render a batch of clips (B, N) or (B, N, C) through one SPMD program.
 
@@ -167,13 +189,47 @@ def render_batch(
     )
     if len(param_list) != batch:
         raise ValueError(f"{len(param_list)} params for batch of {batch}")
-    if any(p.use_external_ir for p in param_list):
-        raise NotImplementedError("render_batch currently covers the internal hall path")
 
     # Stereo-ize each clip, stack channels-leading.
     clips = [pipeline._ensure_stereo_host(audio[i]) for i in range(batch)]
     n_in = clips[0].shape[0]
     audio_bcn = jnp.asarray(np.stack([c.T for c in clips]))
+
+    if any(p.use_external_ir for p in param_list):
+        if not all(p.use_external_ir for p in param_list):
+            raise ValueError("mixed internal/external modes in one batch")
+        if external_ir is None:
+            raise ValueError("use_external_ir=True requires external_ir")
+        ir = pipeline.prepare_external_ir(
+            external_ir, external_ir_rate if external_ir_rate else rate, rate
+        )
+        eq_on = any(
+            not (np.isclose(p.bass_gain, 1.0) and np.isclose(p.treble_gain, 1.0))
+            for p in param_list
+        )
+        spec0 = pipeline.StaticSpec(
+            n_in=n_in, ir_length=ir.shape[0], rate=int(rate),
+            layout=param_list[0].target_layout, eq_on=eq_on,
+            air_on=False, early_on=False, late_on=False,
+        )
+        mix_scalars = _stack_pytrees(
+            [pipeline._mix_scalars(p, 1.0, 1.0) for p in param_list]
+        )
+        if device_mesh is not None:
+            bs = meshlib.batch_sharding(device_mesh)
+            audio_bcn = jax.device_put(audio_bcn, bs)
+            mix_scalars = jax.device_put(mix_scalars, bs)
+        out, metrics = _batched_external(
+            audio_bcn, jnp.asarray(ir.T), mix_scalars,
+            spec=spec0, with_metrics=with_metrics,
+        )
+        result = np.asarray(out).transpose(0, 2, 1)
+        if with_metrics:
+            metrics_np = jax.tree.map(np.asarray, metrics)
+            return result, [
+                {k: float(v[i]) for k, v in metrics_np.items()} for i in range(batch)
+            ]
+        return result
 
     setups = [
         pipeline.build_internal_setup(p, rate, n_in, fast_filters=fast_filters)

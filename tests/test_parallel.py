@@ -119,3 +119,32 @@ class TestBatchedRender:
         for m in metrics:
             assert m["true_peak_dbfs"] < 0.1
             assert np.isfinite(m["rms_dbfs"])
+
+
+class TestBatchedExternal:
+    def test_external_batch_matches_single(self, rng):
+        rate = 16000
+        t = np.arange(rate // 2) / rate
+        clips = np.stack(
+            [(0.4 * np.sin(2 * np.pi * (220 + 60 * i) * t)).astype(np.float32) for i in range(3)]
+        )
+        ir = (rng.standard_normal((800, 2)) * 0.2).astype(np.float32)
+        params = [
+            RenderParams(use_external_ir=True, target_layout="Stereo", dry_wet=dw)
+            for dw in (0.3, 0.6, 0.9)
+        ]
+        out, metrics = sharding.render_batch(
+            clips, rate, params, external_ir=ir, with_metrics=True
+        )
+        assert out.shape == (3, clips.shape[1] + 800 - 1, 2)
+        assert len(metrics) == 3
+        for i, p in enumerate(params):
+            single = pipeline.render(clips[i], rate, p, external_ir=ir)
+            np.testing.assert_allclose(out[i], single, atol=2e-5)
+
+    def test_mixed_modes_rejected(self, rng):
+        rate = 16000
+        clips = np.zeros((2, 1000), np.float32)
+        params = [RenderParams(use_external_ir=True), RenderParams()]
+        with pytest.raises(ValueError, match="mixed"):
+            sharding.render_batch(clips, rate, params, external_ir=np.zeros((10, 2), np.float32))
