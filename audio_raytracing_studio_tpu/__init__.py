@@ -21,5 +21,21 @@ __all__ = [
     "RenderParams",
     "IRGeometry",
     "IRDraws",
+    "render",
+    "render_batch",
     "__version__",
 ]
+
+
+def render(*args, **kwargs):
+    """Single-clip render — see models.pipeline.render (lazy import)."""
+    from .models.pipeline import render as _render
+
+    return _render(*args, **kwargs)
+
+
+def render_batch(*args, **kwargs):
+    """Batched/sharded render — see parallel.sharding.render_batch (lazy import)."""
+    from .parallel.sharding import render_batch as _render_batch
+
+    return _render_batch(*args, **kwargs)

@@ -256,3 +256,21 @@ class TestFullRender:
     def test_preset_roundtrip_identity(self):
         p = RenderParams(hall_type="Cathedral", room_size=420.0, x_pos=0.25)
         assert RenderParams.from_preset_dict(p.to_preset_dict()) == p
+
+
+class TestTopLevelAPI:
+    def test_render_facade(self, rng, tone48k):
+        import audio_raytracing_studio_tpu as ars
+
+        x, rate = tone48k
+        out = ars.render(x[: rate // 4], rate, ars.RenderParams(target_layout="Stereo"), seed=1)
+        assert out.shape[1] == 2
+
+    def test_profiling_harness(self):
+        import jax.numpy as jnp
+
+        from audio_raytracing_studio_tpu.utils.profiling import time_jitted
+
+        r = time_jitted(lambda x: jnp.sum(x * 2), jnp.ones(1000), name="t", iterations=3)
+        assert r.seconds_per_call > 0
+        assert "t:" in str(r)
