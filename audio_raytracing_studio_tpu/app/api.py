@@ -63,10 +63,16 @@ def apply_raytrace_convolution_3d(
     try:
         # --- parameter validation / coercion (ref :1000-1007) ---
         try:
+            if not (
+                isinstance(hall_type_val, str)
+                and isinstance(material, str)
+                and isinstance(target_channel_layout, str)
+            ):
+                raise ValueError("Ungültiger String-Inputtyp.")
             p = RenderParams(
                 use_external_ir=bool(use_external_ir_cb),
-                hall_type=str(hall_type_val),
-                material=str(material),
+                hall_type=hall_type_val,
+                material=material,
                 room_size=float(room_size_val),
                 diffusion=float(diffusion_val),
                 air_absorption=float(air_absorption_val),
@@ -79,7 +85,7 @@ def apply_raytrace_convolution_3d(
                 x_pos=float(x_pos),
                 y_pos=float(y_pos),
                 z_pos=float(z_pos),
-                target_layout=str(target_channel_layout),
+                target_layout=target_channel_layout,
             )
         except (ValueError, TypeError, AttributeError) as e:
             return None, None, f"Fehlerhafte Eingabeparameter: {e}"

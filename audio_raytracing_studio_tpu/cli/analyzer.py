@@ -33,14 +33,15 @@ def analyze(path: str, backend: str = "jax") -> dict:
     data, rate = wavio.read(path)
     metrics = calculate_audio_metrics(data, rate, backend=backend)
     lufs = metrics["lufs"]
+    peak = metrics["true_peak_dbfs"]
     return {
         "Pfad": str(path),
         "Abtastrate": meta["samplerate"],
         "Kanäle": meta["channels"],
         "Dauer (Sekunden)": round(meta["duration"], 2),
         "LUFS": round(lufs, 2) if lufs is not None and np.isfinite(lufs) else "Nicht messbar",
-        "Peak (dBFS)": round(metrics["true_peak_dbfs"], 2)
-        if np.isfinite(metrics["true_peak_dbfs"]) else "-inf",
+        "Peak (dBFS)": round(peak, 2)
+        if peak is not None and np.isfinite(peak) else "-inf",
     }
 
 

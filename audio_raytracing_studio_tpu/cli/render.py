@@ -27,9 +27,11 @@ from ..params import RenderParams
 from ..utils import wavio
 from ..utils.presets import PresetStore
 
+# z_pos is NOT sweepable: it scales max_early_delay and therefore the IR
+# shape (params.adjust_parameters_for_3d), forcing a separate compile.
 SWEEPABLE = (
     "diffusion", "air_absorption", "early_level", "late_level", "dry_wet",
-    "dry_wet_kill_start", "bass_gain", "treble_gain", "x_pos", "y_pos", "z_pos",
+    "dry_wet_kill_start", "bass_gain", "treble_gain", "x_pos", "y_pos",
 )
 
 
@@ -122,6 +124,7 @@ def main(argv=None) -> int:
         outs, metrics = render_batch(
             clips, rate, param_list,
             seeds=[args.seed] * len(values), with_metrics=True,
+            external_ir=external_ir, external_ir_rate=external_rate,
         )
         for i, v in enumerate(values):
             out_path = args.output.format(i=i)

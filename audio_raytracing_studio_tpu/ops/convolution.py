@@ -11,16 +11,18 @@ equals the reference's ``mode='full'`` result to float32 round-off.
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
+
+from .fftops import next_power_of_two
 
 
 def fast_fft_length(n: int) -> int:
     """Smallest power of two ≥ n (static host computation).
 
     Power-of-two transforms map best onto the TPU FFT path; the ≤2×
-    zero-pad overhead is paid in exchange for exactness + speed.
+    zero-pad overhead is paid in exchange for exactness + speed.  Single
+    source of truth for the FFT-length policy: fftops.next_power_of_two.
     """
-    return 1 << max(0, int(np.ceil(np.log2(max(1, n)))))
+    return next_power_of_two(n)
 
 
 def convolve_full(

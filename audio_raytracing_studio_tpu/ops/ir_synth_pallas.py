@@ -76,14 +76,20 @@ def _flat_shift(x: jnp.ndarray, s: int) -> jnp.ndarray:
 def _rir_bank_kernel(
     seed_ref,  # SMEM (B, 1) int32 — per-entry seeds (full array)
     scal_ref,  # SMEM (B, 4) f32 — 1−absorption, directionality, log_decay, initial_amp
-    early_ref,  # VMEM (1, 8, C) f32 out
-    late_ref,  # VMEM (1, 8, C) f32 out
-    *,
+    *refs,  # [delays, strengths, noise refs when injected] + [early_out, late_out]
     shape: IRShape,
     cols: int,
+    injected: bool,
 ):
     b = pl.program_id(0)
-    pltpu.prng_seed(seed_ref[b, 0])
+    if injected:
+        # Explicit draws (testing/parity): same contract as ops.ir_synth's
+        # injected-draws path; lets the CPU Pallas interpreter — whose PRNG
+        # emulation returns constant bits — validate the full kernel math.
+        delays_ref, strengths_ref, noise_ref, early_ref, late_ref = refs
+    else:
+        early_ref, late_ref = refs
+        pltpu.prng_seed(seed_ref[b, 0])
 
     one_minus_absorption = scal_ref[b, 0]
     directionality = scal_ref[b, 1]
@@ -98,10 +104,16 @@ def _rir_bank_kernel(
     early = jnp.zeros((SUBLANE, cols), dtype=jnp.float32)
     if shape.early_taps_active:
         hi = max(2, shape.actual_max_early_delay)
-        # (8, 128) lane-aligned bit block; row 0 → delays, row 1 → strengths
-        tap_bits = pltpu.bitcast(pltpu.prng_random_bits((SUBLANE, LANE)), jnp.uint32)
-        delays = 1 + (tap_bits[0:1] % np.uint32(max(1, hi - 1))).astype(jnp.int32)
-        strengths = _uniform_from_bits(tap_bits[1:2], *config.EARLY_STRENGTH_RANGE)
+        if injected:
+            delays = delays_ref[0, :, :][0:1]
+            strengths = strengths_ref[0, :, :][0:1]
+        else:
+            # (8, 128) lane-aligned bit block; row 0 → delays, row 1 → strengths
+            tap_bits = pltpu.bitcast(
+                pltpu.prng_random_bits((SUBLANE, LANE)), jnp.uint32
+            )
+            delays = 1 + (tap_bits[0:1] % np.uint32(max(1, hi - 1))).astype(jnp.int32)
+            strengths = _uniform_from_bits(tap_bits[1:2], *config.EARLY_STRENGTH_RANGE)
         falloff = 1.0 - (
             delays.astype(jnp.float32) / float(shape.actual_max_early_delay)
         ) ** config.EARLY_DELAY_DECAY_EXP
@@ -120,10 +132,17 @@ def _rir_bank_kernel(
     # --- late tail (ref :270-296) ---
     late = jnp.zeros((SUBLANE, cols), dtype=jnp.float32)
     if shape.late_length > 0:
-        noise_bits = pltpu.bitcast(
-            pltpu.prng_random_bits((SUBLANE, cols)), jnp.uint32
-        )
-        noise = _uniform_from_bits(noise_bits, -1.0, 1.0)
+        if injected:
+            noise = noise_ref[0, :, :]
+        else:
+            noise_bits = pltpu.bitcast(
+                pltpu.prng_random_bits((SUBLANE, cols)), jnp.uint32
+            )
+            noise = _uniform_from_bits(noise_bits, -1.0, 1.0)
+        # Zero noise outside [0, late_length): gives the reference's
+        # zero-padded 'same' smoothing at BOTH tail edges (the roll-based
+        # flat shifts would otherwise wrap unrelated PRNG samples in).
+        noise = jnp.where(pos < shape.late_length, noise, 0.0)
 
         w = shape.noise_smooth_width
         if w > 1 and shape.late_length >= w:
@@ -170,15 +189,43 @@ def _rir_bank_kernel(
     late_ref[0, :, :] = late
 
 
+def pack_draws(
+    shape: IRShape,
+    delays: np.ndarray,
+    strengths: np.ndarray,
+    noise: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pack per-entry explicit draws into the kernel's tiled layouts.
+
+    delays/strengths: (B, R≤128) → (B, 8, 128) with row 0 carrying the taps;
+    noise: (B, ≥late_length) flat → (B, 8, cols) column-major.
+    """
+    batch = delays.shape[0]
+    l_pad = _pad_to_tile(shape.length)
+    cols = l_pad // SUBLANE
+
+    d = np.zeros((batch, SUBLANE, LANE), dtype=np.int32)
+    s = np.zeros((batch, SUBLANE, LANE), dtype=np.float32)
+    d[:, 0, : delays.shape[1]] = delays
+    s[:, 0, : strengths.shape[1]] = strengths
+
+    n_flat = np.zeros((batch, l_pad), dtype=np.float32)
+    n_flat[:, : noise.shape[1]] = noise[:, :l_pad]
+    n_cm = n_flat.reshape(batch, cols, SUBLANE).transpose(0, 2, 1)
+    return d, s, np.ascontiguousarray(n_cm)
+
+
 def fused_rir_bank(
     seeds: jax.Array,
     shape: IRShape,
     scalars: IRScalars,
     interpret: bool = False,
+    injected_draws: Tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Synthesize a bank of (early, late) IRs → two (B, length) arrays.
 
-    seeds: (B,) int32 — one PRNG stream per bank entry.
+    seeds: (B,) int32 — one PRNG stream per bank entry (ignored when
+    ``injected_draws`` supplies explicit randomness; see pack_draws).
     scalars: IRScalars of per-entry (B,) arrays OR scalars (broadcast).
     """
     seeds = jnp.asarray(seeds, dtype=jnp.int32)
@@ -205,14 +252,30 @@ def fused_rir_bank(
         # TPU-specific interpreter emulates them on CPU
         interpret = pltpu.InterpretParams()
 
-    kernel = functools.partial(_rir_bank_kernel, shape=shape, cols=cols)
+    injected = injected_draws is not None
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 1) seed table
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 4) scalar table
+    ]
+    inputs = [seeds[:, None], scal]
+    if injected:
+        tap_spec = pl.BlockSpec(
+            (1, SUBLANE, LANE), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        noise_spec = pl.BlockSpec(
+            (1, SUBLANE, cols), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs += [tap_spec, tap_spec, noise_spec]
+        d, s, n = injected_draws
+        inputs += [jnp.asarray(d), jnp.asarray(s), jnp.asarray(n)]
+
+    kernel = functools.partial(
+        _rir_bank_kernel, shape=shape, cols=cols, injected=injected
+    )
     early, late = pl.pallas_call(
         kernel,
         grid=(batch,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 1) seed table
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 4) scalar table
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, SUBLANE, cols), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SUBLANE, cols), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -222,7 +285,7 @@ def fused_rir_bank(
             jax.ShapeDtypeStruct((batch, SUBLANE, cols), jnp.float32),
         ],
         interpret=interpret,
-    )(seeds[:, None], scal)
+    )(*inputs)
 
     # column-major tile → flat sample order: (B, 8, C) -> (B, C, 8) -> (B, L)
     early_flat = jnp.transpose(early, (0, 2, 1)).reshape(batch, l_pad)

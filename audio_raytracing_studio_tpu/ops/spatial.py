@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import List
 
 import jax.numpy as jnp
-import numpy as np
 
 from .. import config
 
@@ -73,20 +72,6 @@ def _delay_last_axis(x: jnp.ndarray, delay: int) -> jnp.ndarray:
     n = x.shape[-1]
     pad = [(0, 0)] * (x.ndim - 1) + [(delay, 0)]
     return jnp.pad(x, pad)[..., :n]
-
-
-def stereo_downmix_matrix() -> np.ndarray:
-    """(6, 2) downmix: L = FL + 0.707·C + 0.5·RL (raytracer_studio.py:532-535)."""
-    c = config.DOWNMIX_CENTER_GAIN
-    r = config.DOWNMIX_REAR_GAIN
-    m = np.zeros((6, 2), dtype=np.float32)
-    m[0, 0] = 1.0
-    m[1, 1] = 1.0
-    m[2, 0] = c
-    m[2, 1] = c
-    m[4, 0] = r
-    m[5, 1] = r
-    return m
 
 
 def map_layout(

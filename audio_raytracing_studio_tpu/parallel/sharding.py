@@ -8,9 +8,10 @@ only collectives are the (absent, for pure data parallel) cross-clip ones —
 clip renders are embarrassingly parallel, exactly what the ≥100×-realtime
 north star wants per chip and across a slice.
 
-Value-parameter sweeps (diffusion, air, position, mix, EQ, levels) share one
-compiled executable because they only change traced scalars; shape-changing
-parameters (hall type, room size, clip length, rate, layout) bucket into
+Value-parameter sweeps (diffusion, air, x/y position, mix, EQ, levels) share
+one compiled executable because they only change traced scalars; shape-
+changing parameters (hall type, room size, z position — it scales the early
+delay window — clip length, rate, layout) bucket into
 separate compiles by design (SURVEY §7 hard part 3).
 """
 
@@ -35,9 +36,7 @@ def _stack_pytrees(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("ir_shape", "spec", "with_metrics", "num_devices")
-)
+@functools.partial(jax.jit, static_argnames=("ir_shape", "spec", "with_metrics"))
 def _batched_internal(
     audio_bcn: jnp.ndarray,
     keys: jnp.ndarray,
@@ -47,7 +46,6 @@ def _batched_internal(
     ir_shape: ir_synth.IRShape,
     spec: pipeline.StaticSpec,
     with_metrics: bool,
-    num_devices: int,
 ):
     def one(audio_cn, key, ir_sc, mix_sc):
         delays, strengths, noise = ir_synth.sample_draws(key, ir_shape)
@@ -82,9 +80,7 @@ def _batched_external(
     return jax.vmap(one)(audio_bcn, mix_scalars)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("ir_shape", "spec", "with_metrics", "num_devices")
-)
+@functools.partial(jax.jit, static_argnames=("ir_shape", "spec", "with_metrics"))
 def _batched_internal_pallas(
     audio_bcn: jnp.ndarray,
     seeds: jnp.ndarray,
@@ -94,7 +90,6 @@ def _batched_internal_pallas(
     ir_shape: ir_synth.IRShape,
     spec: pipeline.StaticSpec,
     with_metrics: bool,
-    num_devices: int,
 ):
     """Batched render with the fused Pallas RIR bank as the IR source."""
     from ..ops.ir_synth_pallas import fused_rir_bank
@@ -255,7 +250,6 @@ def render_batch(
         keys = jnp.asarray(np.stack([np.asarray(jax.random.PRNGKey(s)) for s in seeds]))
         batched_fn = _batched_internal
 
-    num_devices = 1
     if device_mesh is not None:
         num_devices = device_mesh.shape[meshlib.DATA_AXIS]
         if batch % num_devices:
@@ -286,7 +280,6 @@ def render_batch(
             ir_shape=shape0,
             spec=spec0,
             with_metrics=with_metrics,
-            num_devices=num_devices,
         )
     result = np.asarray(out).transpose(0, 2, 1)
     if with_metrics:

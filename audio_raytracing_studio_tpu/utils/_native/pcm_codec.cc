@@ -30,7 +30,8 @@ void decode_pcm16(const int16_t* in, float* out, int64_t n) {
 }
 
 // Interleave a channels-leading (C, N) float32 block into (N, C) while
-// quantizing — fuses the transpose the render pipeline needs on the way out.
+// quantizing — fused fast path for callers holding channels-leading render
+// output (saves the separate host transpose copy).
 void encode_pcm16_interleave(const float* in, int16_t* out, int64_t channels,
                              int64_t frames) {
   for (int64_t c = 0; c < channels; ++c) {

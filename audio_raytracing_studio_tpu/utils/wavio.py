@@ -97,6 +97,8 @@ def _read_stream(fh: BinaryIO) -> Tuple[np.ndarray, int]:
         chunk_id, chunk_size = struct.unpack("<4sI", chunk_header)
         if chunk_id == b"fmt ":
             fmt_raw = fh.read(chunk_size)
+            if chunk_size & 1:
+                fh.seek(1, io.SEEK_CUR)  # RIFF pad byte
             (
                 audio_format,
                 channels,
@@ -111,6 +113,8 @@ def _read_stream(fh: BinaryIO) -> Tuple[np.ndarray, int]:
             fmt = (audio_format, channels, rate, bits)
         elif chunk_id == b"data":
             data_bytes = fh.read(chunk_size)
+            if chunk_size & 1:
+                fh.seek(1, io.SEEK_CUR)  # RIFF pad byte
         else:
             fh.seek(chunk_size + (chunk_size & 1), io.SEEK_CUR)
         if fmt is not None and data_bytes is not None:

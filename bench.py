@@ -83,7 +83,6 @@ def main() -> None:
             ir_shape=setup.ir_shape,
             spec=setup.spec,
             with_metrics=False,
-            num_devices=1,
         )
         out.block_until_ready()
         return out

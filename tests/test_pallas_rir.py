@@ -1,11 +1,19 @@
-"""Fused Pallas RIR-bank kernel — structural/distributional validation in
-interpreter mode (SURVEY §4: TPU-only kernels run under interpret=True in CI)."""
+"""Fused Pallas RIR-bank kernel tests.
 
+The CPU Pallas interpreter's PRNG emulation returns constant (zero) bits, so
+the on-core-PRNG path can only be smoke-tested structurally here; its
+statistics, determinism and seed-sensitivity are asserted on real TPU
+hardware.  Full numeric validation on CPU goes through the kernel's
+injected-draws mode, compared against the jnp synthesis path given identical
+draws (same oracle-parity strategy as the main pipeline).
+"""
+
+import jax
 import numpy as np
 import pytest
 
 from audio_raytracing_studio_tpu.ops import ir_synth
-from audio_raytracing_studio_tpu.ops.ir_synth_pallas import fused_rir_bank
+from audio_raytracing_studio_tpu.ops.ir_synth_pallas import fused_rir_bank, pack_draws
 from audio_raytracing_studio_tpu.params import (
     RenderParams,
     adjust_parameters_for_3d,
@@ -26,71 +34,98 @@ def room_shape():
     return ir_synth.IRShape.from_geometry(g), ir_synth.IRScalars.from_geometry(g)
 
 
-def test_bank_shapes_and_norms(room_shape):
-    shape, scalars = room_shape
-    early, late = fused_rir_bank(np.arange(3), shape, scalars, interpret=True)
-    early, late = np.asarray(early), np.asarray(late)
-    assert early.shape == (3, shape.length) and late.shape == (3, shape.length)
-    for b in range(3):
-        assert np.max(np.abs(early[b])) == pytest.approx(0.9, abs=1e-4)
-        assert np.max(np.abs(late[b])) == pytest.approx(0.7, abs=1e-4)
-        assert early[b, 0] == 0.0
-        assert not np.any(early[b, shape.split_point :])  # taps before split
-        assert not np.any(late[b, : shape.split_point])  # tail after split
+def make_draws(rng, shape, batch):
+    """Per-entry explicit draws in both jnp-path and kernel layouts."""
+    hi = max(2, shape.actual_max_early_delay)
+    delays = rng.integers(1, hi, size=(batch, ir_synth.MAX_REFLECTIONS)).astype(np.int32)
+    strengths = rng.uniform(0.3, 0.8, size=(batch, ir_synth.MAX_REFLECTIONS)).astype(np.float32)
+    noise = rng.uniform(-1, 1, size=(batch, shape.late_length)).astype(np.float32)
+    return delays, strengths, noise
 
 
-def test_bank_deterministic(room_shape):
-    shape, scalars = room_shape
-    e1, l1 = fused_rir_bank(np.array([5, 6]), shape, scalars, interpret=True)
-    e2, l2 = fused_rir_bank(np.array([5, 6]), shape, scalars, interpret=True)
-    assert np.array_equal(np.asarray(e1), np.asarray(e2))
-    assert np.array_equal(np.asarray(l1), np.asarray(l2))
-    # NOTE: seed-sensitivity (different seeds → different IRs) cannot be
-    # asserted here — the CPU Pallas interpreter ignores prng_seed values.
-    # It is verified on real TPU hardware (see the smoke run in bench/CI).
+class TestInjectedParity:
+    """Kernel math vs the jnp synthesis path, identical draws (CPU interpret)."""
+
+    def test_matches_jnp_path(self, rng, room_shape):
+        shape, scalars = room_shape
+        batch = 2
+        delays, strengths, noise = make_draws(rng, shape, batch)
+
+        early_k, late_k = fused_rir_bank(
+            np.zeros(batch, np.int32), shape, scalars,
+            interpret=True,
+            injected_draws=pack_draws(shape, delays, strengths, noise),
+        )
+        early_k, late_k = np.asarray(early_k), np.asarray(late_k)
+
+        for b in range(batch):
+            e_j, l_j = ir_synth.synthesize(
+                shape,
+                jax.numpy.asarray(delays[b]),
+                jax.numpy.asarray(strengths[b]),
+                jax.numpy.asarray(noise[b]),
+                scalars,
+            )
+            np.testing.assert_allclose(early_k[b], np.asarray(e_j), atol=3e-6)
+            np.testing.assert_allclose(late_k[b], np.asarray(l_j), atol=3e-6)
+
+    def test_norms_and_structure(self, rng, room_shape):
+        shape, scalars = room_shape
+        delays, strengths, noise = make_draws(rng, shape, 1)
+        early, late = fused_rir_bank(
+            np.zeros(1, np.int32), shape, scalars,
+            interpret=True,
+            injected_draws=pack_draws(shape, delays, strengths, noise),
+        )
+        early, late = np.asarray(early)[0], np.asarray(late)[0]
+        assert np.max(np.abs(early)) == pytest.approx(0.9, abs=1e-4)
+        assert np.max(np.abs(late)) == pytest.approx(0.7, abs=1e-4)
+        assert early[0] == 0.0
+        assert not np.any(early[shape.split_point :])
+        assert not np.any(late[: shape.split_point])
+
+    def test_tail_decays(self, rng, room_shape):
+        shape, scalars = room_shape
+        delays, strengths, noise = make_draws(rng, shape, 1)
+        _, late = fused_rir_bank(
+            np.zeros(1, np.int32), shape, scalars,
+            interpret=True,
+            injected_draws=pack_draws(shape, delays, strengths, noise),
+        )
+        late = np.asarray(late)[0]
+        head = np.max(np.abs(late[shape.split_point : shape.split_point + 100]))
+        tail = np.max(np.abs(late[-1600:]))
+        assert tail < head * 0.1
 
 
-def test_bank_tail_decays(room_shape):
-    shape, scalars = room_shape
-    _, late = fused_rir_bank(np.array([1]), shape, scalars, interpret=True)
-    late = np.asarray(late)[0]
-    head = np.max(np.abs(late[shape.split_point : shape.split_point + 1600]))
-    tail = np.max(np.abs(late[-1600:]))
-    assert tail < head * 0.1
+class TestPrngPathInterpret:
+    """On-core-PRNG path under the interpreter: structure + determinism only
+    (the emulated PRNG returns constant bits — see module docstring)."""
+
+    def test_shapes_and_determinism(self, room_shape):
+        shape, scalars = room_shape
+        e1, l1 = fused_rir_bank(np.array([5, 6]), shape, scalars, interpret=True)
+        e2, l2 = fused_rir_bank(np.array([5, 6]), shape, scalars, interpret=True)
+        assert np.asarray(e1).shape == (2, shape.length)
+        assert np.array_equal(np.asarray(e1), np.asarray(e2))
+        assert np.array_equal(np.asarray(l1), np.asarray(l2))
+        # split structure holds regardless of PRNG content
+        assert not np.any(np.asarray(e1)[:, shape.split_point :])
+        assert not np.any(np.asarray(l1)[:, : shape.split_point])
 
 
-def test_bank_early_tap_statistics(room_shape):
-    """Tap positions live in [1, actual_max_early_delay); counts ≤ budget."""
-    shape, scalars = room_shape
-    early, _ = fused_rir_bank(np.arange(8), shape, scalars, interpret=True)
-    early = np.asarray(early)
-    for b in range(8):
-        nz = np.nonzero(early[b])[0]
-        assert len(nz) >= 1
-        assert nz.min() >= 1
-        assert nz.max() < shape.actual_max_early_delay
-        assert len(nz) <= shape.reflection_count
-
-
-def test_bank_matches_reference_spectrum_statistics(room_shape):
-    """Late tail envelope follows the same decay law as the jnp path."""
-    shape, scalars = room_shape
-    _, late_bank = fused_rir_bank(np.array([3]), shape, scalars, interpret=True)
-    late_bank = np.asarray(late_bank)[0]
-
-    import jax
-
-    delays, strengths, noise = ir_synth.sample_draws(jax.random.PRNGKey(3), shape)
-    _, late_jnp = ir_synth.synthesize(shape, delays, strengths, noise, scalars)
-    late_jnp = np.asarray(late_jnp)
-
-    # same RMS decay profile per segment (different RNG streams → loose rel)
-    seg = (shape.length - shape.split_point) // 4
-    for s in range(4):
-        lo = shape.split_point + s * seg
-        a = np.sqrt(np.mean(late_bank[lo : lo + seg] ** 2))
-        b = np.sqrt(np.mean(late_jnp[lo : lo + seg] ** 2))
-        assert a == pytest.approx(b, rel=0.5)
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="real PRNG needs TPU hardware"
+)
+class TestPrngPathHardware:
+    def test_seed_sensitivity_and_norms(self, room_shape):
+        shape, scalars = room_shape
+        e, l = map(np.asarray, fused_rir_bank(np.arange(4), shape, scalars))
+        assert not np.array_equal(e[0], e[1])
+        assert not np.array_equal(l[0], l[1])
+        for b in range(4):
+            assert np.max(np.abs(e[b])) == pytest.approx(0.9, abs=1e-4)
+            assert np.max(np.abs(l[b])) == pytest.approx(0.7, abs=1e-4)
 
 
 def test_render_batch_pallas_backend(rng, room_shape):
@@ -109,19 +144,17 @@ def test_render_batch_pallas_backend(rng, room_shape):
 
     original = ir_synth_pallas.fused_rir_bank
 
-    def interpreted(seeds, shape, scalars, interpret=False):
-        return original(seeds, shape, scalars, interpret=True)
+    def interpreted(seeds, shape, scalars, interpret=False, injected_draws=None):
+        return original(seeds, shape, scalars, interpret=True, injected_draws=injected_draws)
 
     with mock.patch.object(ir_synth_pallas, "fused_rir_bank", interpreted):
         out = sharding.render_batch(clips, rate, p, seeds=[1, 2], ir_backend="pallas")
     assert out.shape[0] == 2 and out.shape[2] == 2
     assert np.max(np.abs(out)) <= 1.0 + 1e-5
-    assert np.max(np.abs(out)) > 0.01
 
 
 def test_render_batch_pallas_sharded(rng, room_shape):
     """Pallas bank under shard_map over the data axis (4 virtual devices)."""
-    import jax
     from unittest import mock
 
     if len(jax.devices()) < 4:
@@ -140,8 +173,8 @@ def test_render_batch_pallas_sharded(rng, room_shape):
 
     original = ir_synth_pallas.fused_rir_bank
 
-    def interpreted(seeds, shape, scalars, interpret=False):
-        return original(seeds, shape, scalars, interpret=True)
+    def interpreted(seeds, shape, scalars, interpret=False, injected_draws=None):
+        return original(seeds, shape, scalars, interpret=True, injected_draws=injected_draws)
 
     with mock.patch.object(ir_synth_pallas, "fused_rir_bank", interpreted):
         out, metrics = sharding.render_batch(
