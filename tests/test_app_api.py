@@ -214,3 +214,38 @@ class TestCLI:
         assert rc == 0
         result = json.loads(capsys.readouterr().out)
         assert abs(result["output_lufs"] + 20.0) < 0.3
+
+
+class TestCLIPresetFlow:
+    def test_save_then_render_via_preset(self, wav_file, tmp_path, capsys):
+        from audio_raytracing_studio_tpu.cli.render import main
+        from audio_raytracing_studio_tpu.params import RenderParams
+        from audio_raytracing_studio_tpu.utils.presets import PresetStore
+
+        store = PresetStore(str(tmp_path))
+        store.save("cli flow", RenderParams(hall_type="Plate", room_size=40.0,
+                                            target_layout="Stereo"))
+        out = tmp_path / "p.wav"
+        rc = main([wav_file, str(out), "--preset", "cli_flow_v4.json",
+                   "--preset-dir", str(tmp_path), "--seed", "2"])
+        assert rc == 0 and out.exists()
+        data, rate = wavio.read(out)
+        assert data.shape[1] == 2  # preset layout respected
+
+    def test_sweep_with_external_ir(self, wav_file, tmp_path, capsys):
+        """Review regression: --sweep + --external-ir must not crash."""
+        from audio_raytracing_studio_tpu.cli.render import main
+
+        ir_path = tmp_path / "ir.wav"
+        rng = np.random.default_rng(5)
+        wavio.write(ir_path, (rng.standard_normal((400, 2)) * 0.2).astype(np.float32), 48000)
+        rc = main([wav_file, str(tmp_path / "e{i}.wav"), "--external-ir", str(ir_path),
+                   "--sweep", "dry_wet=0.3,0.8", "--json"])
+        assert rc == 0
+        assert (tmp_path / "e0.wav").exists() and (tmp_path / "e1.wav").exists()
+
+    def test_sweep_z_rejected(self, wav_file, tmp_path, capsys):
+        from audio_raytracing_studio_tpu.cli.render import main
+
+        rc = main([wav_file, str(tmp_path / "z{i}.wav"), "--sweep", "z_pos=0.1,0.9"])
+        assert rc == 2
