@@ -90,19 +90,33 @@ def render_long(
     device_mesh: Mesh,
     seed: int = 0,
     axis_name: str = meshlib.BLOCK_AXIS,
+    external_ir: Optional[np.ndarray] = None,
+    external_ir_rate: Optional[int] = None,
 ) -> np.ndarray:
     """Render one long clip with its sample axis sharded over the mesh.
 
-    Internal-hall path; requires unity EQ gains (whole-signal circular EQ is
-    not blockwise).  Returns (len_out, channels) float32 on host.
+    Internal-hall or external-IR path; requires unity EQ gains (whole-signal
+    circular EQ is not blockwise).  Returns (len_out, channels) float32.
     """
-    if p.use_external_ir:
-        raise NotImplementedError("render_long covers the internal hall path")
     audio_nc = pipeline._ensure_stereo_host(audio)
     n_in = audio_nc.shape[0]
 
-    setup = pipeline.build_internal_setup(p, rate, n_in, fast_filters=True)
-    spec = setup.spec
+    if p.use_external_ir:
+        if external_ir is None:
+            raise ValueError("use_external_ir=True requires external_ir")
+        ir = pipeline.prepare_external_ir(
+            external_ir, external_ir_rate if external_ir_rate else rate, rate
+        )
+        eq_on = not (np.isclose(p.bass_gain, 1.0) and np.isclose(p.treble_gain, 1.0))
+        spec = pipeline.StaticSpec(
+            n_in=n_in, ir_length=ir.shape[0], rate=int(rate),
+            layout=p.target_layout, eq_on=eq_on,
+            air_on=False, early_on=False, late_on=False,
+        )
+        setup = None
+    else:
+        setup = pipeline.build_internal_setup(p, rate, n_in, fast_filters=True)
+        spec = setup.spec
     if spec.eq_on:
         raise NotImplementedError(
             "render_long requires unity bass/treble gains (whole-signal EQ "
@@ -118,50 +132,67 @@ def render_long(
     audio_cn = np.zeros((2, n_total), dtype=np.float32)
     audio_cn[:, :n_in] = audio_nc.T
 
-    # IR synthesis once (replicated input to the sharded stage).
-    key = jax.random.PRNGKey(seed)
-    delays, strengths, noise = ir_synth.sample_draws(key, setup.ir_shape)
-    early_ir, late_ir = ir_synth.synthesize(
-        setup.ir_shape, delays, strengths, noise, setup.ir_scalars
-    )
-    kernels = []
-    kernel_is_late = []
-    if spec.early_on:
-        kernels.append(early_ir)
-        kernel_is_late.append(False)
-    if spec.late_on:
-        kernels.append(late_ir)
-        kernel_is_late.append(True)
-    kernels_arr = (
-        jnp.stack(kernels) if kernels else jnp.zeros((1, spec.ir_length), jnp.float32)
-    )
-
-    scal = setup.mix_scalars
+    # IR synthesis / preparation once (replicated input to the sharded stage).
+    if p.use_external_ir:
+        kernels_arr = jnp.asarray(ir.T)  # (2, L) true-stereo pair
+        kernel_is_late = []
+        pairwise = True
+        scal = pipeline._mix_scalars(p, 1.0, 1.0)
+    else:
+        key = jax.random.PRNGKey(seed)
+        delays, strengths, noise = ir_synth.sample_draws(key, setup.ir_shape)
+        early_ir, late_ir = ir_synth.synthesize(
+            setup.ir_shape, delays, strengths, noise, setup.ir_scalars
+        )
+        kernels = []
+        kernel_is_late = []
+        if spec.early_on:
+            kernels.append(early_ir)
+            kernel_is_late.append(False)
+        if spec.late_on:
+            kernels.append(late_ir)
+            kernel_is_late.append(True)
+        kernels_arr = (
+            jnp.stack(kernels)
+            if kernels
+            else jnp.zeros((1, spec.ir_length), jnp.float32)
+        )
+        pairwise = False
+        scal = setup.mix_scalars
     l = int(kernels_arr.shape[-1])
 
     def local(audio_block: jnp.ndarray, kers: jnp.ndarray) -> jnp.ndarray:
         # --- wet path: block conv + ring overlap-add, air gain on kernels ---
         out_len_local = block_len + l - 1
-        nfft = convolution.fast_fft_length(out_len_local)
-        gains = None
-        if spec.air_on:  # fast_air: gain on the block conv grid
-            air_gain = filters.air_absorption_gain(nfft, spec.rate, scal.air_absorption)
-            gains = jnp.stack(
-                [air_gain if is_late else jnp.ones_like(air_gain) for is_late in kernel_is_late]
-            ) if kernels else None
-        conv = convolution.convolve_full(audio_block, kers, out_len_local, kernel_gains=gains)
-        local_out = conv[..., :block_len]
-        tail = conv[..., block_len:]
-        conv_oa = _ring_overlap_add(local_out, tail, axis_name, num_blocks, block_len)
-
-        if spec.early_on and spec.late_on:
-            wet = conv_oa[0] * scal.early_level + conv_oa[1] * scal.late_level
-        elif spec.early_on:
-            wet = conv_oa[0] * scal.early_level
-        elif spec.late_on:
-            wet = conv_oa[0] * scal.late_level
+        if pairwise:
+            conv = convolution.convolve_pairwise(audio_block, kers, out_len_local)
+            wet_local = conv[..., :block_len]
+            tail = conv[..., block_len:]
+            wet = _ring_overlap_add(wet_local, tail, axis_name, num_blocks, block_len)
         else:
-            wet = jnp.zeros((2, block_len), jnp.float32)
+            nfft = convolution.fast_fft_length(out_len_local)
+            gains = None
+            if spec.air_on and kernel_is_late:  # fast_air: gain on the block conv grid
+                air_gain = filters.air_absorption_gain(nfft, spec.rate, scal.air_absorption)
+                gains = jnp.stack(
+                    [air_gain if is_late else jnp.ones_like(air_gain)
+                     for is_late in kernel_is_late]
+                )
+            conv = convolution.convolve_full(
+                audio_block, kers, out_len_local, kernel_gains=gains
+            )
+            local_out = conv[..., :block_len]
+            tail = conv[..., block_len:]
+            conv_oa = _ring_overlap_add(local_out, tail, axis_name, num_blocks, block_len)
+
+            if spec.early_on and spec.late_on:
+                wet = conv_oa[0] * scal.early_level + conv_oa[1] * scal.late_level
+            elif spec.early_on:
+                wet = conv_oa[0] * scal.early_level
+            elif spec.late_on:
+                wet = conv_oa[0] * scal.late_level
+            else:
+                wet = jnp.zeros((2, block_len), jnp.float32)
 
         # --- mix, normalize, pan, map (blockwise + pmax collectives) ---
         mixed = scal.dry_factor * (1.0 - scal.dry_wet) * audio_block + scal.dry_wet * wet

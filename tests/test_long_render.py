@@ -58,3 +58,13 @@ class TestRenderLong:
         p = RenderParams(target_layout="Stereo", bass_gain=2.0)
         with pytest.raises(NotImplementedError, match="EQ"):
             long_render.render_long(x, rate, p, block_mesh)
+
+    def test_external_ir_long(self, rng, block_mesh):
+        rate = 16000
+        x = clip(rng, 0.8, rate)
+        ir = (rng.standard_normal((700, 2)) * 0.2).astype(np.float32)
+        p = RenderParams(use_external_ir=True, target_layout="Stereo", dry_wet=0.7)
+        long = long_render.render_long(x, rate, p, block_mesh, external_ir=ir)
+        single = pipeline.render(x, rate, p, external_ir=ir)
+        assert long.shape == single.shape
+        assert np.max(np.abs(long - single)) < 2e-4
