@@ -35,12 +35,8 @@ SWEEPABLE = (
 )
 
 
-def build_parser() -> argparse.ArgumentParser:
-    ap = argparse.ArgumentParser(
-        prog="ars-render", description="Audio Raytracing Studio TPU — headless renderer"
-    )
-    ap.add_argument("input", help="input WAV file")
-    ap.add_argument("output", help="output WAV file; use {i} for sweep index")
+def add_param_flags(ap: argparse.ArgumentParser) -> None:
+    """The shared render-parameter flag set (reused by render_dir)."""
     ap.add_argument("--preset", help="v4 preset JSON filename (from --preset-dir)")
     ap.add_argument("--preset-dir", default=".", help="directory containing presets_v4/")
     ap.add_argument("--hall", choices=list(config.HALL_PRESETS), help="hall type")
@@ -61,12 +57,21 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--external-ir", help="stereo IR WAV (switches to external mode)")
     ap.add_argument("--seed", type=int, default=0, help="deterministic render seed")
     ap.add_argument("--metrics", action="store_true", help="print LUFS/Peak/RMS")
+    ap.add_argument("--json", action="store_true", help="machine-readable output")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="ars-render", description="Audio Raytracing Studio TPU — headless renderer"
+    )
+    ap.add_argument("input", help="input WAV file")
+    ap.add_argument("output", help="output WAV file; use {i} for sweep index")
+    add_param_flags(ap)
     ap.add_argument(
         "--sweep",
         help=f"param sweep 'name=v1,v2,...' over one of {SWEEPABLE} "
         "(batched in one SPMD program)",
     )
-    ap.add_argument("--json", action="store_true", help="machine-readable output")
     return ap
 
 

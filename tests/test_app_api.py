@@ -249,3 +249,34 @@ class TestCLIPresetFlow:
 
         rc = main([wav_file, str(tmp_path / "z{i}.wav"), "--sweep", "z_pos=0.1,0.9"])
         assert rc == 2
+
+
+class TestRenderDir:
+    def test_directory_batch(self, tmp_path, rng, capsys):
+        from audio_raytracing_studio_tpu.cli.render_dir import main
+
+        in_dir = tmp_path / "in"
+        out_dir = tmp_path / "out"
+        in_dir.mkdir()
+        rate = 16000
+        for i in range(3):
+            t = np.arange(int((0.2 + 0.05 * i) * rate)) / rate
+            wavio.write(in_dir / f"clip{i}.wav",
+                        (0.4 * np.sin(2 * np.pi * (200 + 50 * i) * t)).astype(np.float32), rate)
+        rc = main([str(in_dir), str(out_dir), "--layout", "Stereo",
+                   "--room-size", "50", "--batch", "2", "--json"])
+        assert rc == 0
+        import json as _json
+        summary = _json.loads(capsys.readouterr().out)
+        assert len(summary["clips"]) == 3
+        assert summary["realtime_factor"] > 0
+        for i in range(3):
+            data, r = wavio.read(out_dir / f"clip{i}.wav")
+            assert r == rate and data.shape[1] == 2
+
+    def test_empty_dir(self, tmp_path, capsys):
+        from audio_raytracing_studio_tpu.cli.render_dir import main
+
+        (tmp_path / "empty").mkdir()
+        rc = main([str(tmp_path / "empty"), str(tmp_path / "o"), "--layout", "Stereo"])
+        assert rc == 1
