@@ -57,6 +57,11 @@ def add_param_flags(ap: argparse.ArgumentParser) -> None:
     ap.add_argument("--external-ir", help="stereo IR WAV (switches to external mode)")
     ap.add_argument("--seed", type=int, default=0, help="deterministic render seed")
     ap.add_argument("--metrics", action="store_true", help="print LUFS/Peak/RMS")
+    ap.add_argument(
+        "--binaural", action="store_true",
+        help="post-process the surround render to binaural stereo for "
+        "headphones (spherical-head ITD/ILD model — rebuild extension)",
+    )
     ap.add_argument("--json", action="store_true", help="machine-readable output")
 
 
@@ -141,6 +146,10 @@ def main(argv=None) -> int:
             external_ir=external_ir, external_ir_rate=external_rate,
             return_metrics=True,
         )
+        if args.binaural:
+            from ..ops.binaural import binauralize
+
+            out = binauralize(out, rate, base_params.target_layout)
         out_path = args.output.format(i=0)
         wavio.write(out_path, np.clip(out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
         results.append({"output": out_path, "metrics": metrics})

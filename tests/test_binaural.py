@@ -1,0 +1,72 @@
+"""Binaural downmix extension: ITD/ILD structure and energy sanity."""
+
+import numpy as np
+import pytest
+
+from audio_raytracing_studio_tpu.ops.binaural import binauralize
+
+
+def click_in_channel(ch, channels=6, n=4800, rate=48000):
+    x = np.zeros((n, channels), np.float32)
+    x[n // 2, ch] = 1.0
+    return x, rate
+
+
+def test_hard_left_source_itd_and_ild():
+    """RL (-110°) source: left ear earlier and louder than right."""
+    x, rate = click_in_channel(4)  # RL
+    out = binauralize(x, rate, "5.1 (Standard)")
+    left, right = out[:, 0], out[:, 1]
+    # ILD: left ear carries more energy
+    assert np.sum(left**2) > 2.0 * np.sum(right**2)
+    # ITD: right-ear arrival later (centroid of |x|)
+    t_l = np.argmax(np.abs(left))
+    t_r = np.argmax(np.abs(right))
+    expected_itd = int(0.0875 / 343.0 * (np.deg2rad(110) + np.sin(np.deg2rad(110))) * rate)
+    assert t_r - t_l == pytest.approx(expected_itd, abs=2)
+
+
+def test_center_source_symmetric():
+    x, rate = click_in_channel(2)  # C
+    out = binauralize(x, rate, "5.1 (Standard)")
+    np.testing.assert_allclose(out[:, 0], out[:, 1], atol=1e-6)
+
+
+def test_energy_reasonable():
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((9600, 6)) * 0.1).astype(np.float32)
+    out = binauralize(x, 48000, "5.1 (Standard)")
+    e_in = np.sum(x**2)
+    e_out = np.sum(out**2)
+    assert 0.2 * e_in < e_out < 1.5 * e_in
+
+
+def test_all_layouts():
+    from audio_raytracing_studio_tpu import config
+
+    for name, info in config.CHANNEL_LAYOUTS.items():
+        x = np.zeros((2400, info["channels"]), np.float32)
+        x[100, 0] = 0.5
+        out = binauralize(x, 48000, name)
+        assert out.shape == (2400, 2)
+
+
+def test_layout_mismatch_rejected():
+    with pytest.raises(ValueError, match="does not match"):
+        binauralize(np.zeros((100, 6), np.float32), 48000, "Stereo")
+
+
+def test_cli_binaural_flag(tmp_path):
+    from audio_raytracing_studio_tpu.cli.render import main
+    from audio_raytracing_studio_tpu.utils import wavio
+
+    rate = 16000
+    t = np.arange(rate // 4) / rate
+    src = tmp_path / "in.wav"
+    wavio.write(src, (0.4 * np.sin(2 * np.pi * 300 * t)).astype(np.float32), rate)
+    out = tmp_path / "bin.wav"
+    rc = main([str(src), str(out), "--layout", "5.1 (Standard)",
+               "--room-size", "50", "--binaural", "--seed", "1"])
+    assert rc == 0
+    data, r = wavio.read(out)
+    assert data.shape[1] == 2  # surround render downmixed to binaural stereo
