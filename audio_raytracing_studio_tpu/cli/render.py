@@ -113,7 +113,11 @@ def main(argv=None) -> int:
 
     ensure_backend()
     args = build_parser().parse_args(argv)
-    audio, rate = wavio.read(args.input)
+    try:
+        audio, rate = wavio.read(args.input)
+    except (OSError, ValueError) as e:
+        print(f"error: cannot read {args.input}: {e}", file=sys.stderr)
+        return 1
     base_params = params_from_args(args)
 
     external_ir = external_rate = None

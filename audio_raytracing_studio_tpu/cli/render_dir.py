@@ -73,11 +73,18 @@ def main(argv=None) -> int:
 
     # --- bucket by (rate, padded length) ---
     def load(name):
-        data, rate = wavio.read(os.path.join(args.input, name))
+        try:
+            data, rate = wavio.read(os.path.join(args.input, name))
+        except (OSError, ValueError) as e:
+            print(f"skipping {name}: {e}", file=sys.stderr)
+            return None
         return name, data, rate
 
     io_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
-    loaded = list(io_pool.map(load, names))
+    loaded = [r for r in io_pool.map(load, names) if r is not None]
+    if not loaded:
+        print("no readable WAV files", file=sys.stderr)
+        return 1
     buckets: dict = {}
     for name, data, rate in loaded:
         key = (rate, _bucket_length(data.shape[0]))
@@ -129,7 +136,7 @@ def main(argv=None) -> int:
                 line += "  " + metrics_string(r["metrics"])
             print(line)
         print(f"# {len(results)} clips, {audio_seconds:.1f} audio-s in {wall:.2f} s "
-              f"({audio_seconds / wall:.0f}x realtime)")
+              f"({audio_seconds / wall:.1f}x realtime)")
     return 0
 
 
