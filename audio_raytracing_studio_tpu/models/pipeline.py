@@ -115,6 +115,7 @@ def internal_graph_with_irs(
     len_out = spec.len_out
     kernels = []
     gains = []
+    weights = []
     fast_air = spec.air_on and spec.fast_air
     if fast_air:
         nfft = convolution.fast_fft_length(
@@ -123,33 +124,44 @@ def internal_graph_with_irs(
         air_gain = filters.air_absorption_gain(nfft, spec.rate, scal.air_absorption)
     if spec.early_on:
         kernels.append(early_ir)
+        weights.append(scal.early_level)
         if fast_air:
             gains.append(jnp.ones_like(air_gain))
     if spec.late_on:
         kernels.append(late_ir)
+        weights.append(scal.late_level)
         if fast_air:
             gains.append(air_gain)
 
-    early_wet = jnp.zeros((audio_cn.shape[0], len_out), dtype=jnp.float32)
-    late_wet = jnp.zeros_like(early_wet)
-    if kernels:
-        conv = convolution.convolve_full(
+    exact_air = spec.air_on and not spec.fast_air
+    if kernels and not exact_air:
+        # No per-kernel time-domain stage → fuse the level-weighted kernel
+        # sum in the frequency domain (one inverse FFT per channel, exact by
+        # linearity).
+        wet = convolution.convolve_combined(
             audio_cn,
             jnp.stack(kernels),
+            jnp.stack(weights),
             len_out,
             kernel_gains=jnp.stack(gains) if fast_air else None,
         )
+    elif kernels:
+        # Exact air mode filters the late stream at the exact output length
+        # before the levels combine — keep the per-kernel streams separate.
+        conv = convolution.convolve_full(audio_cn, jnp.stack(kernels), len_out)
+        early_wet = jnp.zeros((audio_cn.shape[0], len_out), dtype=jnp.float32)
+        late_wet = jnp.zeros_like(early_wet)
         idx = 0
         if spec.early_on:
             early_wet = conv[idx]
             idx += 1
         if spec.late_on:
             late_wet = conv[idx]
-
-    if spec.air_on and not spec.fast_air:
         late_wet = filters.apply_air_absorption(late_wet, spec.rate, scal.air_absorption)
+        wet = early_wet * scal.early_level + late_wet * scal.late_level
+    else:
+        wet = jnp.zeros((audio_cn.shape[0], len_out), dtype=jnp.float32)
 
-    wet = early_wet * scal.early_level + late_wet * scal.late_level
     dry = jnp.pad(audio_cn, ((0, 0), (0, len_out - spec.n_in)))
     return _mix_eq_spatial(dry, wet, scal, spec)
 

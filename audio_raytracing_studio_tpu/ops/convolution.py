@@ -60,6 +60,35 @@ def convolve_full(
     return full[..., :out_length].astype(jnp.float32)
 
 
+def convolve_combined(
+    signal: jnp.ndarray,
+    kernels: jnp.ndarray,
+    weights: jnp.ndarray,
+    out_length: int,
+    kernel_gains: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Linear convolution with the weighted kernel *sum*: Σ_k w_k·(x ⊛ h_k·g_k).
+
+    Exact (by linearity) equal to weighting the per-kernel convolutions in
+    the time domain, but needs one inverse FFT per channel instead of K —
+    the fast path when no per-kernel time-domain processing is required.
+
+    signal: (..., C, N); kernels: (K, L); weights: (K,) traced scalars.
+    Returns (..., C, out_length).
+    """
+    n = signal.shape[-1]
+    l = kernels.shape[-1]
+    nfft = fast_fft_length(max(out_length, n + l - 1))
+
+    sig_f = jnp.fft.rfft(signal, n=nfft, axis=-1)  # (..., C, F)
+    ker_f = jnp.fft.rfft(kernels, n=nfft, axis=-1)  # (K, F)
+    if kernel_gains is not None:
+        ker_f = ker_f * kernel_gains
+    combined = jnp.tensordot(weights.astype(ker_f.dtype), ker_f, axes=1)  # (F,)
+    full = jnp.fft.irfft(sig_f * combined, n=nfft, axis=-1)
+    return full[..., :out_length].astype(jnp.float32)
+
+
 def convolve_pairwise(signal: jnp.ndarray, kernels: jnp.ndarray, out_length: int) -> jnp.ndarray:
     """True-stereo convolution: channel c ⊛ kernel c (external-IR mode).
 
