@@ -52,7 +52,7 @@ def main() -> None:
     from audio_raytracing_studio_tpu.parallel import sharding
     from audio_raytracing_studio_tpu.params import RenderParams
 
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    batch = int(os.environ.get("BENCH_BATCH", "48"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
     t = np.arange(int(DURATION_S * RATE)) / RATE
