@@ -33,6 +33,10 @@ SWEEPABLE = (
     "diffusion", "air_absorption", "early_level", "late_level", "dry_wet",
     "dry_wet_kill_start", "bass_gain", "treble_gain", "x_pos", "y_pos",
 )
+# external-IR mode has no hall synthesis: only mix/EQ/position apply
+EXTERNAL_SWEEPABLE = (
+    "dry_wet", "dry_wet_kill_start", "bass_gain", "treble_gain", "x_pos", "y_pos",
+)
 
 
 def add_param_flags(ap: argparse.ArgumentParser) -> None:
@@ -122,13 +126,24 @@ def main(argv=None) -> int:
 
     external_ir = external_rate = None
     if args.external_ir:
-        external_ir, external_rate = wavio.read(args.external_ir)
+        try:
+            external_ir, external_rate = wavio.read(args.external_ir)
+        except (OSError, ValueError) as e:
+            print(f"error: cannot read {args.external_ir}: {e}", file=sys.stderr)
+            return 1
 
     results = []
     if args.sweep:
         name, _, values_str = args.sweep.partition("=")
         if name not in SWEEPABLE:
             print(f"error: sweep over '{name}' not supported (shape-changing)", file=sys.stderr)
+            return 2
+        if base_params.use_external_ir and name not in EXTERNAL_SWEEPABLE:
+            print(
+                f"error: '{name}' has no effect in external-IR mode "
+                f"(sweepable there: {EXTERNAL_SWEEPABLE})",
+                file=sys.stderr,
+            )
             return 2
         values = [float(v) for v in values_str.split(",") if v]
         from ..parallel.sharding import render_batch
@@ -142,7 +157,12 @@ def main(argv=None) -> int:
         )
         for i, v in enumerate(values):
             out_path = args.output.format(i=i)
-            wavio.write(out_path, np.clip(outs[i], -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
+            clip_out = outs[i]
+            if args.binaural:
+                from ..ops.binaural import binauralize
+
+                clip_out = binauralize(clip_out, rate, base_params.target_layout)
+            wavio.write(out_path, np.clip(clip_out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
             results.append({"output": out_path, name: v, "metrics": metrics[i]})
     else:
         out, metrics = pipeline.render(

@@ -1,10 +1,11 @@
 """Directory batch renderer — production serving loop with I/O prefetch.
 
 Renders every WAV in a directory through the batched SPMD pipeline, keeping
-the TPU busy: a background thread reads + stereo-izes the next micro-batch
-(and writes finished ones) while the device renders the current one.  Clips
-are bucketed by (length, rate) so each bucket reuses one compiled executable;
-within a bucket, shorter clips are zero-padded to the bucket length.
+the TPU busy: clips are bucketed by (rate, length quantized to a
+half-second grid) using header-only probes, each bucket reuses one compiled
+executable, and while the device renders micro-batch *i* a thread pool reads
+micro-batch *i+1* and writes the finished outputs.  Metrics are computed on
+the trimmed per-clip output (not the bucket padding).
 
 Usage:
   python -m audio_raytracing_studio_tpu.cli.render_dir in_dir/ out_dir/ \
@@ -26,22 +27,19 @@ from typing import List
 import numpy as np
 
 from .. import config
-from ..analysis.metrics import metrics_string
-from ..params import RenderParams
+from ..analysis.metrics import calculate_audio_metrics, metrics_string
 from ..utils import wavio
 from .render import params_from_args
 
 
-def _bucket_length(n: int) -> int:
+def _bucket_length(n: int, rate: int) -> int:
     """Quantize clip length up to a half-second grid to bound compile count."""
-    step = 24000
+    step = max(1, rate // 2)
     return int(math.ceil(n / step)) * step
 
 
 def discover(in_dir: str) -> List[str]:
-    return sorted(
-        f for f in os.listdir(in_dir) if f.lower().endswith(".wav")
-    )
+    return sorted(f for f in os.listdir(in_dir) if f.lower().endswith(".wav"))
 
 
 def main(argv=None) -> int:
@@ -71,54 +69,74 @@ def main(argv=None) -> int:
         print("error: render_dir covers the internal hall path", file=sys.stderr)
         return 2
 
-    # --- bucket by (rate, padded length) ---
-    def load(name):
+    # --- bucket by (rate, quantized length) from header-only probes ---
+    buckets: dict = {}
+    for name in names:
         try:
-            data, rate = wavio.read(os.path.join(args.input, name))
+            meta = wavio.probe(os.path.join(args.input, name))
         except (OSError, ValueError) as e:
             print(f"skipping {name}: {e}", file=sys.stderr)
-            return None
-        return name, data, rate
-
-    io_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
-    loaded = [r for r in io_pool.map(load, names) if r is not None]
-    if not loaded:
+            continue
+        key = (meta["samplerate"], _bucket_length(meta["frames"], meta["samplerate"]))
+        buckets.setdefault(key, []).append((name, meta["frames"]))
+    if not buckets:
         print("no readable WAV files", file=sys.stderr)
         return 1
-    buckets: dict = {}
-    for name, data, rate in loaded:
-        key = (rate, _bucket_length(data.shape[0]))
-        buckets.setdefault(key, []).append((name, data))
+
+    io_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
+
+    def load_chunk(chunk):
+        return [
+            wavio.read(os.path.join(args.input, name))[0] for name, _frames in chunk
+        ]
+
+    # flatten micro-batches so batch i+1 prefetches while i renders
+    schedule = []
+    for (rate, n_bucket), items in sorted(buckets.items()):
+        for lo in range(0, len(items), args.batch):
+            schedule.append((rate, n_bucket, items[lo : lo + args.batch], lo))
 
     results = []
     t_start = time.perf_counter()
     audio_seconds = 0.0
     write_futures = []
 
-    for (rate, n_bucket), items in sorted(buckets.items()):
-        for lo in range(0, len(items), args.batch):
-            chunk = items[lo : lo + args.batch]
-            clips = np.zeros((len(chunk), n_bucket, 2), dtype=np.float32)
-            for i, (_, data) in enumerate(chunk):
-                stereo = data if data.shape[1] >= 2 else np.repeat(data, 2, axis=1)
-                clips[i, : data.shape[0], :] = stereo[:, :2]
-            outs, metrics = render_batch(
-                clips, rate, p,
-                seeds=[args.seed + lo + i for i in range(len(chunk))],
-                with_metrics=True, fast_filters=True,
+    pending = io_pool.submit(load_chunk, schedule[0][2]) if schedule else None
+    for step, (rate, n_bucket, chunk, lo) in enumerate(schedule):
+        datas = pending.result()
+        pending = (
+            io_pool.submit(load_chunk, schedule[step + 1][2])
+            if step + 1 < len(schedule)
+            else None
+        )
+
+        from ..models.pipeline import _ensure_stereo_host
+
+        clips = np.zeros((len(chunk), n_bucket, 2), dtype=np.float32)
+        for i, data in enumerate(datas):
+            stereo = _ensure_stereo_host(data)
+            clips[i, : stereo.shape[0], :] = stereo
+
+        outs = render_batch(
+            clips, rate, p,
+            seeds=[args.seed + lo + i for i in range(len(chunk))],
+            fast_filters=True,
+        )
+        for i, (name, frames) in enumerate(chunk):
+            out_path = os.path.join(args.output, name)
+            # trim the bucket padding: real output = clip len + IR − 1
+            real_len = frames + (outs.shape[1] - n_bucket)
+            trimmed = np.clip(
+                outs[i, :real_len], -config.OUTPUT_CLIP, config.OUTPUT_CLIP
             )
-            for i, (name, data) in enumerate(chunk):
-                out_path = os.path.join(args.output, name)
-                # trim the bucket padding: real output = clip len + IR − 1
-                real_len = data.shape[0] + (outs.shape[1] - n_bucket)
-                trimmed = np.clip(
-                    outs[i, :real_len], -config.OUTPUT_CLIP, config.OUTPUT_CLIP
-                )
-                write_futures.append(
-                    io_pool.submit(wavio.write, out_path, trimmed, rate)
-                )
-                audio_seconds += data.shape[0] / rate
-                results.append({"output": out_path, "metrics": metrics[i]})
+            if args.binaural:
+                from ..ops.binaural import binauralize
+
+                trimmed = binauralize(trimmed, rate, p.target_layout)
+            metrics = calculate_audio_metrics(trimmed, rate)
+            write_futures.append(io_pool.submit(wavio.write, out_path, trimmed, rate))
+            audio_seconds += frames / rate
+            results.append({"output": out_path, "metrics": metrics})
 
     for f in write_futures:
         f.result()

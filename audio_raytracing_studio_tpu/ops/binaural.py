@@ -113,6 +113,8 @@ def binauralize(data_nc: np.ndarray, rate: int, layout_name: str) -> np.ndarray:
 
     table = jnp.asarray(_binaural_table(names, int(rate), nfft))
     spec = jnp.fft.rfft(jnp.asarray(data_nc.astype(np.float32).T), n=nfft, axis=-1)
-    ears = jnp.einsum("cf,cef->ef", spec, table)
+    # elementwise sum over the small channel axis (VPU) — the default einsum
+    # contraction would run bf16 on the MXU (see CLAUDE.md)
+    ears = jnp.sum(spec[:, None, :] * table, axis=0)
     out = jnp.fft.irfft(ears, n=nfft, axis=-1)[:, :n]
     return np.asarray(out, dtype=np.float32).T

@@ -84,7 +84,9 @@ def convolve_combined(
     ker_f = jnp.fft.rfft(kernels, n=nfft, axis=-1)  # (K, F)
     if kernel_gains is not None:
         ker_f = ker_f * kernel_gains
-    combined = jnp.tensordot(weights.astype(ker_f.dtype), ker_f, axes=1)  # (F,)
+    # elementwise weighted sum over the tiny K axis (VPU; a tensordot would
+    # hit the bf16 MXU path — see CLAUDE.md)
+    combined = jnp.sum(weights.astype(ker_f.dtype)[:, None] * ker_f, axis=0)  # (F,)
     full = jnp.fft.irfft(sig_f * combined, n=nfft, axis=-1)
     return full[..., :out_length].astype(jnp.float32)
 

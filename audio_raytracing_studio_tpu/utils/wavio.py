@@ -225,6 +225,51 @@ def write(
             fh.close()
 
 
+def probe(path: Union[str, os.PathLike]) -> dict:
+    """Header-only info (rate, channels, bits, frames) — no sample data read.
+
+    Seeks over chunks; the data payload is skipped, so probing a large
+    directory is cheap (used by the directory renderer to bucket clips).
+    """
+    with open(path, "rb") as fh:
+        header = fh.read(12)
+        if len(header) < 12 or header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        fmt = None
+        data_size = None
+        while fmt is None or data_size is None:
+            chunk_header = fh.read(8)
+            if len(chunk_header) < 8:
+                break
+            chunk_id, chunk_size = struct.unpack("<4sI", chunk_header)
+            if chunk_id == b"fmt ":
+                fmt_raw = fh.read(chunk_size)
+                if chunk_size & 1:
+                    fh.seek(1, io.SEEK_CUR)
+                _tag, channels, rate, _br, _ba, bits = struct.unpack(
+                    "<HHIIHH", fmt_raw[:16]
+                )
+                fmt = (channels, rate, bits)
+            elif chunk_id == b"data":
+                data_size = chunk_size
+                fh.seek(chunk_size + (chunk_size & 1), io.SEEK_CUR)
+            else:
+                fh.seek(chunk_size + (chunk_size & 1), io.SEEK_CUR)
+    if fmt is None or data_size is None:
+        raise ValueError("WAV file missing fmt or data chunk")
+    channels, rate, bits = fmt
+    if channels <= 0 or bits <= 0:
+        raise ValueError("invalid WAV header")
+    frames = data_size // (channels * max(1, bits // 8))
+    return {
+        "samplerate": int(rate),
+        "channels": int(channels),
+        "bits": int(bits),
+        "frames": int(frames),
+        "duration": frames / rate if rate > 0 else 0.0,
+    }
+
+
 def info(path: Union[str, os.PathLike]) -> dict:
     """Basic file info: rate, channels, frames, duration (analyser.py:50-58)."""
     with open(path, "rb") as fh:

@@ -70,3 +70,29 @@ def test_cli_binaural_flag(tmp_path):
     assert rc == 0
     data, r = wavio.read(out)
     assert data.shape[1] == 2  # surround render downmixed to binaural stereo
+
+
+def test_render_dir_binaural_and_trimmed_metrics(tmp_path):
+    """Directory mode: --binaural applied; metrics measured on trimmed clip."""
+    import json as _json
+
+    from audio_raytracing_studio_tpu.cli.render_dir import main
+    from audio_raytracing_studio_tpu.utils import wavio
+
+    in_dir = tmp_path / "i"; in_dir.mkdir()
+    rate = 16000
+    t = np.arange(rate // 8) / rate  # short clip → heavy bucket padding
+    wavio.write(in_dir / "a.wav", (0.5 * np.sin(2 * np.pi * 300 * t)).astype(np.float32), rate)
+    out_dir = tmp_path / "o"
+
+    import subprocess, sys
+    rc = main([str(in_dir), str(out_dir), "--layout", "5.1 (Standard)",
+               "--room-size", "50", "--binaural", "--json"])
+    assert rc == 0
+    data, r = wavio.read(out_dir / "a.wav")
+    assert data.shape[1] == 2  # binauralized
+
+    # trimmed metrics: RMS should reflect the real clip, not 0.5s of padding
+    from audio_raytracing_studio_tpu.analysis.metrics import calculate_audio_metrics
+    m = calculate_audio_metrics(data, r)
+    assert m["rms_dbfs"] > -30  # a padded-length measurement would be much lower

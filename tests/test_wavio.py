@@ -75,3 +75,21 @@ def test_rejects_garbage(tmp_path):
     path.write_bytes(b"not a wav file at all")
     with pytest.raises(ValueError):
         wavio.read(path)
+
+
+def test_probe_matches_read(tmp_path, rng):
+    x = rng.uniform(-0.5, 0.5, size=(12345, 6)).astype(np.float32)
+    path = tmp_path / "p.wav"
+    wavio.write(path, x, 44100)
+    meta = wavio.probe(path)
+    assert meta["samplerate"] == 44100
+    assert meta["channels"] == 6
+    assert meta["frames"] == 12345
+    assert meta["bits"] == 16
+
+
+def test_probe_rejects_garbage(tmp_path):
+    path = tmp_path / "g.wav"
+    path.write_bytes(b"RIFFxxxxWAVEjunk")
+    with pytest.raises(ValueError):
+        wavio.probe(path)
