@@ -206,3 +206,40 @@ class TestFastFilters:
         fast = pipeline.render(x, rate, p, draws=d, fast_filters=True)
         exact = pipeline.render(x, rate, p, draws=d, fast_filters=False)
         assert float(np.max(np.abs(fast - exact))) <= 5e-4
+
+
+class TestDegenerateEdges:
+    def test_zero_levels_dry_only(self, tone48k):
+        """early_level=late_level=0 → empty kernel set → pure scaled dry."""
+        x, rate = tone48k
+        p = RenderParams(early_level=0.0, late_level=0.0, target_layout="Stereo")
+        assert_parity(p, (x, rate))
+
+    def test_clip_shorter_than_ir(self, rng):
+        rate = 48000
+        x = (0.5 * np.sin(2 * np.pi * 440 * np.arange(4800) / rate)).astype(np.float32)
+        p = RenderParams(target_layout="Stereo")  # IR 72000 >> clip 4800
+        assert_parity(p, (x, rate))
+
+    def test_8khz_rate(self, rng):
+        rate = 8000
+        x = (0.4 * np.sin(2 * np.pi * 200 * np.arange(rate) / rate)).astype(np.float32)
+        p = RenderParams(target_layout="5.1 (Standard)")
+        assert_parity(p, (x, rate))
+
+    def test_silent_input(self):
+        rate = 48000
+        x = np.zeros(rate, np.float32)
+        p = RenderParams(target_layout="Stereo")
+        out, metrics = pipeline.render(x, rate, p, seed=1, return_metrics=True)
+        assert not np.any(out)
+        assert metrics["lufs"] == float("-inf")
+        from audio_raytracing_studio_tpu.analysis.metrics import metrics_string
+        assert metrics_string(metrics) == "LUFS: N/A | Peak: -inf dBFS | RMS: -inf dBFS"
+
+    def test_tiny_room_smallest_geometry(self, rng):
+        rate = 44100
+        x = (0.3 * rng.standard_normal(8000)).astype(np.float32)
+        p = RenderParams(hall_type="Plate", room_size=10.0, diffusion=0.0,
+                         air_absorption=0.0, target_layout="Stereo")
+        assert_parity(p, (x, rate))
