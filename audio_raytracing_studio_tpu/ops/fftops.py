@@ -31,12 +31,6 @@ def next_power_of_two(n: int) -> int:
     return 1 << max(0, int(np.ceil(np.log2(max(1, n)))))
 
 
-def _fast_length(n: int) -> int:
-    """Smallest native-fast transform length ≥ n (2^k or 3·2^k)."""
-    p = next_power_of_two(n)
-    return min(p, 3 * next_power_of_two((n + 2) // 3))
-
-
 @functools.lru_cache(maxsize=64)
 def _bluestein_constants(n: int, inverse: bool):
     """Host-precomputed (w, B, m) for a length-n (i)DFT, float64 → complex64.
@@ -45,7 +39,10 @@ def _bluestein_constants(n: int, inverse: bool):
     the calling trace (caching jnp arrays here would leak tracers between
     jit traces).
     """
-    m = _fast_length(2 * n - 1)
+    # MUST stay a power of two: this backend's *complex* FFT path hangs at
+    # 3·2^k sizes (the real rfft path handles them fine — see
+    # convolution.fast_fft_length).
+    m = next_power_of_two(2 * n - 1)
     k = np.arange(n, dtype=np.int64)
     q = (k * k) % (2 * n)  # exact phase: k² mod 2n keeps |angle| < 2π
     sign = 1.0 if inverse else -1.0
