@@ -80,27 +80,12 @@ def block_mean_squares(signal: jnp.ndarray, rate: int) -> jnp.ndarray:
     return block_energy / (kw.BLOCK_SECONDS * rate)
 
 
-def integrated_loudness(
-    signal: jnp.ndarray, rate: int, weights: np.ndarray | None = None
-) -> jnp.ndarray:
-    """Gated integrated loudness (LUFS) of (n,) mono or (C, n) multichannel.
+def gated_loudness_from_blocks(z: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """BS.1770 two-stage gating over per-block mean squares z (C, J).
 
-    Mirrors the oracle meter (oracle/loudness.py) / BS.1770-4 gating: absolute
-    −70 LUFS gate, then a relative gate 10 LU below the abs-gated mean.
-    Returns −inf as an f32 scalar when everything is gated out.
+    Shared by the single-device meter and the sequence-parallel meter
+    (parallel.long_render), which assemble z differently.
     """
-    if signal.ndim == 1:
-        signal = signal[None, :]
-    num_channels = signal.shape[0]
-    if weights is None:
-        weights = np.array([1.0, 1.0, 1.0, 1.41, 1.41] + [1.41] * 10)[:num_channels]
-    w = jnp.asarray(weights.astype(np.float32))
-
-    filtered = k_weight(signal, rate)
-    z = block_mean_squares(filtered, rate)  # (C, J)
-    if z.shape[-1] == 0:
-        return jnp.float32(-jnp.inf)
-
     weighted = jnp.einsum("c,cj->j", w, z, precision=jax.lax.Precision.HIGHEST)
     block_loudness = kw.LOUDNESS_OFFSET + 10.0 * jnp.log10(
         jnp.maximum(weighted, 1e-30)
@@ -123,6 +108,29 @@ def integrated_loudness(
     ).astype(jnp.float32)
     loud, count = gated_mean(rel_mask)
     return jnp.where((abs_count > 0) & (count > 0), loud, -jnp.inf).astype(jnp.float32)
+
+
+def integrated_loudness(
+    signal: jnp.ndarray, rate: int, weights: np.ndarray | None = None
+) -> jnp.ndarray:
+    """Gated integrated loudness (LUFS) of (n,) mono or (C, n) multichannel.
+
+    Mirrors the oracle meter (oracle/loudness.py) / BS.1770-4 gating: absolute
+    −70 LUFS gate, then a relative gate 10 LU below the abs-gated mean.
+    Returns −inf as an f32 scalar when everything is gated out.
+    """
+    if signal.ndim == 1:
+        signal = signal[None, :]
+    num_channels = signal.shape[0]
+    if weights is None:
+        weights = np.array([1.0, 1.0, 1.0, 1.41, 1.41] + [1.41] * 10)[:num_channels]
+    w = jnp.asarray(weights.astype(np.float32))
+
+    filtered = k_weight(signal, rate)
+    z = block_mean_squares(filtered, rate)  # (C, J)
+    if z.shape[-1] == 0:
+        return jnp.float32(-jnp.inf)
+    return gated_loudness_from_blocks(z, w)
 
 
 def sample_peak_dbfs(data: jnp.ndarray) -> jnp.ndarray:

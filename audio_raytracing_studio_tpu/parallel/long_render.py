@@ -83,6 +83,83 @@ def _map_layout_sharded(
     return jnp.concatenate([six, heights * height_gain], axis=-2)
 
 
+def _sharded_metrics(
+    out_block: jnp.ndarray,
+    rate: int,
+    len_out: int,
+    axis_name: str,
+    num_blocks: int,
+    block_len: int,
+):
+    """On-device LUFS / sample-peak / RMS of a block-sharded render.
+
+    ROADMAP item: the K-weighting FIR rides the same ring overlap-add as the
+    signal convolution; gating-block energies come from a local energy cumsum
+    plus an exclusive prefix of per-shard totals (one all_gather of D
+    scalars), gathered at host-precomputed block boundaries (one psum of a
+    (J,)-vector) — every shard then computes the identical gated loudness.
+    """
+    from ..metering import kweighting as kwc
+    from ..metering.loudness import gated_loudness_from_blocks, k_weighting_fir
+
+    idx = jax.lax.axis_index(axis_name)
+    offset = idx * block_len
+    pos = offset + jnp.arange(block_len)
+    valid = (pos < len_out).astype(jnp.float32)
+
+    # --- sample peak / RMS over all channels (reference conventions) ---
+    abs_max = jax.lax.pmax(jnp.max(jnp.abs(out_block) * valid[None, :]), axis_name)
+    peak_db = jnp.where(
+        abs_max > 1e-15, 20.0 * jnp.log10(jnp.maximum(abs_max, 1e-30)), -jnp.inf
+    )
+    sq_sum = jax.lax.psum(jnp.sum(jnp.square(out_block) * valid[None, :]), axis_name)
+    rms = jnp.sqrt(sq_sum / (len_out * out_block.shape[0]))
+    rms_db = jnp.where(
+        rms > 1e-15, 20.0 * jnp.log10(jnp.maximum(rms, 1e-30)), -jnp.inf
+    )
+
+    # --- LUFS: mono mixdown of the first two channels (ref :687-688) ---
+    mono = 0.5 * (out_block[0] + out_block[1]) * valid
+    mono_peak = jax.lax.pmax(jnp.max(jnp.abs(mono)), axis_name)
+
+    fir = jnp.asarray(k_weighting_fir(rate).astype(np.float32))
+    fir_len = fir.shape[0]
+    conv = convolution.convolve_pairwise(
+        mono[None, :], fir[None, :], block_len + fir_len - 1
+    )
+    kw_local = _ring_overlap_add(
+        conv[..., :block_len], conv[..., block_len:], axis_name, num_blocks, block_len
+    )[0]
+
+    # global exclusive energy prefix at this shard's start
+    local_energy = jnp.cumsum(jnp.square(kw_local))
+    eloc = jnp.concatenate([jnp.zeros(1, jnp.float32), local_energy])
+    totals = jax.lax.all_gather(local_energy[-1], axis_name)  # (D,)
+    carry = jnp.sum(jnp.where(jnp.arange(num_blocks) < idx, totals, 0.0))
+
+    # gating-block boundaries (host-static); E[g] = Σ_{t<g} kw²
+    jblocks = kwc.block_count(len_out, rate)
+    if jblocks <= 0:
+        lufs = jnp.float32(-jnp.inf)
+    else:
+        step = 1.0 - kwc.BLOCK_OVERLAP
+        jj = np.arange(jblocks)
+        lo = (kwc.BLOCK_SECONDS * (jj * step) * rate).astype(np.int64)
+        hi = np.minimum(
+            (kwc.BLOCK_SECONDS * (jj * step + 1) * rate).astype(np.int64), len_out
+        )
+        bounds = np.concatenate([lo, hi])  # (2J,)
+        b = jnp.asarray(bounds)
+        own = (b > offset) & (b <= offset + block_len)
+        local_idx = jnp.clip(b - offset, 1, block_len)
+        vals = jnp.where(own, carry + eloc[local_idx], 0.0)
+        energies = jax.lax.psum(vals, axis_name)  # E at every boundary
+        z = (energies[jblocks:] - energies[:jblocks]) / (kwc.BLOCK_SECONDS * rate)
+        lufs = gated_loudness_from_blocks(z[None, :], jnp.ones(1, jnp.float32))
+    lufs = jnp.where(mono_peak < 1e-6, -jnp.inf, lufs)
+    return lufs.astype(jnp.float32), peak_db.astype(jnp.float32), rms_db.astype(jnp.float32)
+
+
 def render_long(
     audio: np.ndarray,
     rate: int,
@@ -92,7 +169,8 @@ def render_long(
     axis_name: str = meshlib.BLOCK_AXIS,
     external_ir: Optional[np.ndarray] = None,
     external_ir_rate: Optional[int] = None,
-) -> np.ndarray:
+    with_metrics: bool = False,
+):
     """Render one long clip with its sample axis sharded over the mesh.
 
     Internal-hall or external-IR path; requires unity EQ gains (whole-signal
@@ -200,13 +278,27 @@ def render_long(
         six = spatial.apply_pan(mixed, spatial.pan_matrix(scal.x_pos, scal.y_pos, scal.z_pos))
         six = _normalize_sharded(six, axis_name)
         out = _map_layout_sharded(six, spec.layout, spec.rate, scal.z_pos, axis_name, num_blocks)
-        return _normalize_sharded(out, axis_name)
+        out = _normalize_sharded(out, axis_name)
+        if not with_metrics:
+            return out, (jnp.float32(0), jnp.float32(0), jnp.float32(0))
+        metrics = _sharded_metrics(
+            out, spec.rate, len_out, axis_name, num_blocks, block_len
+        )
+        return out, metrics
 
     shard = jax.shard_map(
         local,
         mesh=device_mesh,
         in_specs=(P(None, axis_name), P(None, None)),
-        out_specs=P(None, axis_name),
+        out_specs=(P(None, axis_name), (P(), P(), P())),
+        check_vma=False,
     )
-    out_cn = shard(jnp.asarray(audio_cn), kernels_arr)
-    return np.asarray(out_cn).T[:len_out]
+    out_cn, (lufs, peak, rms) = shard(jnp.asarray(audio_cn), kernels_arr)
+    result = np.asarray(out_cn).T[:len_out]
+    if with_metrics:
+        return result, {
+            "lufs": float(lufs),
+            "true_peak_dbfs": float(peak),
+            "rms_dbfs": float(rms),
+        }
+    return result

@@ -68,3 +68,29 @@ class TestRenderLong:
         single = pipeline.render(x, rate, p, external_ir=ir)
         assert long.shape == single.shape
         assert np.max(np.abs(long - single)) < 2e-4
+
+    def test_sharded_metrics_match_single_device_meter(self, rng, block_mesh):
+        """Cross-shard gated LUFS / peak / RMS vs the single-device meter."""
+        import jax.numpy as jnp
+        from audio_raytracing_studio_tpu.metering import loudness as jl
+
+        rate = 16000
+        x = clip(rng, 2.0, rate)
+        p = RenderParams(target_layout="Stereo", room_size=60.0, air_absorption=0.0)
+        out, metrics = long_render.render_long(
+            x, rate, p, block_mesh, seed=3, with_metrics=True
+        )
+        ref = jl.audio_metrics(jnp.asarray(out.T), rate)
+        assert metrics["lufs"] == pytest.approx(float(ref["lufs"]), abs=0.02)
+        assert metrics["true_peak_dbfs"] == pytest.approx(float(ref["true_peak_dbfs"]), abs=1e-3)
+        assert metrics["rms_dbfs"] == pytest.approx(float(ref["rms_dbfs"]), abs=1e-3)
+
+    def test_sharded_metrics_silence(self, block_mesh):
+        rate = 16000
+        x = np.zeros(rate, np.float32)
+        p = RenderParams(target_layout="Stereo", room_size=60.0, air_absorption=0.0)
+        out, metrics = long_render.render_long(
+            x, rate, p, block_mesh, with_metrics=True
+        )
+        assert metrics["lufs"] == float("-inf")
+        assert metrics["true_peak_dbfs"] == float("-inf")
