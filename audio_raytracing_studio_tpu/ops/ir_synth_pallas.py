@@ -42,6 +42,13 @@ LANE = 128
 SUBLANE = 8
 TILE_FLAT = SUBLANE * LANE  # 1024
 
+# Longest IR the single-program-per-entry design compiles for on v5e: the
+# whole IR plus the smoothing/envelope temporaries must fit VMEM.  Measured
+# ceiling ~280k samples (5.8 s @ 48 kHz); 2^18 leaves margin.  Longer IRs
+# need the column-block grid redesign (ROADMAP) — callers fall back to the
+# jnp synthesis path.
+MAX_BANK_IR_LENGTH = 1 << 18
+
 
 def _pad_to_tile(n: int) -> int:
     return ((n + TILE_FLAT - 1) // TILE_FLAT) * TILE_FLAT
@@ -228,6 +235,11 @@ def fused_rir_bank(
     ``injected_draws`` supplies explicit randomness; see pack_draws).
     scalars: IRScalars of per-entry (B,) arrays OR scalars (broadcast).
     """
+    if shape.length > MAX_BANK_IR_LENGTH and interpret is False:
+        raise ValueError(
+            f"IR length {shape.length} exceeds the fused bank's VMEM budget "
+            f"(max {MAX_BANK_IR_LENGTH}); use the jnp IR backend"
+        )
     seeds = jnp.asarray(seeds, dtype=jnp.int32)
     batch = seeds.shape[0]
     l_pad = _pad_to_tile(shape.length)

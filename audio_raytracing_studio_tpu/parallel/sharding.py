@@ -244,6 +244,18 @@ def render_batch(
     if seeds is None:
         seeds = range(batch)
     if ir_backend == "pallas":
+        from ..ops.ir_synth_pallas import MAX_BANK_IR_LENGTH
+
+        if shape0.length > MAX_BANK_IR_LENGTH:
+            import logging
+
+            logging.getLogger("ars_tpu.sharding").warning(
+                "IR length %d exceeds the fused Pallas bank's VMEM budget "
+                "(%d); falling back to the jnp IR backend",
+                shape0.length, MAX_BANK_IR_LENGTH,
+            )
+            ir_backend = "jnp"
+    if ir_backend == "pallas":
         keys = jnp.asarray(np.asarray(list(seeds), dtype=np.int32))
         batched_fn = _batched_internal_pallas
     else:

@@ -183,3 +183,25 @@ def test_render_batch_pallas_sharded(rng, room_shape):
     assert out.shape[0] == 8 and out.shape[2] == 2
     assert len(metrics) == 8
     assert np.max(np.abs(out)) <= 1.0 + 1e-5
+
+
+def test_bank_rejects_oversized_ir(room_shape):
+    """IRs past the VMEM budget raise; render_batch falls back to jnp."""
+    from audio_raytracing_studio_tpu.ops import ir_synth_pallas as irp
+
+    shape, scalars = room_shape
+    big = shape._replace(length=irp.MAX_BANK_IR_LENGTH + 1024)
+    with pytest.raises(ValueError, match="VMEM budget"):
+        irp.fused_rir_bank(np.zeros(1, np.int32), big, scalars, interpret=False)
+
+
+def test_render_batch_falls_back_for_long_irs(rng):
+    """Cathedral at large room size exceeds the bank budget → jnp fallback."""
+    from audio_raytracing_studio_tpu.parallel import sharding
+
+    rate = 48000
+    t = np.arange(rate // 8) / rate
+    clips = np.stack([(0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)] * 2)
+    p = RenderParams(hall_type="Cathedral", room_size=1000.0, target_layout="Stereo")
+    out = sharding.render_batch(clips, rate, p, seeds=[0, 1], ir_backend="pallas")
+    assert out.shape[0] == 2  # rendered via the jnp path, no crash
