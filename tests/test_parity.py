@@ -243,3 +243,36 @@ class TestDegenerateEdges:
         p = RenderParams(hall_type="Plate", room_size=10.0, diffusion=0.0,
                          air_absorption=0.0, target_layout="Stereo")
         assert_parity(p, (x, rate))
+
+
+class TestFuzzParity:
+    """Randomized parameter combinations vs the oracle (fixed seeds)."""
+
+    @pytest.mark.parametrize("case_seed", [11, 22, 33, 44, 55])
+    def test_random_config(self, case_seed):
+        rng = np.random.default_rng(case_seed)
+        rate = int(rng.choice([16000, 44100, 48000]))
+        n = int(rng.integers(rate // 4, rate))
+        t = np.arange(n) / rate
+        x = (
+            0.4 * np.sin(2 * np.pi * rng.uniform(100, 2000) * t)
+            + 0.05 * rng.standard_normal(n)
+        ).astype(np.float32)
+        p = RenderParams(
+            hall_type=str(rng.choice(["Plate", "Room", "Cathedral"])),
+            material=str(rng.choice(list(config.MATERIAL_ABSORPTION))),
+            room_size=float(rng.choice([10, 60, 100, 200])),
+            diffusion=float(rng.uniform(0, 1)),
+            air_absorption=float(rng.uniform(0, 1)),
+            early_level=float(rng.uniform(0, 2)),
+            late_level=float(rng.uniform(0, 2)),
+            dry_wet=float(rng.uniform(0, 1)),
+            dry_wet_kill_start=float(rng.uniform(0, 1)),
+            bass_gain=float(rng.uniform(0.1, 5)),
+            treble_gain=float(rng.uniform(0.1, 5)),
+            x_pos=float(rng.uniform(0, 1)),
+            y_pos=float(rng.uniform(0, 1)),
+            z_pos=float(rng.uniform(0, 1)),
+            target_layout=str(rng.choice(list(config.CHANNEL_LAYOUTS))),
+        )
+        assert_parity(p, (x, rate), seed=case_seed)
