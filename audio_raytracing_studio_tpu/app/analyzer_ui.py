@@ -18,17 +18,13 @@ try:
     import gradio as gr
 
     GRADIO_AVAILABLE = True
-except ImportError:  # pragma: no cover - optional UI
-    gr = None
+except ImportError:  # headless images: the executable in-repo UI runtime
+    from . import _gradio_headless as gr
+
     GRADIO_AVAILABLE = False
 
 
 def build_demo():
-    if not GRADIO_AVAILABLE:
-        raise ImportError(
-            "gradio is not installed; use audio_raytracing_studio_tpu.cli.analyzer"
-        )
-
     def do_analyze(file):
         if file is None:
             return "Keine Datei."

@@ -114,6 +114,12 @@ def apply_raytrace_convolution_3d(
                 return None, None, f"Fehler Laden/Resample IR: {ir_err}"
 
         try:
+            # UI handlers can run from any cwd; the axon plugin only registers
+            # from some (see utils/runtime.ensure_backend) — fall back cleanly
+            # instead of leaking a backend error into the render contract.
+            from ..utils.runtime import ensure_backend
+
+            ensure_backend()
             seed_val = (
                 seed
                 if seed is not None

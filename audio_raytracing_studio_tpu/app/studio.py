@@ -28,22 +28,28 @@ try:
     import gradio as gr
 
     GRADIO_AVAILABLE = True
-except ImportError:  # pragma: no cover - UI is optional in headless images
-    gr = None
+except ImportError:  # headless images: the executable in-repo UI runtime
+    from . import _gradio_headless as gr
+
     GRADIO_AVAILABLE = False
 
 
 def _require_gradio():
     if not GRADIO_AVAILABLE:
         raise ImportError(
-            "gradio is not installed; the web UI is unavailable. "
-            "Use audio_raytracing_studio_tpu.cli.render for headless rendering."
+            "gradio is not installed; the web UI cannot serve HTTP. "
+            "build_demo() still works on the headless runtime "
+            "(app._gradio_headless) and the full event graph is drivable; "
+            "use audio_raytracing_studio_tpu.cli.render for headless rendering."
         )
 
 
 def build_demo(store: PresetStore | None = None):
-    """Construct the gr.Blocks app (parity layout with the reference UI)."""
-    _require_gradio()
+    """Construct the gr.Blocks app (parity layout with the reference UI).
+
+    Works with real gradio when installed, else on the API-compatible
+    headless runtime — same wiring either way.
+    """
     store = store or PresetStore(".")
 
     theme = gr.themes.Soft(

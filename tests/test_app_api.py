@@ -173,12 +173,17 @@ class TestMarker:
 
 
 class TestStudioGating:
-    def test_import_without_gradio(self):
+    def test_headless_fallback(self, tmp_path, monkeypatch):
+        """Without gradio, build_demo() runs on the headless runtime and only
+        launching/serving raises (see tests/test_studio_ui.py for the drive)."""
+        monkeypatch.chdir(tmp_path)
         from audio_raytracing_studio_tpu.app import studio
 
         assert studio.GRADIO_AVAILABLE is False
+        demo = studio.build_demo()
+        assert demo is not None
         with pytest.raises(ImportError, match="gradio"):
-            studio.build_demo()
+            studio.main()
 
 
 class TestCLI:

