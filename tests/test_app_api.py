@@ -167,9 +167,32 @@ class TestMarker:
         assert os.path.exists(base)
         m = marker.update_marker_image(0.3, 0.7)
         assert m and os.path.exists(m)
-        norm = marker.click_to_normalized(150, 100)
+        w, h = marker.MAP_SIZE
+        norm = marker.click_to_normalized(w // 2, h // 2)
         assert norm == (0.5, 0.5)
         os.remove(m)
+
+    def test_map_asset_is_a_real_layout(self, tmp_path, monkeypatch):
+        """Not a placeholder: a full-size rendered speaker map (ref ships a
+        94 KB surround_layout_3d.png, raytracer_studio.py:26)."""
+        monkeypatch.chdir(tmp_path)
+        base = marker.ensure_map_asset()
+        from PIL import Image
+
+        with Image.open(base) as img:
+            assert img.size == marker.MAP_SIZE
+            # enough visual structure to be a map, not a flat fill
+            colors = img.convert("RGB").getcolors(maxcolors=100000)
+            assert colors and len(colors) > 50
+        assert os.path.getsize(base) > 5000
+
+    def test_click_corners_clip(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        marker.ensure_map_asset()
+        w, h = marker.MAP_SIZE
+        assert marker.click_to_normalized(0, 0) == (0.0, 0.0)
+        assert marker.click_to_normalized(10 * w, 10 * h) == (1.0, 1.0)
+        assert marker.click_to_normalized(-5, -5) == (0.0, 0.0)
 
 
 class TestStudioGating:

@@ -124,7 +124,9 @@ class TestTab1Events:
         demo, _ = ui
         demo.startup()
         img = demo.get("Karte (Klicken für X/Y)")
-        demo.fire(img, "select", event_data=hgr.SelectData(index=(225, 50)))
+        w, h = marker.MAP_SIZE
+        demo.fire(img, "select",
+                  event_data=hgr.SelectData(index=(int(0.75 * w), int(0.25 * h))))
         assert demo.get("↔️ X (L/R)").value == pytest.approx(0.75)
         assert demo.get("↕️ Y (F/B)").value == pytest.approx(0.25)
         out_img = demo.get("🎯 Position (X/Y)").value
