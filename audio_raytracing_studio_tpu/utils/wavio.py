@@ -68,19 +68,102 @@ def _decode_pcm24(raw: bytes, num_values: int) -> np.ndarray:
     return as_int.astype(np.float32) / 8388608.0
 
 
-def read(path_or_file: Union[str, os.PathLike, BinaryIO]) -> Tuple[np.ndarray, int]:
-    """Read a WAV file → (float32 array of shape (samples, channels), rate)."""
-    if hasattr(path_or_file, "read"):
-        fh = path_or_file
-        close = False
-    else:
-        fh = open(path_or_file, "rb")
-        close = True
+# Non-WAV container magic → human name (the reference accepts these through
+# soundfile/FFmpeg, raytracer_studio.py:1013 + README.md:67-75).
+_CONTAINER_SIGNATURES: Tuple[Tuple[bytes, str], ...] = (
+    (b"fLaC", "FLAC"),
+    (b"OggS", "OGG/Vorbis"),
+    (b"ID3", "MP3"),
+    (b"\xff\xfb", "MP3"),
+    (b"\xff\xf3", "MP3"),
+    (b"\xff\xf2", "MP3"),
+    (b"\xff\xf1", "AAC"),
+    (b"\xff\xf9", "AAC"),
+)
+
+
+def sniff_container(head: bytes) -> Union[str, None]:
+    """Best-effort container name from the first bytes (None if unknown)."""
+    if len(head) >= 12 and head[:4] == b"RIFF" and head[8:12] == b"WAVE":
+        return "WAV"
+    if len(head) >= 12 and head[4:8] == b"ftyp":
+        return "MP4/M4A"
+    if len(head) >= 12 and head[:4] == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):
+        return "AIFF"
+    for magic, name in _CONTAINER_SIGNATURES:
+        if head.startswith(magic):
+            return name
+    return None
+
+
+def _decode_via_ffmpeg(path: Union[str, os.PathLike]) -> Tuple[np.ndarray, int]:
+    """Decode any ffmpeg-supported file to float32 WAV via a temp file."""
+    import subprocess
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(suffix=".wav", prefix="ars_decode_")
+    os.close(fd)
     try:
-        return _read_stream(fh)
+        proc = subprocess.run(
+            ["ffmpeg", "-y", "-v", "error", "-i", str(path),
+             "-acodec", "pcm_f32le", "-f", "wav", tmp],
+            capture_output=True,
+        )
+        if proc.returncode != 0:
+            raise ValueError(
+                f"ffmpeg konnte die Datei nicht dekodieren: "
+                f"{proc.stderr.decode('utf-8', 'replace').strip()[:300]}"
+            )
+        with open(tmp, "rb") as fh:
+            return _read_stream(fh)
     finally:
-        if close:
-            fh.close()
+        try:
+            os.remove(tmp)
+        except OSError:
+            pass
+
+
+def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndarray, int]:
+    """Non-WAV inputs: soundfile if importable, else ffmpeg, else a clear
+    user-facing error (the reference's dependency posture — FLAC/OGG via
+    soundfile, everything else via FFmpeg)."""
+    try:  # optional, not in the base image
+        import soundfile as sf  # type: ignore
+
+        data, rate = sf.read(str(path), dtype="float32", always_2d=True)
+        return np.asarray(data, dtype=np.float32), int(rate)
+    except ImportError:
+        pass
+    import shutil
+
+    if shutil.which("ffmpeg") is not None:
+        return _decode_via_ffmpeg(path)
+    raise ValueError(
+        f"{container}-Eingabe wird nativ nicht unterstützt und ffmpeg wurde "
+        f"nicht gefunden. Bitte die Datei als WAV bereitstellen oder ffmpeg "
+        f"installieren (wie beim Referenz-Studio: FFmpeg-Abhängigkeit für "
+        f"Nicht-WAV-Formate)."
+    )
+
+
+def read(path_or_file: Union[str, os.PathLike, BinaryIO]) -> Tuple[np.ndarray, int]:
+    """Read an audio file → (float32 array of shape (samples, channels), rate).
+
+    WAV is decoded natively; FLAC/OGG/MP3/AAC/MP4/AIFF inputs route through
+    soundfile or ffmpeg when available and otherwise raise a clear
+    install-ffmpeg error (reference: sf.read at raytracer_studio.py:1013,
+    FFmpeg note at :1396).  File-like inputs must be WAV.
+    """
+    if hasattr(path_or_file, "read"):
+        return _read_stream(path_or_file)
+    with open(path_or_file, "rb") as fh:
+        head = fh.read(12)
+        container = sniff_container(head)
+        if container == "WAV" or container is None:
+            # unknown bytes still go to the WAV parser for its error message
+            fh.seek(0)
+            return _read_stream(fh)
+    return _read_nonwav(path_or_file, container)
 
 
 def _read_stream(fh: BinaryIO) -> Tuple[np.ndarray, int]:
@@ -271,9 +354,11 @@ def probe(path: Union[str, os.PathLike]) -> dict:
 
 
 def info(path: Union[str, os.PathLike]) -> dict:
-    """Basic file info: rate, channels, frames, duration (analyser.py:50-58)."""
-    with open(path, "rb") as fh:
-        data, rate = _read_stream(fh)
+    """Basic file info: rate, channels, frames, duration (analyser.py:50-58).
+
+    Routes through ``read`` so non-WAV containers work wherever decode does.
+    """
+    data, rate = read(path)
     return {
         "samplerate": rate,
         "channels": data.shape[1],

@@ -93,3 +93,88 @@ def test_probe_rejects_garbage(tmp_path):
     path.write_bytes(b"RIFFxxxxWAVEjunk")
     with pytest.raises(ValueError):
         wavio.probe(path)
+
+
+class TestNonWavFallback:
+    """Non-WAV containers: sniff, route to ffmpeg when present, clean error
+    otherwise (reference dependency posture, raytracer_studio.py:1013/:1396)."""
+
+    def test_sniff_containers(self):
+        assert wavio.sniff_container(b"fLaC" + b"\x00" * 8) == "FLAC"
+        assert wavio.sniff_container(b"OggS" + b"\x00" * 8) == "OGG/Vorbis"
+        assert wavio.sniff_container(b"ID3\x04" + b"\x00" * 8) == "MP3"
+        assert wavio.sniff_container(b"\xff\xfbxx" + b"\x00" * 8) == "MP3"
+        assert wavio.sniff_container(b"\x00\x00\x00 ftypM4A " + b"\x00" * 4) == "MP4/M4A"
+        assert wavio.sniff_container(b"FORM\x00\x00\x00\x00AIFF") == "AIFF"
+        assert wavio.sniff_container(b"RIFF\x00\x00\x00\x00WAVE") == "WAV"
+        assert wavio.sniff_container(b"garbage bytes") is None
+
+    def test_flac_without_ffmpeg_clear_error(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("PATH", str(tmp_path))  # hide any ffmpeg
+        flac = tmp_path / "x.flac"
+        flac.write_bytes(b"fLaC" + b"\x00" * 64)
+        with pytest.raises(ValueError, match="ffmpeg"):
+            wavio.read(flac)
+
+    def test_unknown_bytes_keep_wav_error(self, tmp_path):
+        bad = tmp_path / "x.bin"
+        bad.write_bytes(b"not audio at all, promise")
+        with pytest.raises(ValueError, match="RIFF/WAVE"):
+            wavio.read(bad)
+
+    def test_ffmpeg_decode_plumbing(self, tmp_path, monkeypatch):
+        """A stub ffmpeg on PATH proves the decode path end-to-end."""
+        import stat
+        import sys
+
+        stub = tmp_path / "ffmpeg"
+        stub.write_text(
+            "#!%s\n"
+            "import sys, numpy as np\n"
+            "sys.path.insert(0, %r)\n"
+            "from audio_raytracing_studio_tpu.utils import wavio\n"
+            "out = sys.argv[-1]\n"
+            "x = np.linspace(-0.5, 0.5, 480, dtype=np.float32)\n"
+            "wavio.write(out, np.stack([x, -x], 1), 24000, subtype='FLOAT')\n"
+            % (sys.executable, "/root/repo")
+        )
+        stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv("PATH", str(tmp_path))
+        flac = tmp_path / "y.flac"
+        flac.write_bytes(b"fLaC" + b"\x00" * 64)
+        data, rate = wavio.read(flac)
+        assert rate == 24000 and data.shape == (480, 2)
+        assert np.isclose(data[0, 0], -0.5)
+        # info() rides the same path
+        meta = wavio.info(flac)
+        assert meta["samplerate"] == 24000 and meta["channels"] == 2
+
+    def test_ffmpeg_failure_surfaces(self, tmp_path, monkeypatch):
+        import stat
+        import sys
+
+        stub = tmp_path / "ffmpeg"
+        stub.write_text(
+            "#!%s\nimport sys\nsys.stderr.write('kaputt')\nsys.exit(1)\n"
+            % sys.executable
+        )
+        stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv("PATH", str(tmp_path))
+        flac = tmp_path / "z.flac"
+        flac.write_bytes(b"fLaC" + b"\x00" * 64)
+        with pytest.raises(ValueError, match="kaputt"):
+            wavio.read(flac)
+
+    def test_ui_error_contract_for_flac(self, tmp_path, monkeypatch):
+        """The app surfaces the install-ffmpeg message via 'Fehler beim Laden'."""
+        monkeypatch.setenv("PATH", str(tmp_path))
+        from audio_raytracing_studio_tpu.app import api
+        from tests.test_app_api import DEFAULT_ARGS
+
+        flac = tmp_path / "u.flac"
+        flac.write_bytes(b"fLaC" + b"\x00" * 64)
+        player, download, msg = api.apply_raytrace_convolution_3d(
+            str(flac), **DEFAULT_ARGS
+        )
+        assert player is None and download is None
+        assert msg.startswith("Fehler beim Laden:") and "ffmpeg" in msg
