@@ -362,8 +362,9 @@ def render(
         if draws is not None:
             delays, strengths, noise = ir_synth.draws_to_device(draws)
         else:
-            key = jax.random.PRNGKey(0 if seed is None else seed)
-            delays, strengths, noise = ir_synth.sample_draws(key, setup.ir_shape)
+            delays, strengths, noise = ir_synth.hash_draws(
+                0 if seed is None else int(seed), setup.ir_shape
+            )
 
         out_cn = _render_internal_core(
             audio_cn,

@@ -78,31 +78,38 @@ class IRScalars(NamedTuple):
         )
 
 
-def sample_draws(
-    key: jax.Array, shape: IRShape
+def hash_draws(
+    seed: jax.Array | int, shape: IRShape
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Draw (delays, strengths, noise) on device from a PRNG key.
+    """Draw (delays, strengths, noise) from the counter-based stream (ops.rng).
+
+    Every value is a pure function of (seed, stream, index) — the SAME values
+    the fused Pallas bank generates on-core for the same seed, so jnp and
+    Pallas backends render identical audio (PARITY.md "seed streams v2").
 
     Uses the full static MAX_REFLECTIONS budget; taps beyond the shape's
-    reflection_count are masked out downstream, so the same key gives the
+    reflection_count are masked out downstream, so the same seed gives the
     same IR regardless of the configured tap count.
     """
-    k_delay, k_strength, k_noise = jax.random.split(key, 3)
+    from . import rng
+
+    if isinstance(seed, (int, np.integer)):
+        # any Python int (e.g. os.urandom 32-bit values ≥ 2^31) wraps into
+        # the int32 carrier; the stream only sees the uint32 bit pattern
+        seed = np.uint32(int(seed) & 0xFFFFFFFF).astype(np.int32)
+    seed = jnp.asarray(seed, dtype=jnp.int32)
     hi = max(2, shape.actual_max_early_delay)
-    delays = jax.random.randint(k_delay, (MAX_REFLECTIONS,), 1, hi, dtype=jnp.int32)
-    strengths = jax.random.uniform(
-        k_strength,
-        (MAX_REFLECTIONS,),
-        minval=config.EARLY_STRENGTH_RANGE[0],
-        maxval=config.EARLY_STRENGTH_RANGE[1],
-        dtype=jnp.float32,
+    k = jnp.arange(MAX_REFLECTIONS, dtype=jnp.uint32)
+    delay_bits = rng.counter_bits(rng.stream_mix(seed, rng.DELAY_STREAM), k)
+    delays = 1 + (delay_bits % np.uint32(max(1, hi - 1))).astype(jnp.int32)
+    strengths = rng.uniform_from_bits(
+        rng.counter_bits(rng.stream_mix(seed, rng.STRENGTH_STREAM), k),
+        config.EARLY_STRENGTH_RANGE[0],
+        config.EARLY_STRENGTH_RANGE[1],
     )
-    noise = jax.random.uniform(
-        k_noise,
-        (max(1, shape.late_length),),
-        minval=-1.0,
-        maxval=1.0,
-        dtype=jnp.float32,
+    t = jnp.arange(max(1, shape.late_length), dtype=jnp.uint32)
+    noise = rng.uniform_from_bits(
+        rng.counter_bits(rng.stream_mix(seed, rng.NOISE_STREAM), t), -1.0, 1.0
     )
     return delays, strengths, noise
 

@@ -1,27 +1,40 @@
-"""Fused RIR-bank synthesis as a Pallas TPU kernel.
+"""Fused RIR-bank synthesis as Pallas TPU kernels.
 
 The north star names this component explicitly: "the procedural RIR generator
 … becomes a fused Pallas kernel that synthesizes banks of impulse responses
-in parallel".  One kernel program per bank entry generates, entirely in
-VMEM with the on-core PRNG (no HBM round trips, no host randomness):
+in parallel".  Everything happens in VMEM — early-tap scatter, late-tail
+noise, smoothing, decay envelope — with randomness generated *on core* from
+the counter-based stream in ``ops.rng`` (reference semantics:
+raytracer_studio.py:238-308).
 
-  early: random taps → masked accumulation over the tap budget,
-  late:  uniform noise → static-width moving average → exponential decay
-         envelope → amplitude shaping,
-  both:  peak normalization (0.9 / 0.7, reference raytracer_studio.py:299-303).
+Two kernels:
 
-Layout: an IR of length L lives as an (8, L/8) float32 VMEM tile in
-*column-major* sample order (sample p at row p%8, column p//8) — the natural
-sublane packing, so a 10 s 48 kHz IR costs 1.9 MB of VMEM, and flat sample
-shifts decompose into two rolls + a select (``_flat_shift``).
+1. ``_rir_block_kernel`` — the production path.  Grid ``(batch, blocks)``
+   over column blocks of the (8, cols) column-major IR tile, so VMEM holds
+   one block (not the whole IR): **any IR length compiles**, including the
+   reference's 10 s ceiling (raytracer_studio.py:223) and beyond.  Because
+   every draw is a pure function of (seed, stream, sample index), a block
+   regenerates its smoothing halo locally — no neighbour reads, no
+   cross-block DMA, bit-identical output for any block size.  Per-block
+   partial reductions (noise/smoothed moments, |early|/|tail| maxima) come
+   back via SMEM and the global normalizations (ref :289-290, :299-303) are
+   applied as one fused elementwise rescale outside the kernel.
 
-Randomness contract: the bank uses the TPU core PRNG seeded per entry —
-deterministic for a given (seed, shape) but a *different* stream than
-jax.random; oracle-parity tests therefore run against the injected-draws
-path (ops.ir_synth), while this kernel is the production fast path whose
-outputs are validated structurally/distributionally (plus: the CPU Pallas
-interpreter ignores prng_seed values, so seed-sensitivity is asserted on
-real TPU only).
+2. ``_rir_bank_kernel`` — the injected-draws variant (one program per bank
+   entry, explicit randomness): the oracle-parity harness, also used by the
+   CPU interpreter tests.  Bounded by MAX_BANK_IR_LENGTH (whole IR in VMEM).
+
+Randomness contract: the same ``seed`` makes this bank and the jnp path
+(``ops.ir_synth.hash_draws`` → ``synthesize``) draw identical values — the
+backends agree to float-roundoff (normalization reduction order), tested in
+tests/test_pallas_rir.py on CPU via the interpreter and identically on TPU.
+
+Layout: an IR of length L lives as an (8, L/8) float32 tile in *column-major*
+sample order (sample p at row p%8, column p//8) — the natural sublane
+packing; flat sample shifts decompose into two rolls + a select
+(``_flat_shift``, injected kernel only — the production kernel needs no
+shifts at all because counter-based noise is evaluated at shifted indices
+directly).
 """
 
 from __future__ import annotations
@@ -36,29 +49,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
+from . import rng
 from .ir_synth import MAX_REFLECTIONS, IRScalars, IRShape
 
 LANE = 128
 SUBLANE = 8
 TILE_FLAT = SUBLANE * LANE  # 1024
 
-# Longest IR the single-program-per-entry design compiles for on v5e: the
-# whole IR plus the smoothing/envelope temporaries must fit VMEM.  Measured
-# ceiling ~280k samples (5.8 s @ 48 kHz); 2^18 leaves margin.  Longer IRs
-# need the column-block grid redesign (ROADMAP) — callers fall back to the
-# jnp synthesis path.
+# Column-block size of the production kernel: 8×4096 f32 = 128 KiB per
+# buffer — a handful of live blocks sit comfortably in 16 MiB VMEM.
+BLOCK_COLS = 4096
+BLOCK_FLAT = SUBLANE * BLOCK_COLS  # 32768 samples per grid step
+
+# Longest IR the *injected-draws* (single-program-per-entry) kernel compiles
+# for on v5e: the whole IR plus temporaries must fit VMEM.  The production
+# block kernel has no such limit.
 MAX_BANK_IR_LENGTH = 1 << 18
+
+_N_STATS = 8  # per-(entry, block) partials — see _rir_block_kernel
 
 
 def _pad_to_tile(n: int) -> int:
     return ((n + TILE_FLAT - 1) // TILE_FLAT) * TILE_FLAT
-
-
-def _uniform_from_bits(bits: jnp.ndarray, lo: float, hi: float) -> jnp.ndarray:
-    """uint32 bits → uniform [lo, hi) float32 via the mantissa trick."""
-    mantissa = jax.lax.shift_right_logical(bits, np.uint32(9))
-    one_to_two = pltpu.bitcast(mantissa | np.uint32(0x3F800000), jnp.float32)
-    return lo + (one_to_two - 1.0) * (hi - lo)
 
 
 def _flat_shift(x: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -80,24 +92,192 @@ def _flat_shift(x: jnp.ndarray, s: int) -> jnp.ndarray:
     return jnp.where(row_id >= r, a, b)
 
 
-def _rir_bank_kernel(
+def _early_from_taps(pos, delays, strengths, shape: IRShape, one_minus_absorption,
+                     directionality):
+    """Accumulate the early-tap scatter over a position tile (ref :258-268).
+
+    ``delays``/``strengths`` are (1, ≥R) tiles; taps are extracted as scalars
+    and added where the global flat position matches.  Shared by both
+    kernels; blocks that cannot contain taps skip it via ``pl.when``.
+    """
+    falloff = 1.0 - (
+        delays.astype(jnp.float32) / float(shape.actual_max_early_delay)
+    ) ** config.EARLY_DELAY_DECAY_EXP
+    amps = (
+        strengths
+        * one_minus_absorption
+        * jnp.clip(directionality, 0.1, 1.0)
+        * falloff
+    )
+    early = jnp.zeros(pos.shape, dtype=jnp.float32)
+    for k in range(min(MAX_REFLECTIONS, shape.reflection_count)):
+        d_k = delays[0, k]
+        valid = jnp.logical_and(d_k > 0, d_k < shape.split_point)
+        amp_k = jnp.where(valid, amps[0, k], 0.0)
+        early = early + jnp.where(pos == d_k, amp_k, 0.0)
+    return early
+
+
+# --------------------------------------------------------------------------
+# Production kernel: column-block grid, counter-based on-core randomness.
+# --------------------------------------------------------------------------
+
+
+def _rir_block_kernel(
     seed_ref,  # SMEM (B, 1) int32 — per-entry seeds (full array)
     scal_ref,  # SMEM (B, 4) f32 — 1−absorption, directionality, log_decay, initial_amp
-    *refs,  # [delays, strengths, noise refs when injected] + [early_out, late_out]
+    early_ref,  # VMEM (1, 8, BC) — this (entry, block)'s early columns
+    late_ref,  # VMEM (1, 8, BC) — this (entry, block)'s raw tail columns
+    stats_ref,  # SMEM (B, nblk, 8) f32 — per-(entry, block) partials (full array)
+    *,
     shape: IRShape,
-    cols: int,
-    injected: bool,
+    block_cols: int,
 ):
     b = pl.program_id(0)
-    if injected:
-        # Explicit draws (testing/parity): same contract as ops.ir_synth's
-        # injected-draws path; lets the CPU Pallas interpreter — whose PRNG
-        # emulation returns constant bits — validate the full kernel math.
-        delays_ref, strengths_ref, noise_ref, early_ref, late_ref = refs
-    else:
-        early_ref, late_ref = refs
-        pltpu.prng_seed(seed_ref[b, 0])
+    blk = pl.program_id(1)
+    seed = seed_ref[b, 0]
 
+    one_minus_absorption = scal_ref[b, 0]
+    directionality = scal_ref[b, 1]
+    log_decay = scal_ref[b, 2]
+    initial_amp = scal_ref[b, 3]
+
+    base = blk * BLOCK_FLAT
+    row_id = jax.lax.broadcasted_iota(jnp.int32, (SUBLANE, block_cols), 0)
+    col_id = jax.lax.broadcasted_iota(jnp.int32, (SUBLANE, block_cols), 1)
+    pos = base + col_id * SUBLANE + row_id  # global flat sample index
+
+    # --- early taps (ref :258-268): only blocks overlapping [1, split) ---
+    early_ref[0, :, :] = jnp.zeros((SUBLANE, block_cols), jnp.float32)
+    if shape.early_taps_active:
+
+        @pl.when(base < shape.split_point)
+        def _():
+            k_tile = jax.lax.broadcasted_iota(jnp.uint32, (1, LANE), 1)
+            hi = max(2, shape.actual_max_early_delay)
+            d_bits = rng.counter_bits(rng.stream_mix(seed, rng.DELAY_STREAM), k_tile)
+            delays = 1 + (d_bits % np.uint32(max(1, hi - 1))).astype(jnp.int32)
+            strengths = rng.uniform_from_bits(
+                rng.counter_bits(rng.stream_mix(seed, rng.STRENGTH_STREAM), k_tile),
+                *config.EARLY_STRENGTH_RANGE,
+            )
+            early_ref[0, :, :] = _early_from_taps(
+                pos, delays, strengths, shape, one_minus_absorption, directionality
+            )
+
+    # --- late tail (ref :270-296) ---
+    sum_n = jnp.float32(0.0)
+    sumsq_n = jnp.float32(0.0)
+    sum_s = jnp.float32(0.0)
+    sumsq_s = jnp.float32(0.0)
+    max_t = jnp.float32(0.0)
+    if shape.late_length > 0:
+        noise_mix = rng.stream_mix(seed, rng.NOISE_STREAM)
+        t = pos - shape.split_point  # tail index; noise counter
+
+        def noise_at(idx):
+            # zero outside [0, late_length): the reference's zero-padded
+            # 'same' smoothing at both tail edges.  Out-of-range counters
+            # produce garbage bits that are masked to 0 — no halo reads.
+            u = rng.uniform_from_bits(rng.counter_bits(noise_mix, idx), -1.0, 1.0)
+            in_range = jnp.logical_and(idx >= 0, idx < shape.late_length)
+            return jnp.where(in_range, u, 0.0)
+
+        noise = noise_at(t)
+        w = shape.noise_smooth_width
+        if w > 1 and shape.late_length >= w:
+            lead = w // 2
+            acc = jnp.zeros_like(noise)
+            for k in range(w):
+                # np.convolve 'same': tap k reads noise[t + k - lead] —
+                # counter-based draws are evaluated at the shifted index
+                # directly, so block boundaries need no neighbour data.
+                acc = acc + (noise if k == lead else noise_at(t + (k - lead)))
+            smoothed = acc / float(w)
+        else:
+            smoothed = noise
+
+        valid_tail = jnp.logical_and(t >= 0, t < shape.late_length)
+        t_f = jnp.maximum(t, 0).astype(jnp.float32)
+        envelope = jnp.exp(t_f * log_decay)
+        tail_raw = jnp.where(valid_tail, smoothed * initial_amp * envelope, 0.0)
+        late_ref[0, :, :] = tail_raw
+
+        smoothed_v = jnp.where(valid_tail, smoothed, 0.0)
+        sum_n = jnp.sum(noise)  # noise_at already zeroes out-of-range
+        sumsq_n = jnp.sum(noise * noise)
+        sum_s = jnp.sum(smoothed_v)
+        sumsq_s = jnp.sum(smoothed_v * smoothed_v)
+        max_t = jnp.max(jnp.abs(tail_raw))
+    else:
+        late_ref[0, :, :] = jnp.zeros((SUBLANE, block_cols), jnp.float32)
+
+    max_e = jnp.max(jnp.abs(early_ref[0, :, :]))
+    stats_ref[b, blk, 0] = sum_n
+    stats_ref[b, blk, 1] = sumsq_n
+    stats_ref[b, blk, 2] = sum_s
+    stats_ref[b, blk, 3] = sumsq_s
+    stats_ref[b, blk, 4] = max_e
+    stats_ref[b, blk, 5] = max_t
+    stats_ref[b, blk, 6] = 0.0
+    stats_ref[b, blk, 7] = 0.0
+
+
+def _finalize_bank(early_raw, late_raw, stats, shape: IRShape):
+    """Global normalizations from per-block partials (ref :289-290, :299-303).
+
+    Scalar factors commute with |·| maxima, so the smoothing variance
+    restore (std_raw/std_smooth) and the 0.9/0.7 peak normalizations fold
+    into one per-entry multiplier applied as a fused elementwise rescale.
+    """
+    sum_n = jnp.sum(stats[:, :, 0], axis=1)
+    sumsq_n = jnp.sum(stats[:, :, 1], axis=1)
+    sum_s = jnp.sum(stats[:, :, 2], axis=1)
+    sumsq_s = jnp.sum(stats[:, :, 3], axis=1)
+    max_e = jnp.max(stats[:, :, 4], axis=1)
+    max_t = jnp.max(stats[:, :, 5], axis=1)
+
+    w = shape.noise_smooth_width
+    if shape.late_length > 0 and w > 1 and shape.late_length >= w:
+        n = float(shape.late_length)
+        var_n = jnp.maximum(sumsq_n / n - jnp.square(sum_n / n), 0.0)
+        var_s = jnp.maximum(sumsq_s / n - jnp.square(sum_s / n), 0.0)
+        std_n, std_s = jnp.sqrt(var_n), jnp.sqrt(var_s)
+        # degenerate-smoothing fallback (jnp path keeps raw noise) cannot
+        # occur for counter-based noise with late_length ≥ w; the scalar
+        # guard below only protects against division by ~0.
+        c = jnp.where(std_s > 1e-6, std_n / std_s, 1.0)
+    else:
+        c = jnp.ones_like(max_t)
+
+    late_peak = max_t * c
+    late_scale = c * jnp.where(
+        late_peak > 1e-6, config.LATE_NORM_PEAK / late_peak, 1.0
+    )
+    early_scale = jnp.where(max_e > 1e-6, config.EARLY_NORM_PEAK / max_e, 1.0)
+    early = early_raw * early_scale[:, None, None]
+    late = late_raw * late_scale[:, None, None]
+    return early, late
+
+
+# --------------------------------------------------------------------------
+# Injected-draws kernel: one program per entry (oracle-parity harness).
+# --------------------------------------------------------------------------
+
+
+def _rir_bank_kernel(
+    seed_ref,  # SMEM (B, 1) int32 — unused in injected mode (kept for layout)
+    scal_ref,  # SMEM (B, 4) f32
+    delays_ref,
+    strengths_ref,
+    noise_ref,
+    early_ref,
+    late_ref,
+    *,
+    shape: IRShape,
+    cols: int,
+):
+    b = pl.program_id(0)
     one_minus_absorption = scal_ref[b, 0]
     directionality = scal_ref[b, 1]
     log_decay = scal_ref[b, 2]
@@ -110,45 +290,22 @@ def _rir_bank_kernel(
     # --- early taps (ref :258-268) ---
     early = jnp.zeros((SUBLANE, cols), dtype=jnp.float32)
     if shape.early_taps_active:
-        hi = max(2, shape.actual_max_early_delay)
-        if injected:
-            delays = delays_ref[0, :, :][0:1]
-            strengths = strengths_ref[0, :, :][0:1]
-        else:
-            # (8, 128) lane-aligned bit block; row 0 → delays, row 1 → strengths
-            tap_bits = pltpu.bitcast(
-                pltpu.prng_random_bits((SUBLANE, LANE)), jnp.uint32
-            )
-            delays = 1 + (tap_bits[0:1] % np.uint32(max(1, hi - 1))).astype(jnp.int32)
-            strengths = _uniform_from_bits(tap_bits[1:2], *config.EARLY_STRENGTH_RANGE)
-        falloff = 1.0 - (
-            delays.astype(jnp.float32) / float(shape.actual_max_early_delay)
-        ) ** config.EARLY_DELAY_DECAY_EXP
-        amps = (
-            strengths
-            * one_minus_absorption
-            * jnp.clip(directionality, 0.1, 1.0)
-            * falloff
+        early = _early_from_taps(
+            pos,
+            delays_ref[0, :, :][0:1],
+            strengths_ref[0, :, :][0:1],
+            shape,
+            one_minus_absorption,
+            directionality,
         )
-        for k in range(min(MAX_REFLECTIONS, shape.reflection_count)):
-            d_k = delays[0, k]
-            valid = jnp.logical_and(d_k > 0, d_k < shape.split_point)
-            amp_k = jnp.where(valid, amps[0, k], 0.0)
-            early = early + jnp.where(pos == d_k, amp_k, 0.0)
 
     # --- late tail (ref :270-296) ---
     late = jnp.zeros((SUBLANE, cols), dtype=jnp.float32)
     if shape.late_length > 0:
-        if injected:
-            noise = noise_ref[0, :, :]
-        else:
-            noise_bits = pltpu.bitcast(
-                pltpu.prng_random_bits((SUBLANE, cols)), jnp.uint32
-            )
-            noise = _uniform_from_bits(noise_bits, -1.0, 1.0)
+        noise = noise_ref[0, :, :]
         # Zero noise outside [0, late_length): gives the reference's
         # zero-padded 'same' smoothing at BOTH tail edges (the roll-based
-        # flat shifts would otherwise wrap unrelated PRNG samples in).
+        # flat shifts would otherwise wrap unrelated samples in).
         noise = jnp.where(pos < shape.late_length, noise, 0.0)
 
         w = shape.noise_smooth_width
@@ -222,34 +379,12 @@ def pack_draws(
     return d, s, np.ascontiguousarray(n_cm)
 
 
-def fused_rir_bank(
-    seeds: jax.Array,
-    shape: IRShape,
-    scalars: IRScalars,
-    interpret: bool = False,
-    injected_draws: Tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
-) -> Tuple[jax.Array, jax.Array]:
-    """Synthesize a bank of (early, late) IRs → two (B, length) arrays.
-
-    seeds: (B,) int32 — one PRNG stream per bank entry (ignored when
-    ``injected_draws`` supplies explicit randomness; see pack_draws).
-    scalars: IRScalars of per-entry (B,) arrays OR scalars (broadcast).
-    """
-    if shape.length > MAX_BANK_IR_LENGTH and interpret is False:
-        raise ValueError(
-            f"IR length {shape.length} exceeds the fused bank's VMEM budget "
-            f"(max {MAX_BANK_IR_LENGTH}); use the jnp IR backend"
-        )
-    seeds = jnp.asarray(seeds, dtype=jnp.int32)
-    batch = seeds.shape[0]
-    l_pad = _pad_to_tile(shape.length)
-    cols = l_pad // SUBLANE
-
+def _scalar_table(scalars: IRScalars, batch: int) -> jnp.ndarray:
     def as_col(x):
         x = jnp.asarray(x, jnp.float32)
         return jnp.broadcast_to(x, (batch,)) if x.ndim == 0 else x
 
-    scal = jnp.stack(
+    return jnp.stack(
         [
             as_col(scalars.one_minus_absorption),
             as_col(scalars.directionality),
@@ -259,35 +394,108 @@ def fused_rir_bank(
         axis=1,
     )  # (B, 4)
 
-    if interpret is True:
-        # the generic HLO interpreter lacks the TPU PRNG primitives; the
-        # TPU-specific interpreter emulates them on CPU
+
+def fused_rir_bank(
+    seeds: jax.Array,
+    shape: IRShape,
+    scalars: IRScalars,
+    interpret: bool = False,
+    injected_draws: Tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Synthesize a bank of (early, late) IRs → two (B, length) arrays.
+
+    seeds: (B,) int32 — one counter-based stream per bank entry, identical to
+    ``ops.ir_synth.hash_draws`` (ignored when ``injected_draws`` supplies
+    explicit randomness; see pack_draws).
+    scalars: IRScalars of per-entry (B,) arrays OR scalars (broadcast).
+
+    The production (hash) path runs a column-block grid — any IR length.
+    The injected path holds the whole IR per program (≤ MAX_BANK_IR_LENGTH).
+    """
+    seeds = jnp.asarray(seeds, dtype=jnp.int32)
+    batch = seeds.shape[0]
+    scal = _scalar_table(scalars, batch)
+
+    if interpret is True and injected_draws is not None:
+        # pltpu.roll in the injected kernel needs the TPU-specific interpreter
         interpret = pltpu.InterpretParams()
 
-    injected = injected_draws is not None
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 1) seed table
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 4) scalar table
-    ]
-    inputs = [seeds[:, None], scal]
-    if injected:
-        tap_spec = pl.BlockSpec(
-            (1, SUBLANE, LANE), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-        )
-        noise_spec = pl.BlockSpec(
-            (1, SUBLANE, cols), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
-        )
-        in_specs += [tap_spec, tap_spec, noise_spec]
-        d, s, n = injected_draws
-        inputs += [jnp.asarray(d), jnp.asarray(s), jnp.asarray(n)]
+    if injected_draws is None:
+        return _hash_bank(seeds, scal, shape, interpret)
+    return _injected_bank(seeds, scal, shape, injected_draws, interpret)
+
+
+def _hash_bank(seeds, scal, shape: IRShape, interpret):
+    batch = seeds.shape[0]
+    n_blocks = max(1, -(-shape.length // BLOCK_FLAT))
+    l_pad = n_blocks * BLOCK_FLAT
+    total_cols = l_pad // SUBLANE
 
     kernel = functools.partial(
-        _rir_bank_kernel, shape=shape, cols=cols, injected=injected
+        _rir_block_kernel, shape=shape, block_cols=BLOCK_COLS
     )
+    out_block = pl.BlockSpec(
+        (1, SUBLANE, BLOCK_COLS),
+        lambda b, blk: (b, 0, blk),
+        memory_space=pltpu.VMEM,
+    )
+    early, late, stats = pl.pallas_call(
+        kernel,
+        grid=(batch, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 1) seed table
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, 4) scalar table
+        ],
+        out_specs=[
+            out_block,
+            out_block,
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full (B, nblk, 8) stats
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, SUBLANE, total_cols), jnp.float32),
+            jax.ShapeDtypeStruct((batch, SUBLANE, total_cols), jnp.float32),
+            jax.ShapeDtypeStruct((batch, n_blocks, _N_STATS), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seeds[:, None], scal)
+
+    early, late = _finalize_bank(early, late, stats, shape)
+    # column-major tile → flat sample order: (B, 8, C) -> (B, C, 8) -> (B, L)
+    early_flat = jnp.transpose(early, (0, 2, 1)).reshape(batch, l_pad)
+    late_flat = jnp.transpose(late, (0, 2, 1)).reshape(batch, l_pad)
+    return early_flat[:, : shape.length], late_flat[:, : shape.length]
+
+
+def _injected_bank(seeds, scal, shape: IRShape, injected_draws, interpret):
+    if shape.length > MAX_BANK_IR_LENGTH and interpret is False:
+        raise ValueError(
+            f"IR length {shape.length} exceeds the injected-draws bank's VMEM "
+            f"budget (max {MAX_BANK_IR_LENGTH}); the production hash path has "
+            f"no such limit"
+        )
+    batch = seeds.shape[0]
+    l_pad = _pad_to_tile(shape.length)
+    cols = l_pad // SUBLANE
+
+    tap_spec = pl.BlockSpec(
+        (1, SUBLANE, LANE), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    noise_spec = pl.BlockSpec(
+        (1, SUBLANE, cols), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+    d, s, n = injected_draws
+
+    kernel = functools.partial(_rir_bank_kernel, shape=shape, cols=cols)
     early, late = pl.pallas_call(
         kernel,
         grid=(batch,),
-        in_specs=in_specs,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            tap_spec,
+            tap_spec,
+            noise_spec,
+        ],
         out_specs=[
             pl.BlockSpec((1, SUBLANE, cols), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, SUBLANE, cols), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
@@ -297,9 +505,8 @@ def fused_rir_bank(
             jax.ShapeDtypeStruct((batch, SUBLANE, cols), jnp.float32),
         ],
         interpret=interpret,
-    )(*inputs)
+    )(seeds[:, None], scal, jnp.asarray(d), jnp.asarray(s), jnp.asarray(n))
 
-    # column-major tile → flat sample order: (B, 8, C) -> (B, C, 8) -> (B, L)
     early_flat = jnp.transpose(early, (0, 2, 1)).reshape(batch, l_pad)
     late_flat = jnp.transpose(late, (0, 2, 1)).reshape(batch, l_pad)
     return early_flat[:, : shape.length], late_flat[:, : shape.length]

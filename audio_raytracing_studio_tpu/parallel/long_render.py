@@ -217,8 +217,7 @@ def render_long(
         pairwise = True
         scal = pipeline._mix_scalars(p, 1.0, 1.0)
     else:
-        key = jax.random.PRNGKey(seed)
-        delays, strengths, noise = ir_synth.sample_draws(key, setup.ir_shape)
+        delays, strengths, noise = ir_synth.hash_draws(int(seed), setup.ir_shape)
         early_ir, late_ir = ir_synth.synthesize(
             setup.ir_shape, delays, strengths, noise, setup.ir_scalars
         )

@@ -47,8 +47,8 @@ def _batched_internal(
     spec: pipeline.StaticSpec,
     with_metrics: bool,
 ):
-    def one(audio_cn, key, ir_sc, mix_sc):
-        delays, strengths, noise = ir_synth.sample_draws(key, ir_shape)
+    def one(audio_cn, seed, ir_sc, mix_sc):
+        delays, strengths, noise = ir_synth.hash_draws(seed, ir_shape)
         out = pipeline.internal_graph(
             audio_cn, delays, strengths, noise, ir_sc, mix_sc,
             ir_shape=ir_shape, spec=spec,
@@ -243,24 +243,15 @@ def render_batch(
 
     if seeds is None:
         seeds = range(batch)
-    if ir_backend == "pallas":
-        from ..ops.ir_synth_pallas import MAX_BANK_IR_LENGTH
-
-        if shape0.length > MAX_BANK_IR_LENGTH:
-            import logging
-
-            logging.getLogger("ars_tpu.sharding").warning(
-                "IR length %d exceeds the fused Pallas bank's VMEM budget "
-                "(%d); falling back to the jnp IR backend",
-                shape0.length, MAX_BANK_IR_LENGTH,
-            )
-            ir_backend = "jnp"
-    if ir_backend == "pallas":
-        keys = jnp.asarray(np.asarray(list(seeds), dtype=np.int32))
-        batched_fn = _batched_internal_pallas
-    else:
-        keys = jnp.asarray(np.stack([np.asarray(jax.random.PRNGKey(s)) for s in seeds]))
-        batched_fn = _batched_internal
+    # both backends consume the same counter-based stream (ops.rng): the
+    # same seed renders the same audio on the jnp and Pallas paths, and the
+    # block-grid Pallas bank has no IR-length ceiling.
+    keys = jnp.asarray(
+        np.asarray([int(s) & 0xFFFFFFFF for s in seeds], dtype=np.uint32).view(np.int32)
+    )
+    batched_fn = (
+        _batched_internal_pallas if ir_backend == "pallas" else _batched_internal
+    )
 
     if device_mesh is not None:
         num_devices = device_mesh.shape[meshlib.DATA_AXIS]

@@ -70,7 +70,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     audio_bcn = jnp.asarray(clips_cn)
-    keys = jnp.asarray(np.stack([np.asarray(jax.random.PRNGKey(s)) for s in range(batch)]))
+    keys = jnp.arange(batch, dtype=jnp.int32)  # counter-based seeds (ops.rng)
     ir_scalars = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,)), setup.ir_scalars)
     mix_scalars = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,)), setup.mix_scalars)
 

@@ -1,11 +1,11 @@
 """Fused Pallas RIR-bank kernel tests.
 
-The CPU Pallas interpreter's PRNG emulation returns constant (zero) bits, so
-the on-core-PRNG path can only be smoke-tested structurally here; its
-statistics, determinism and seed-sensitivity are asserted on real TPU
-hardware.  Full numeric validation on CPU goes through the kernel's
-injected-draws mode, compared against the jnp synthesis path given identical
-draws (same oracle-parity strategy as the main pipeline).
+The production bank draws from the counter-based stream (ops.rng) — pure
+uint32 VPU arithmetic, so the IDENTICAL randomness path runs under the CPU
+interpreter and on TPU hardware: full numeric validation (vs the jnp
+hash-draw path) happens right here in CI, block-grid and all.  The
+injected-draws mode additionally pins the kernel math against the jnp path
+given explicit draws (the oracle-parity strategy of the main pipeline).
 """
 
 import jax
@@ -98,34 +98,86 @@ class TestInjectedParity:
         assert tail < head * 0.1
 
 
-class TestPrngPathInterpret:
-    """On-core-PRNG path under the interpreter: structure + determinism only
-    (the emulated PRNG returns constant bits — see module docstring)."""
+class TestHashPath:
+    """Production path (counter-based on-core draws) under the interpreter:
+    full numeric parity vs the jnp hash-draw path — the SAME code runs on
+    hardware, so this is the real randomness path, not an emulation."""
 
-    def test_shapes_and_determinism(self, room_shape):
+    def test_matches_jnp_hash_path(self, room_shape):
         shape, scalars = room_shape
-        e1, l1 = fused_rir_bank(np.array([5, 6]), shape, scalars, interpret=True)
-        e2, l2 = fused_rir_bank(np.array([5, 6]), shape, scalars, interpret=True)
-        assert np.asarray(e1).shape == (2, shape.length)
-        assert np.array_equal(np.asarray(e1), np.asarray(e2))
-        assert np.array_equal(np.asarray(l1), np.asarray(l2))
-        # split structure holds regardless of PRNG content
-        assert not np.any(np.asarray(e1)[:, shape.split_point :])
-        assert not np.any(np.asarray(l1)[:, : shape.split_point])
+        seeds = np.array([5, 6], np.int32)
+        e_k, l_k = map(
+            np.asarray, fused_rir_bank(seeds, shape, scalars, interpret=True)
+        )
+        assert e_k.shape == (2, shape.length)
+        for i, s in enumerate(seeds):
+            d, st, nz = ir_synth.hash_draws(int(s), shape)
+            e_j, l_j = ir_synth.synthesize(shape, d, st, nz, scalars)
+            np.testing.assert_allclose(e_k[i], np.asarray(e_j), atol=1e-6)
+            np.testing.assert_allclose(l_k[i], np.asarray(l_j), atol=1e-6)
 
-
-@pytest.mark.skipif(
-    jax.default_backend() != "tpu", reason="real PRNG needs TPU hardware"
-)
-class TestPrngPathHardware:
-    def test_seed_sensitivity_and_norms(self, room_shape):
+    def test_seed_sensitivity_norms_structure(self, room_shape):
         shape, scalars = room_shape
-        e, l = map(np.asarray, fused_rir_bank(np.arange(4), shape, scalars))
+        e, l = map(
+            np.asarray,
+            fused_rir_bank(np.arange(4, dtype=np.int32), shape, scalars, interpret=True),
+        )
         assert not np.array_equal(e[0], e[1])
         assert not np.array_equal(l[0], l[1])
         for b in range(4):
             assert np.max(np.abs(e[b])) == pytest.approx(0.9, abs=1e-4)
             assert np.max(np.abs(l[b])) == pytest.approx(0.7, abs=1e-4)
+        assert not np.any(e[:, shape.split_point :])
+        assert not np.any(l[:, : shape.split_point])
+
+    def test_determinism(self, room_shape):
+        shape, scalars = room_shape
+        e1, l1 = fused_rir_bank(np.array([9]), shape, scalars, interpret=True)
+        e2, l2 = fused_rir_bank(np.array([9]), shape, scalars, interpret=True)
+        assert np.array_equal(np.asarray(e1), np.asarray(e2))
+        assert np.array_equal(np.asarray(l1), np.asarray(l2))
+
+    def test_long_ir_multiblock(self):
+        """Cathedral at room_size=600 (≈ 7.2 s, 11 column blocks, past the
+        old 2^18 VMEM ceiling) matches the jnp path — VERDICT item 2."""
+        from audio_raytracing_studio_tpu.ops.ir_synth_pallas import BLOCK_FLAT
+
+        p = RenderParams(hall_type="Cathedral", room_size=600.0)
+        rate = 48000
+        dur, refs, maxd, split = adjust_parameters_for_3d(p.hall_type, p.room_size, p.z_pos)
+        direc = compute_final_directionality_3d(
+            p.x_pos, p.y_pos, p.z_pos, p.hall_type, p.diffusion, p.dry_wet
+        )
+        g = derive_ir_geometry(rate, dur, refs, maxd, p.material, direc, split, p.diffusion)
+        shape = ir_synth.IRShape.from_geometry(g)
+        scalars = ir_synth.IRScalars.from_geometry(g)
+        assert shape.length > (1 << 18)  # beyond the old single-program cap
+        assert -(-shape.length // BLOCK_FLAT) > 1
+
+        e_k, l_k = map(
+            np.asarray,
+            fused_rir_bank(np.array([42], np.int32), shape, scalars, interpret=True),
+        )
+        d, st, nz = ir_synth.hash_draws(42, shape)
+        e_j, l_j = ir_synth.synthesize(shape, d, st, nz, scalars)
+        np.testing.assert_allclose(e_k[0], np.asarray(e_j), atol=1e-6)
+        np.testing.assert_allclose(l_k[0], np.asarray(l_j), atol=1e-6)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu", reason="compiled-kernel check needs TPU"
+)
+class TestHashPathHardware:
+    """Same assertions as TestHashPath but compiled by Mosaic on the chip —
+    guards against interpreter/hardware divergence."""
+
+    def test_matches_jnp_hash_path_on_chip(self, room_shape):
+        shape, scalars = room_shape
+        e_k, l_k = map(np.asarray, fused_rir_bank(np.array([5]), shape, scalars))
+        d, st, nz = ir_synth.hash_draws(5, shape)
+        e_j, l_j = ir_synth.synthesize(shape, d, st, nz, scalars)
+        np.testing.assert_allclose(e_k[0], np.asarray(e_j), atol=1e-5)
+        np.testing.assert_allclose(l_k[0], np.asarray(l_j), atol=1e-5)
 
 
 def test_render_batch_pallas_backend(rng, room_shape):
@@ -185,23 +237,47 @@ def test_render_batch_pallas_sharded(rng, room_shape):
     assert np.max(np.abs(out)) <= 1.0 + 1e-5
 
 
-def test_bank_rejects_oversized_ir(room_shape):
-    """IRs past the VMEM budget raise; render_batch falls back to jnp."""
+def test_injected_bank_rejects_oversized_ir(room_shape):
+    """Only the injected-draws (whole-IR-per-program) kernel has a VMEM cap;
+    the production block-grid path has none."""
     from audio_raytracing_studio_tpu.ops import ir_synth_pallas as irp
 
     shape, scalars = room_shape
     big = shape._replace(length=irp.MAX_BANK_IR_LENGTH + 1024)
-    with pytest.raises(ValueError, match="VMEM budget"):
-        irp.fused_rir_bank(np.zeros(1, np.int32), big, scalars, interpret=False)
+    fake = (
+        np.zeros((1, irp.SUBLANE, irp.LANE), np.int32),
+        np.zeros((1, irp.SUBLANE, irp.LANE), np.float32),
+        np.zeros((1, irp.SUBLANE, 8), np.float32),
+    )
+    with pytest.raises(ValueError, match="VMEM"):
+        irp.fused_rir_bank(
+            np.zeros(1, np.int32), big, scalars, interpret=False, injected_draws=fake
+        )
 
 
-def test_render_batch_falls_back_for_long_irs(rng):
-    """Cathedral at large room size exceeds the bank budget → jnp fallback."""
+def test_backends_agree_for_same_seed(rng):
+    """VERDICT item 10: the SAME seed renders the SAME audio on the jnp and
+    Pallas IR backends (counter-based stream, PARITY.md seed streams v2)."""
+    from unittest import mock
+
+    from audio_raytracing_studio_tpu.ops import ir_synth_pallas
     from audio_raytracing_studio_tpu.parallel import sharding
 
-    rate = 48000
-    t = np.arange(rate // 8) / rate
-    clips = np.stack([(0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)] * 2)
-    p = RenderParams(hall_type="Cathedral", room_size=1000.0, target_layout="Stereo")
-    out = sharding.render_batch(clips, rate, p, seeds=[0, 1], ir_backend="pallas")
-    assert out.shape[0] == 2  # rendered via the jnp path, no crash
+    rate = 16000
+    t = np.arange(rate // 4) / rate
+    clips = np.stack(
+        [(0.4 * np.sin(2 * np.pi * (220 + 40 * i) * t)).astype(np.float32) for i in range(2)]
+    )
+    p = RenderParams(target_layout="Stereo")
+
+    out_jnp = sharding.render_batch(clips, rate, p, seeds=[7, 8], ir_backend="jnp")
+
+    original = ir_synth_pallas.fused_rir_bank
+
+    def interpreted(seeds, shape, scalars, interpret=False, injected_draws=None):
+        return original(seeds, shape, scalars, interpret=True, injected_draws=injected_draws)
+
+    with mock.patch.object(ir_synth_pallas, "fused_rir_bank", interpreted):
+        out_pal = sharding.render_batch(clips, rate, p, seeds=[7, 8], ir_backend="pallas")
+
+    np.testing.assert_allclose(out_pal, out_jnp, atol=2e-5)
