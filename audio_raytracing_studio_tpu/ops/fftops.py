@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -92,12 +93,37 @@ def irfft_exact(spec: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.real(out)
 
 
+def _full_gain(gain: jnp.ndarray, n: int) -> jnp.ndarray:
+    """(n//2+1,) real rfft gain → full two-sided (n,) gain (even symmetry)."""
+    if n % 2 == 0:
+        mirror = gain[..., -2:0:-1]
+    else:
+        mirror = gain[..., -1:0:-1]
+    return jnp.concatenate([gain, mirror], axis=-1)
+
+
 def apply_circular_gain(signal: jnp.ndarray, gain: jnp.ndarray) -> jnp.ndarray:
     """y = irfft_n( rfft_n(signal) · gain ) at n = signal.shape[-1].
 
     The primitive both reference filters reduce to.  ``gain`` is a real
-    (n//2+1,) per-bin curve (possibly traced).
+    (n//2+1,) per-bin curve (possibly traced), shared across channels.
+
+    Real-pair fast path: a stereo pair under one gain packs into a single
+    complex transform — ``y0 + i·y1 = IDFT(g_full ⊙ DFT(x0 + i·x1))`` (the
+    gain is real and even, so it maps real→real on each part).  That halves
+    the Bluestein work of the exact-length filters (air + EQ), the dominant
+    cost of the exact (non-fast_air) render path.
     """
     n = signal.shape[-1]
+    if is_power_of_two(n):
+        spec = jnp.fft.rfft(signal, n=n, axis=-1) * gain
+        return jnp.fft.irfft(spec, n=n, axis=-1).astype(jnp.float32)
+    if signal.ndim >= 2 and signal.shape[-2] == 2:
+        z = jax.lax.complex(signal[..., 0, :], signal[..., 1, :])
+        spec = _bluestein_dft(z, n, inverse=False) * _full_gain(gain, n)
+        y = _bluestein_dft(spec, n, inverse=True) / n
+        return jnp.stack(
+            [jnp.real(y), jnp.imag(y)], axis=-2
+        ).astype(jnp.float32)
     spec = rfft_exact(signal, n) * gain
     return irfft_exact(spec, n).astype(jnp.float32)

@@ -9,10 +9,12 @@ Per-device FFT size and HBM stay flat as clip length grows with the mesh —
 the reference would instead take one O(N log N) FFT over the whole clip
 (raytracer_studio.py:362) and run out of memory.
 
-Long mode is a *fast* mode: the air-absorption gain rides the block
-convolution spectra (see StaticSpec.fast_air; same ≤1e-3 envelope), and the
-shelf EQ — a whole-signal circular filter in the reference — must be at
-unity (the default).  Metering runs on the gathered result host-side.
+Long mode applies the air-absorption gain on the block convolution spectra
+(see StaticSpec.fast_air; same ≤1e-3 envelope).  The shelf EQ — a
+whole-signal circular filter at the exact output length in the reference —
+runs as the distributed exact-length Bluestein transform over the block axis
+(parallel.distributed_fft), so non-unity EQ gains work at any clip length
+with flat per-device memory.  Metering runs on device, block-sharded.
 """
 
 from __future__ import annotations
@@ -27,6 +29,7 @@ from .. import config
 from ..models import pipeline
 from ..ops import convolution, filters, ir_synth, spatial
 from ..params import RenderParams
+from . import distributed_fft
 from . import mesh as meshlib
 from .partitioned_conv import _ring_overlap_add
 
@@ -173,8 +176,9 @@ def render_long(
 ):
     """Render one long clip with its sample axis sharded over the mesh.
 
-    Internal-hall or external-IR path; requires unity EQ gains (whole-signal
-    circular EQ is not blockwise).  Returns (len_out, channels) float32.
+    Internal-hall or external-IR path.  Non-unity shelf-EQ gains run through
+    the distributed exact-length transform (needs a power-of-two block
+    axis).  Returns (len_out, channels) float32.
     """
     audio_nc = pipeline._ensure_stereo_host(audio)
     n_in = audio_nc.shape[0]
@@ -195,15 +199,20 @@ def render_long(
     else:
         setup = pipeline.build_internal_setup(p, rate, n_in, fast_filters=True)
         spec = setup.spec
-    if spec.eq_on:
-        raise NotImplementedError(
-            "render_long requires unity bass/treble gains (whole-signal EQ "
-            "does not decompose across sample blocks)"
-        )
 
     num_blocks = device_mesh.shape[axis_name]
     len_out = spec.len_out
-    block_len = math.ceil(len_out / num_blocks)
+    if spec.eq_on:
+        # the distributed exact-length EQ needs blocks aligned with its
+        # pow2 four-step FFT layout (parallel.distributed_fft)
+        if not distributed_fft.is_power_of_two(num_blocks):
+            raise ValueError(
+                "render_long with non-unity EQ gains requires a power-of-two "
+                f"block axis (got {num_blocks})"
+            )
+        block_len = distributed_fft.block_len_for(len_out, num_blocks)
+    else:
+        block_len = math.ceil(len_out / num_blocks)
     # round block length up so the IR tail halo is a bounded number of hops
     n_total = block_len * num_blocks
 
@@ -271,8 +280,13 @@ def render_long(
             else:
                 wet = jnp.zeros((2, block_len), jnp.float32)
 
-        # --- mix, normalize, pan, map (blockwise + pmax collectives) ---
+        # --- mix, EQ, normalize, pan, map (blockwise + collectives) ---
         mixed = scal.dry_factor * (1.0 - scal.dry_wet) * audio_block + scal.dry_wet * wet
+        if spec.eq_on:
+            mixed = distributed_fft.shelf_eq_sharded(
+                mixed, spec.rate, scal.bass_gain, scal.treble_gain,
+                len_out, axis_name, num_blocks,
+            )
         mixed = _normalize_sharded(mixed, axis_name)
         six = spatial.apply_pan(mixed, spatial.pan_matrix(scal.x_pos, scal.y_pos, scal.z_pos))
         six = _normalize_sharded(six, axis_name)

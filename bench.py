@@ -75,8 +75,10 @@ def main() -> None:
     mix_scalars = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,)), setup.mix_scalars)
 
     def run():
+        # the batched graph donates its audio input (HBM headroom for B=64);
+        # keep the master copy and donate a cheap on-device clone per iter
         out, _ = sharding._batched_internal(
-            audio_bcn,
+            jnp.copy(audio_bcn),
             keys,
             ir_scalars,
             mix_scalars,

@@ -52,12 +52,56 @@ class TestRenderLong:
             assert long.shape == single.shape
             assert np.max(np.abs(long - single)) < 2e-4, layout
 
-    def test_eq_rejected(self, rng, block_mesh):
+    def test_eq_matches_single_device_exact(self, rng, block_mesh):
+        """VERDICT item 3: non-unity shelf EQ in long mode via the
+        distributed exact-length transform matches the single-device exact
+        render within the 1e-3 contract (bass 1.6 / treble 0.6)."""
         rate = 16000
-        x = clip(rng, 0.5, rate)
+        x = clip(rng, 1.0, rate)
+        p = RenderParams(target_layout="Stereo", room_size=60.0,
+                         air_absorption=0.0, bass_gain=1.6, treble_gain=0.6)
+        long = long_render.render_long(x, rate, p, block_mesh, seed=3)
+        exact = pipeline.render(x, rate, p, seed=3, fast_filters=False)
+        assert long.shape == exact.shape
+        assert np.max(np.abs(long - exact)) < 1e-3
+        # the EQ visibly acted (non-trivial vs unity-gain render)
+        p_unity = RenderParams(target_layout="Stereo", room_size=60.0,
+                               air_absorption=0.0)
+        unity = long_render.render_long(x, rate, p_unity, block_mesh, seed=3)
+        assert np.max(np.abs(long - unity)) > 1e-3
+
+    def test_eq_with_air_and_surround(self, rng, block_mesh):
+        """EQ composed with fast-air and cross-block layout delays."""
+        rate = 16000
+        x = clip(rng, 0.8, rate)
+        p = RenderParams(target_layout="7.1 (Surround)", room_size=60.0,
+                         air_absorption=0.5, bass_gain=2.5, treble_gain=0.4,
+                         z_pos=0.7)
+        long = long_render.render_long(x, rate, p, block_mesh, seed=1)
+        exact = pipeline.render(x, rate, p, seed=1, fast_filters=False)
+        assert long.shape == exact.shape
+        assert np.max(np.abs(long - exact)) < 1e-3
+
+    def test_eq_external_ir_long(self, rng, block_mesh):
+        rate = 16000
+        x = clip(rng, 0.8, rate)
+        ir = (rng.standard_normal((700, 2)) * 0.2).astype(np.float32)
+        p = RenderParams(use_external_ir=True, target_layout="Stereo",
+                         dry_wet=0.7, bass_gain=0.5, treble_gain=1.8)
+        long = long_render.render_long(x, rate, p, block_mesh, external_ir=ir)
+        single = pipeline.render(x, rate, p, external_ir=ir)
+        assert long.shape == single.shape
+        assert np.max(np.abs(long - single)) < 1e-3
+
+    def test_eq_requires_pow2_blocks(self, rng):
+        if len(jax.devices()) < 3:
+            pytest.skip("needs 3 devices")
+        rate = 16000
+        x = clip(rng, 0.3, rate)
+        m = meshlib.make_mesh(data=1, block=3, devices=jax.devices()[:3])
         p = RenderParams(target_layout="Stereo", bass_gain=2.0)
-        with pytest.raises(NotImplementedError, match="EQ"):
-            long_render.render_long(x, rate, p, block_mesh)
+        with pytest.raises(ValueError, match="power-of-two"):
+            long_render.render_long(x, rate, p, m)
 
     def test_external_ir_long(self, rng, block_mesh):
         rate = 16000
