@@ -81,6 +81,15 @@ def build_parser() -> argparse.ArgumentParser:
         help=f"param sweep 'name=v1,v2,...' over one of {SWEEPABLE} "
         "(batched in one SPMD program)",
     )
+    ap.add_argument(
+        "--stream", action="store_true",
+        help="chunked streaming render: bounded memory at any clip length "
+        "(hour-scale clips on one chip; requires unity EQ gains)",
+    )
+    ap.add_argument(
+        "--chunk-seconds", type=float, default=30.0,
+        help="streaming chunk size in seconds (with --stream)",
+    )
     return ap
 
 
@@ -164,6 +173,25 @@ def main(argv=None) -> int:
                 clip_out = binauralize(clip_out, rate, base_params.target_layout)
             wavio.write(out_path, np.clip(clip_out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
             results.append({"output": out_path, name: v, "metrics": metrics[i]})
+    elif args.stream:
+        from ..parallel.streaming import render_streaming
+
+        try:
+            out, metrics = render_streaming(
+                audio, rate, base_params, seed=args.seed,
+                chunk_seconds=args.chunk_seconds, with_metrics=True,
+                external_ir=external_ir, external_ir_rate=external_rate,
+            )
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        if args.binaural:
+            from ..ops.binaural import binauralize
+
+            out = binauralize(out, rate, base_params.target_layout)
+        out_path = args.output.format(i=0)
+        wavio.write(out_path, np.clip(out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
+        results.append({"output": out_path, "metrics": metrics})
     else:
         out, metrics = pipeline.render(
             audio, rate, base_params, seed=args.seed,

@@ -1,0 +1,269 @@
+"""Single-device streaming render for arbitrarily long clips.
+
+``parallel.long_render`` shards one clip's sample axis over a multi-device
+mesh; this module is the one-chip counterpart: the same overlap-add block
+decomposition, but blocks advance **in time** through one compiled chunk
+step with a carried convolution tail, so HBM stays bounded by the chunk
+size no matter how long the clip is.  The reference takes one whole-signal
+FFT (raytracer_studio.py:362) and cannot render hour-scale clips at all;
+the exact single-shot path here (models.pipeline.render) holds the whole
+conv grid and tops out around ~10 minutes on a 16 GB chip.
+
+Stage plan (mirrors the single-device graph, pipeline._mix_eq_spatial):
+  1. chunked: wet = overlap-add conv (air gain on the chunk's conv grid,
+     StaticSpec.fast_air semantics) → dry/wet mix; the global |max| for the
+     post-mix conditional normalization accumulates across chunks.
+  2. whole-buffer elementwise (one jit): normalize → pan → normalize →
+     layout map (the 12/18 ms delays are plain shifts) → normalize.
+  3. optional chunked BS.1770 meter: K-weighting FIR convolved chunkwise
+     with a carried tail; gating-block energies read from per-chunk energy
+     cumsums at host-static block boundaries (same prefix-energy scheme as
+     long_render._sharded_metrics, sequential instead of psum).
+
+Constraints: unity EQ gains (the exact-length circular EQ needs either the
+whole-signal FFT or the multi-device distributed transform); fast_air mode
+(same ≤1e-3 envelope as long mode).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..metering import kweighting as kwc
+from ..metering.loudness import gated_loudness_from_blocks, k_weighting_fir
+from ..models import pipeline
+from ..ops import convolution, filters, ir_synth, spatial
+from ..params import RenderParams
+
+DEFAULT_CHUNK_SECONDS = 30.0
+
+
+def _build_kernels(p: RenderParams, rate: int, n_in: int, seed: int,
+                   external_ir, external_ir_rate):
+    """IRs + spec + scalars, identical to long_render's preparation."""
+    if p.use_external_ir:
+        if external_ir is None:
+            raise ValueError("use_external_ir=True requires external_ir")
+        ir = pipeline.prepare_external_ir(
+            external_ir, external_ir_rate if external_ir_rate else rate, rate
+        )
+        eq_on = not (np.isclose(p.bass_gain, 1.0) and np.isclose(p.treble_gain, 1.0))
+        spec = pipeline.StaticSpec(
+            n_in=n_in, ir_length=ir.shape[0], rate=int(rate),
+            layout=p.target_layout, eq_on=eq_on,
+            air_on=False, early_on=False, late_on=False,
+        )
+        return jnp.asarray(ir.T), [], True, spec, pipeline._mix_scalars(p, 1.0, 1.0)
+
+    setup = pipeline.build_internal_setup(p, rate, n_in, fast_filters=True)
+    spec = setup.spec
+    delays, strengths, noise = ir_synth.hash_draws(int(seed), setup.ir_shape)
+    early_ir, late_ir = ir_synth.synthesize(
+        setup.ir_shape, delays, strengths, noise, setup.ir_scalars
+    )
+    kernels, kernel_is_late = [], []
+    if spec.early_on:
+        kernels.append(early_ir)
+        kernel_is_late.append(False)
+    if spec.late_on:
+        kernels.append(late_ir)
+        kernel_is_late.append(True)
+    kers = (
+        jnp.stack(kernels) if kernels else jnp.zeros((1, spec.ir_length), jnp.float32)
+    )
+    return kers, kernel_is_late, False, spec, setup.mix_scalars
+
+
+def render_streaming(
+    audio: np.ndarray,
+    rate: int,
+    p: RenderParams,
+    seed: int = 0,
+    chunk_seconds: float = DEFAULT_CHUNK_SECONDS,
+    with_metrics: bool = False,
+    external_ir: Optional[np.ndarray] = None,
+    external_ir_rate: Optional[int] = None,
+):
+    """Render one long clip in bounded memory → (len_out, channels) float32.
+
+    Unity EQ gains required (see module docstring); any layout; internal
+    hall or external IR.  ``chunk_seconds`` bounds per-step FFT size and
+    HBM; results are chunk-size-invariant (overlap-add is exact, tested).
+    """
+    audio_nc = pipeline._ensure_stereo_host(audio)
+    n_in = audio_nc.shape[0]
+    kers, kernel_is_late, pairwise, spec, scal = _build_kernels(
+        p, rate, n_in, seed, external_ir, external_ir_rate
+    )
+    if spec.eq_on:
+        raise ValueError(
+            "render_streaming requires unity bass/treble gains — the exact-"
+            "length circular EQ needs the whole-signal transform (use "
+            "pipeline.render) or a multi-device mesh (parallel.long_render)"
+        )
+    l = int(kers.shape[-1])
+    len_out = spec.len_out
+    chunk = max(int(chunk_seconds * rate), 2 * l)
+    n_chunks = math.ceil(len_out / chunk)
+    n_total = n_chunks * chunk
+
+    audio_cn = np.zeros((2, n_total), dtype=np.float32)
+    audio_cn[:, :n_in] = audio_nc.T
+
+    out_len_local = chunk + l - 1
+    if not pairwise:
+        nfft = convolution.fast_fft_length(out_len_local)
+        gains = None
+        if spec.air_on and kernel_is_late:
+            air_gain = filters.air_absorption_gain(nfft, spec.rate, scal.air_absorption)
+            gains = jnp.stack(
+                [air_gain if is_late else jnp.ones_like(air_gain)
+                 for is_late in kernel_is_late]
+            )
+
+    @jax.jit
+    def chunk_step(audio_chunk, carry_tail):
+        """One overlap-add hop: (2, chunk) + carried tail → mixed chunk."""
+        if pairwise:
+            conv = convolution.convolve_pairwise(audio_chunk, kers, out_len_local)
+            wet = conv[..., :chunk]
+            tail = conv[..., chunk:]
+        else:
+            conv = convolution.convolve_full(
+                audio_chunk, kers, out_len_local, kernel_gains=gains
+            )
+            if spec.early_on and spec.late_on:
+                wet_full = conv[0] * scal.early_level + conv[1] * scal.late_level
+            elif spec.early_on or spec.late_on:
+                wet_full = conv[0] * (
+                    scal.early_level if spec.early_on else scal.late_level
+                )
+            else:
+                wet_full = jnp.zeros((2, out_len_local), jnp.float32)
+            wet = wet_full[..., :chunk]
+            tail = wet_full[..., chunk:]
+        wet = wet.at[..., : l - 1].add(carry_tail)
+        mixed = (
+            scal.dry_factor * (1.0 - scal.dry_wet) * audio_chunk
+            + scal.dry_wet * wet
+        )
+        return mixed, tail, jnp.max(jnp.abs(mixed))
+
+    # --- pass 1: chunked conv + mix, accumulate into the HBM buffer ---
+    @jax.jit
+    def place(buf, chunk_cn, start):
+        return jax.lax.dynamic_update_slice(buf, chunk_cn, (0, start))
+
+    mixed_buf = jnp.zeros((2, n_total), dtype=jnp.float32)
+    carry = jnp.zeros((2, l - 1), dtype=jnp.float32)
+    global_max = jnp.float32(0.0)
+    for i in range(n_chunks):
+        a = jnp.asarray(audio_cn[:, i * chunk : (i + 1) * chunk])
+        mixed, carry, m = chunk_step(a, carry)
+        mixed_buf = place(mixed_buf, mixed, i * chunk)
+        global_max = jnp.maximum(global_max, m)
+    # the conv tail past len_out is zero by construction (input zero-padded)
+
+    # --- pass 2: normalize → pan → map, whole buffer, one executable ---
+    @jax.jit
+    def finish(buf, gmax):
+        scale = jnp.where(gmax > 1.0, 1.0 / gmax, 1.0)
+        mixed = jnp.where(gmax < 1e-9, jnp.zeros_like(buf), buf * scale)
+        six = spatial.apply_pan(
+            mixed, spatial.pan_matrix(scal.x_pos, scal.y_pos, scal.z_pos)
+        )
+        six = filters.conditional_peak_normalize(six)
+        out = spatial.map_layout(six, spec.layout, spec.rate, scal.z_pos)
+        return filters.conditional_peak_normalize(out)
+
+    out_cn = finish(mixed_buf, global_max)
+
+    if not with_metrics:
+        return np.asarray(out_cn[:, :len_out]).T
+
+    metrics = _streaming_metrics(out_cn, rate, len_out, chunk, n_chunks)
+    return np.asarray(out_cn[:, :len_out]).T, metrics
+
+
+def _streaming_metrics(out_cn, rate: int, len_out: int, chunk: int, n_chunks: int):
+    """Chunked on-device BS.1770 meter over the (C, n_total) output buffer."""
+    fir = jnp.asarray(k_weighting_fir(rate).astype(np.float32))
+    fir_len = int(fir.shape[0])
+
+    # gating-block boundaries (host-static), grouped per chunk with padding
+    jblocks = kwc.block_count(len_out, rate)
+    step = 1.0 - kwc.BLOCK_OVERLAP
+    jj = np.arange(max(jblocks, 0))
+    lo = (kwc.BLOCK_SECONDS * (jj * step) * rate).astype(np.int64)
+    hi = np.minimum(
+        (kwc.BLOCK_SECONDS * (jj * step + 1) * rate).astype(np.int64), len_out
+    )
+    bounds = np.concatenate([lo, hi]) if jblocks > 0 else np.zeros(0, np.int64)
+    max_per_chunk = int(np.ceil(chunk / (kwc.BLOCK_SECONDS * step * rate)) + 4) * 2
+
+    @jax.jit
+    def meter_chunk(out_chunk, kw_carry, energy_carry, bpos, bvalid):
+        valid = (bvalid).astype(jnp.float32)
+        mono = 0.5 * (out_chunk[0] + out_chunk[1])
+        conv = convolution.convolve_pairwise(
+            mono[None, :], fir[None, :], chunk + fir_len - 1
+        )[0]
+        kw = conv[:chunk].at[: fir_len - 1].add(kw_carry)
+        new_carry = conv[chunk:]
+        cums = jnp.concatenate(
+            [jnp.zeros(1, jnp.float32), jnp.cumsum(jnp.square(kw))]
+        )
+        vals = jnp.where(bvalid, energy_carry + cums[bpos], 0.0) * valid
+        peak = jnp.max(jnp.abs(out_chunk))
+        sq = jnp.sum(jnp.square(out_chunk))
+        mono_peak = jnp.max(jnp.abs(mono))
+        return new_carry, energy_carry + cums[-1], vals, peak, sq, mono_peak
+
+    kw_carry = jnp.zeros(fir_len - 1, dtype=jnp.float32)
+    energy_carry = jnp.float32(0.0)
+    energies = np.zeros(bounds.shape[0], dtype=np.float64)
+    peak = 0.0
+    sq_sum = 0.0
+    mono_peak = 0.0
+    for i in range(n_chunks):
+        offset = i * chunk
+        inside = (bounds > offset) & (bounds <= offset + chunk)
+        idx = np.nonzero(inside)[0]
+        bpos = np.zeros(max_per_chunk, np.int32)
+        bvalid = np.zeros(max_per_chunk, bool)
+        bpos[: idx.size] = (bounds[idx] - offset).astype(np.int32)
+        bvalid[: idx.size] = True
+        out_chunk = jax.lax.dynamic_slice(
+            out_cn, (0, offset), (out_cn.shape[0], chunk)
+        )
+        # positions past len_out are zero in the buffer → contribute nothing
+        kw_carry, energy_carry, vals, pk, sq, mpk = meter_chunk(
+            out_chunk, kw_carry, energy_carry,
+            jnp.asarray(bpos), jnp.asarray(bvalid),
+        )
+        energies[idx] = np.asarray(vals)[: idx.size]
+        peak = max(peak, float(pk))
+        sq_sum += float(sq)
+        mono_peak = max(mono_peak, float(mpk))
+
+    if jblocks > 0:
+        z = (energies[jblocks:] - energies[:jblocks]) / (kwc.BLOCK_SECONDS * rate)
+        lufs = float(
+            gated_loudness_from_blocks(
+                jnp.asarray(z[None, :], dtype=jnp.float32),
+                jnp.ones(1, jnp.float32),
+            )
+        )
+    else:
+        lufs = float("-inf")
+    if mono_peak < 1e-6:
+        lufs = float("-inf")
+    peak_db = 20.0 * math.log10(peak) if peak > 1e-15 else float("-inf")
+    rms = math.sqrt(sq_sum / (len_out * out_cn.shape[0])) if len_out else 0.0
+    rms_db = 20.0 * math.log10(rms) if rms > 1e-15 else float("-inf")
+    return {"lufs": lufs, "true_peak_dbfs": peak_db, "rms_dbfs": rms_db}

@@ -1,0 +1,86 @@
+"""Single-device streaming long render vs the single-shot pipeline."""
+
+import numpy as np
+import pytest
+
+from audio_raytracing_studio_tpu.models import pipeline
+from audio_raytracing_studio_tpu.parallel import streaming
+from audio_raytracing_studio_tpu.params import RenderParams
+
+
+def clip(rng, seconds, rate):
+    t = np.arange(int(seconds * rate)) / rate
+    return (0.4 * np.sin(2 * np.pi * 330 * t)
+            + 0.05 * rng.standard_normal(len(t))).astype(np.float32)
+
+
+class TestStreaming:
+    def test_matches_single_shot(self, rng):
+        rate = 16000
+        x = clip(rng, 2.0, rate)
+        p = RenderParams(target_layout="Stereo", room_size=60.0, air_absorption=0.0)
+        out = streaming.render_streaming(x, rate, p, seed=3, chunk_seconds=0.4)
+        single = pipeline.render(x, rate, p, seed=3)
+        assert out.shape == single.shape
+        assert np.max(np.abs(out - single)) < 2e-4
+
+    def test_chunk_size_invariance(self, rng):
+        rate = 16000
+        x = clip(rng, 1.5, rate)
+        p = RenderParams(target_layout="Stereo", room_size=60.0)
+        a = streaming.render_streaming(x, rate, p, seed=1, chunk_seconds=0.3)
+        b = streaming.render_streaming(x, rate, p, seed=1, chunk_seconds=1.1)
+        assert np.max(np.abs(a - b)) < 1e-5  # overlap-add is exact
+
+    def test_air_and_layout(self, rng):
+        rate = 16000
+        x = clip(rng, 1.5, rate)
+        p = RenderParams(target_layout="7.1 (Surround)", room_size=60.0,
+                         air_absorption=0.6, z_pos=0.7)
+        out = streaming.render_streaming(x, rate, p, seed=2, chunk_seconds=0.5)
+        exact = pipeline.render(x, rate, p, seed=2, fast_filters=False)
+        assert out.shape == exact.shape
+        assert np.max(np.abs(out - exact)) < 1e-3  # fast_air contract
+
+    def test_external_ir(self, rng):
+        rate = 16000
+        x = clip(rng, 1.0, rate)
+        ir = (rng.standard_normal((700, 2)) * 0.2).astype(np.float32)
+        p = RenderParams(use_external_ir=True, target_layout="Stereo", dry_wet=0.7)
+        out = streaming.render_streaming(x, rate, p, external_ir=ir, chunk_seconds=0.3)
+        single = pipeline.render(x, rate, p, external_ir=ir)
+        assert out.shape == single.shape
+        assert np.max(np.abs(out - single)) < 2e-4
+
+    def test_eq_gated(self, rng):
+        rate = 16000
+        x = clip(rng, 0.5, rate)
+        p = RenderParams(target_layout="Stereo", bass_gain=2.0)
+        with pytest.raises(ValueError, match="unity bass/treble"):
+            streaming.render_streaming(x, rate, p)
+
+    def test_metrics_match_single_device_meter(self, rng):
+        import jax.numpy as jnp
+        from audio_raytracing_studio_tpu.metering import loudness as jl
+
+        rate = 16000
+        x = clip(rng, 2.5, rate)
+        p = RenderParams(target_layout="Stereo", room_size=60.0, air_absorption=0.0)
+        out, metrics = streaming.render_streaming(
+            x, rate, p, seed=3, chunk_seconds=0.7, with_metrics=True
+        )
+        ref = jl.audio_metrics(jnp.asarray(out.T), rate)
+        assert metrics["lufs"] == pytest.approx(float(ref["lufs"]), abs=0.02)
+        assert metrics["true_peak_dbfs"] == pytest.approx(
+            float(ref["true_peak_dbfs"]), abs=1e-3
+        )
+        assert metrics["rms_dbfs"] == pytest.approx(float(ref["rms_dbfs"]), abs=1e-3)
+
+    def test_metrics_silence(self):
+        rate = 16000
+        x = np.zeros(rate, np.float32)
+        p = RenderParams(target_layout="Stereo", room_size=60.0)
+        out, metrics = streaming.render_streaming(
+            x, rate, p, chunk_seconds=0.4, with_metrics=True
+        )
+        assert metrics["lufs"] == float("-inf")
