@@ -36,11 +36,7 @@ def _stack_pytrees(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("ir_shape", "spec", "with_metrics"),
-    donate_argnums=(0,),  # HBM headroom: XLA reuses the (B, 2, N) input
-)
+@functools.partial(jax.jit, static_argnames=("ir_shape", "spec", "with_metrics"))
 def _batched_internal(
     audio_bcn: jnp.ndarray,
     keys: jnp.ndarray,
@@ -64,11 +60,7 @@ def _batched_internal(
     return jax.vmap(one)(audio_bcn, keys, ir_scalars, mix_scalars)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("spec", "with_metrics"),
-    donate_argnums=(0,),
-)
+@functools.partial(jax.jit, static_argnames=("spec", "with_metrics"))
 def _batched_external(
     audio_bcn: jnp.ndarray,
     ir_cn: jnp.ndarray,
@@ -88,11 +80,7 @@ def _batched_external(
     return jax.vmap(one)(audio_bcn, mix_scalars)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("ir_shape", "spec", "with_metrics"),
-    donate_argnums=(0,),
-)
+@functools.partial(jax.jit, static_argnames=("ir_shape", "spec", "with_metrics"))
 def _batched_internal_pallas(
     audio_bcn: jnp.ndarray,
     seeds: jnp.ndarray,

@@ -56,8 +56,20 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
     t = np.arange(int(DURATION_S * RATE)) / RATE
-    base = (0.3 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
-    clips = np.stack([base] * batch)
+    # varied content per clip (distinct tones + deterministic noise):
+    # throughput here is content-independent, but the headline shouldn't
+    # rest on 48 copies of one sine.
+    rng = np.random.default_rng(0xBE7C)
+    clips = np.stack(
+        [
+            (
+                0.3 * np.sin(2 * np.pi * (180.0 + 9.0 * i) * t)
+                + 0.05 * np.sin(2 * np.pi * (1000.0 + 37.0 * i) * t)
+            ).astype(np.float32)
+            + (0.02 * rng.standard_normal(t.shape)).astype(np.float32)
+            for i in range(batch)
+        ]
+    )
     p = RenderParams(target_layout="Stereo")
 
     # Build the batched program pieces once (host setup + device inputs).
@@ -75,10 +87,8 @@ def main() -> None:
     mix_scalars = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,)), setup.mix_scalars)
 
     def run():
-        # the batched graph donates its audio input (HBM headroom for B=64);
-        # keep the master copy and donate a cheap on-device clone per iter
         out, _ = sharding._batched_internal(
-            jnp.copy(audio_bcn),
+            audio_bcn,
             keys,
             ir_scalars,
             mix_scalars,
@@ -86,8 +96,10 @@ def main() -> None:
             spec=setup.spec,
             with_metrics=False,
         )
-        out.block_until_ready()
-        return out
+        # block_until_ready does NOT block under the axon tunnel (measured:
+        # returns in ~0.3 ms for work that takes ~0.2 s) — force a real
+        # device sync with a scalar readback of the full output.
+        return float(jnp.sum(out))
 
     run()  # compile + warmup
     t0 = time.perf_counter()

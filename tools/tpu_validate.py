@@ -1,0 +1,108 @@
+"""Hardware validation of the round-2 kernels on the real TPU chip.
+
+Runs the checks that CI can only approximate (the interpreter executes the
+same code, but Mosaic compilation is the production path):
+  1. fused Pallas RIR bank (hash mode, column-block grid) vs the jnp
+     hash-draw path — including a Cathedral IR past the old 2^18 ceiling,
+  2. seed sensitivity + 0.9/0.7 normalization on chip,
+  3. pair-packed exact circular gain vs the unpacked reference form.
+
+Prints one JSON line per check; exits nonzero on any failure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.chdir(REPO)  # the axon plugin only registers from certain directories
+
+
+def main() -> int:
+    import jax
+
+    from audio_raytracing_studio_tpu.utils.runtime import ensure_backend
+
+    backend = ensure_backend()
+    if backend != "tpu":
+        print(json.dumps({"check": "backend", "ok": False, "got": backend}))
+        return 1
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from audio_raytracing_studio_tpu.ops import fftops, ir_synth
+    from audio_raytracing_studio_tpu.ops.ir_synth_pallas import BLOCK_FLAT, fused_rir_bank
+    from audio_raytracing_studio_tpu.params import (
+        RenderParams,
+        adjust_parameters_for_3d,
+        compute_final_directionality_3d,
+        derive_ir_geometry,
+    )
+
+    failures = 0
+
+    def report(check: str, ok: bool, **kw):
+        nonlocal failures
+        failures += 0 if ok else 1
+        print(json.dumps({"check": check, "ok": bool(ok), **kw}), flush=True)
+
+    def shapes_for(p: RenderParams, rate: int):
+        dur, refs, maxd, split = adjust_parameters_for_3d(p.hall_type, p.room_size, p.z_pos)
+        direc = compute_final_directionality_3d(
+            p.x_pos, p.y_pos, p.z_pos, p.hall_type, p.diffusion, p.dry_wet
+        )
+        g = derive_ir_geometry(rate, dur, refs, maxd, p.material, direc, split, p.diffusion)
+        return ir_synth.IRShape.from_geometry(g), ir_synth.IRScalars.from_geometry(g)
+
+    # --- 1+2: compiled hash bank, Room (small) and Cathedral (multi-block) ---
+    for name, p, rate in (
+        ("room_16k", RenderParams(), 16000),
+        ("cathedral_600_48k", RenderParams(hall_type="Cathedral", room_size=600.0), 48000),
+    ):
+        shape, scalars = shapes_for(p, rate)
+        seeds = np.array([5, 6], np.int32)
+        e_k, l_k = map(np.asarray, fused_rir_bank(seeds, shape, scalars))
+        max_err = 0.0
+        for i, s in enumerate(seeds):
+            d, st, nz = ir_synth.hash_draws(int(s), shape)
+            e_j, l_j = map(np.asarray, ir_synth.synthesize(shape, d, st, nz, scalars))
+            max_err = max(max_err, float(np.abs(e_k[i] - e_j).max()),
+                          float(np.abs(l_k[i] - l_j).max()))
+        norms_ok = all(
+            abs(np.abs(e_k[i]).max() - 0.9) < 1e-4 and abs(np.abs(l_k[i]).max() - 0.7) < 1e-4
+            for i in range(2)
+        )
+        report(
+            f"pallas_bank_{name}",
+            max_err < 1e-5 and norms_ok and not np.array_equal(e_k[0], e_k[1]),
+            ir_length=shape.length,
+            blocks=-(-shape.length // BLOCK_FLAT),
+            max_err_vs_jnp=max_err,
+        )
+
+    # --- 3: pair-packed exact circular gain on chip (jitted — eager complex
+    # arithmetic is UNIMPLEMENTED on the axon backend; production paths are
+    # always under jit) ---
+    rng = np.random.default_rng(9)
+    n = 35555
+    x = (rng.standard_normal((2, n)) * 0.4).astype(np.float32)
+    g = (0.3 + rng.random(n // 2 + 1)).astype(np.float32)
+    y = np.asarray(jax.jit(fftops.apply_circular_gain)(jnp.asarray(x), jnp.asarray(g)))
+
+    @jax.jit
+    def unpacked(xx, gg):
+        return fftops.irfft_exact(fftops.rfft_exact(xx, n) * gg, n)
+
+    ref = np.asarray(unpacked(jnp.asarray(x), jnp.asarray(g)))
+    err = float(np.abs(y - ref).max())
+    report("pair_packed_gain", err < 1e-5, max_err=err)
+
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
