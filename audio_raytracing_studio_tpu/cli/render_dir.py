@@ -96,10 +96,33 @@ def main(argv=None) -> int:
         for lo in range(0, len(items), args.batch):
             schedule.append((rate, n_bucket, items[lo : lo + args.batch], lo))
 
-    results = []
+    def post_chunk(outs, chunk, rate, n_bucket):
+        """Trim, clip, binauralize, meter, and write one rendered chunk.
+
+        Runs on a pool thread so the host DSP + PCM encode of batch *i*
+        overlaps the device step of batch *i+1* (the driver thread only
+        blocks on render_batch's device→host transfer).
+        """
+        chunk_results = []
+        for i, (name, frames) in enumerate(chunk):
+            out_path = os.path.join(args.output, name)
+            # trim the bucket padding: real output = clip len + IR − 1
+            real_len = frames + (outs.shape[1] - n_bucket)
+            trimmed = np.clip(
+                outs[i, :real_len], -config.OUTPUT_CLIP, config.OUTPUT_CLIP
+            )
+            if args.binaural:
+                from ..ops.binaural import binauralize
+
+                trimmed = binauralize(trimmed, rate, p.target_layout)
+            metrics = calculate_audio_metrics(trimmed, rate)
+            wavio.write(out_path, trimmed, rate)
+            chunk_results.append({"output": out_path, "metrics": metrics})
+        return chunk_results
+
     t_start = time.perf_counter()
     audio_seconds = 0.0
-    write_futures = []
+    post_futures = []
 
     pending = io_pool.submit(load_chunk, schedule[0][2]) if schedule else None
     for step, (rate, n_bucket, chunk, lo) in enumerate(schedule):
@@ -122,24 +145,10 @@ def main(argv=None) -> int:
             seeds=[args.seed + lo + i for i in range(len(chunk))],
             fast_filters=True,
         )
-        for i, (name, frames) in enumerate(chunk):
-            out_path = os.path.join(args.output, name)
-            # trim the bucket padding: real output = clip len + IR − 1
-            real_len = frames + (outs.shape[1] - n_bucket)
-            trimmed = np.clip(
-                outs[i, :real_len], -config.OUTPUT_CLIP, config.OUTPUT_CLIP
-            )
-            if args.binaural:
-                from ..ops.binaural import binauralize
+        post_futures.append(io_pool.submit(post_chunk, outs, chunk, rate, n_bucket))
+        audio_seconds += sum(frames for _, frames in chunk) / rate
 
-                trimmed = binauralize(trimmed, rate, p.target_layout)
-            metrics = calculate_audio_metrics(trimmed, rate)
-            write_futures.append(io_pool.submit(wavio.write, out_path, trimmed, rate))
-            audio_seconds += frames / rate
-            results.append({"output": out_path, "metrics": metrics})
-
-    for f in write_futures:
-        f.result()
+    results = [r for f in post_futures for r in f.result()]
     wall = time.perf_counter() - t_start
     io_pool.shutdown()
 
