@@ -73,11 +73,18 @@ def normalize_to_lufs(
 
 
 def convert(input_path: str, output_path: str, bitrate: str = "256") -> str:
-    """Format conversion (analyser.py:73-83).  WAV↔WAV natively; other
-    codecs require ffmpeg on PATH."""
+    """Format conversion (analyser.py:73-83).  WAV and FLAC natively (both
+    directions, via utils.wavio / utils.flacio); other codecs require
+    ffmpeg on PATH."""
     if output_path.lower().endswith(".wav"):
-        data, rate = wavio.read(input_path)
+        data, rate = wavio.read(input_path)  # reads WAV or FLAC natively
         wavio.write(output_path, data, rate, subtype="PCM_16")
+        return output_path
+    if output_path.lower().endswith(".flac"):
+        from ..utils import flacio
+
+        data, rate = wavio.read(input_path)
+        flacio.write(output_path, data, rate, bits_per_sample=16)
         return output_path
     if shutil.which("ffmpeg") is None:
         raise RuntimeError(

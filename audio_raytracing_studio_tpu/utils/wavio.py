@@ -70,8 +70,9 @@ def _decode_pcm24(raw: bytes, num_values: int) -> np.ndarray:
 
 # Non-WAV container magic → human name (the reference accepts these through
 # soundfile/FFmpeg, raytracer_studio.py:1013 + README.md:67-75).
+MAGIC_FLAC = b"fLaC"
 _CONTAINER_SIGNATURES: Tuple[Tuple[bytes, str], ...] = (
-    (b"fLaC", "FLAC"),
+    (MAGIC_FLAC, "FLAC"),
     (b"OggS", "OGG/Vorbis"),
     (b"ID3", "MP3"),
     (b"\xff\xfb", "MP3"),
@@ -124,9 +125,14 @@ def _decode_via_ffmpeg(path: Union[str, os.PathLike]) -> Tuple[np.ndarray, int]:
 
 
 def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndarray, int]:
-    """Non-WAV inputs: soundfile if importable, else ffmpeg, else a clear
-    user-facing error (the reference's dependency posture — FLAC/OGG via
-    soundfile, everything else via FFmpeg)."""
+    """Non-WAV inputs: FLAC via the native codec, else soundfile if
+    importable, else ffmpeg, else a clear user-facing error (the reference
+    reads FLAC/OGG via soundfile, everything else via FFmpeg)."""
+    if container == "FLAC":
+        from . import flacio
+
+        data, rate = flacio.read(path)
+        return np.asarray(data, dtype=np.float32), int(rate)
     try:  # optional, not in the base image
         import soundfile as sf  # type: ignore
 
@@ -316,6 +322,10 @@ def probe(path: Union[str, os.PathLike]) -> dict:
     """
     with open(path, "rb") as fh:
         header = fh.read(12)
+        if header[:4] == MAGIC_FLAC:
+            from . import flacio
+
+            return flacio.probe(path)
         if len(header) < 12 or header[:4] != b"RIFF" or header[8:12] != b"WAVE":
             raise ValueError("not a RIFF/WAVE file")
         fmt = None
