@@ -131,7 +131,10 @@ def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndar
     if container == "FLAC":
         from . import flacio
 
-        data, rate = flacio.read(path)
+        try:
+            data, rate = flacio.read(path)
+        except EOFError as e:  # truncated stream → same error contract
+            raise ValueError(f"FLAC-Datei beschädigt oder abgeschnitten: {e}")
         return np.asarray(data, dtype=np.float32), int(rate)
     try:  # optional, not in the base image
         import soundfile as sf  # type: ignore

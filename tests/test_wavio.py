@@ -109,11 +109,19 @@ class TestNonWavFallback:
         assert wavio.sniff_container(b"RIFF\x00\x00\x00\x00WAVE") == "WAV"
         assert wavio.sniff_container(b"garbage bytes") is None
 
-    def test_flac_without_ffmpeg_clear_error(self, tmp_path, monkeypatch):
+    def test_ogg_without_ffmpeg_clear_error(self, tmp_path, monkeypatch):
         monkeypatch.setenv("PATH", str(tmp_path))  # hide any ffmpeg
+        ogg = tmp_path / "x.ogg"
+        ogg.write_bytes(b"OggS" + b"\x00" * 64)
+        with pytest.raises(ValueError, match="ffmpeg"):
+            wavio.read(ogg)
+
+    def test_corrupt_flac_clear_error(self, tmp_path):
+        """FLAC decodes natively now — corrupt streams get a clean error,
+        not an ffmpeg hint."""
         flac = tmp_path / "x.flac"
         flac.write_bytes(b"fLaC" + b"\x00" * 64)
-        with pytest.raises(ValueError, match="ffmpeg"):
+        with pytest.raises(ValueError, match="FLAC"):
             wavio.read(flac)
 
     def test_unknown_bytes_keep_wav_error(self, tmp_path):
@@ -140,13 +148,13 @@ class TestNonWavFallback:
         )
         stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
         monkeypatch.setenv("PATH", str(tmp_path))
-        flac = tmp_path / "y.flac"
-        flac.write_bytes(b"fLaC" + b"\x00" * 64)
-        data, rate = wavio.read(flac)
+        ogg = tmp_path / "y.ogg"
+        ogg.write_bytes(b"OggS" + b"\x00" * 64)
+        data, rate = wavio.read(ogg)
         assert rate == 24000 and data.shape == (480, 2)
         assert np.isclose(data[0, 0], -0.5)
         # info() rides the same path
-        meta = wavio.info(flac)
+        meta = wavio.info(ogg)
         assert meta["samplerate"] == 24000 and meta["channels"] == 2
 
     def test_ffmpeg_failure_surfaces(self, tmp_path, monkeypatch):
@@ -160,21 +168,21 @@ class TestNonWavFallback:
         )
         stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
         monkeypatch.setenv("PATH", str(tmp_path))
-        flac = tmp_path / "z.flac"
-        flac.write_bytes(b"fLaC" + b"\x00" * 64)
+        ogg = tmp_path / "z.ogg"
+        ogg.write_bytes(b"OggS" + b"\x00" * 64)
         with pytest.raises(ValueError, match="kaputt"):
-            wavio.read(flac)
+            wavio.read(ogg)
 
-    def test_ui_error_contract_for_flac(self, tmp_path, monkeypatch):
+    def test_ui_error_contract_for_ogg(self, tmp_path, monkeypatch):
         """The app surfaces the install-ffmpeg message via 'Fehler beim Laden'."""
         monkeypatch.setenv("PATH", str(tmp_path))
         from audio_raytracing_studio_tpu.app import api
         from tests.test_app_api import DEFAULT_ARGS
 
-        flac = tmp_path / "u.flac"
-        flac.write_bytes(b"fLaC" + b"\x00" * 64)
+        ogg = tmp_path / "u.ogg"
+        ogg.write_bytes(b"OggS" + b"\x00" * 64)
         player, download, msg = api.apply_raytrace_convolution_3d(
-            str(flac), **DEFAULT_ARGS
+            str(ogg), **DEFAULT_ARGS
         )
         assert player is None and download is None
         assert msg.startswith("Fehler beim Laden:") and "ffmpeg" in msg
