@@ -136,6 +136,26 @@ class TestRoundTrip:
         assert raw_pure == raw_native  # byte-identical streams
         np.testing.assert_array_equal(out_pure, out_native)
 
+    def test_truncation_and_bitflip_fuzz(self):
+        """Decoder robustness: mangled streams raise cleanly, never hang."""
+        rng = np.random.default_rng(99)
+        sig = (0.3 * rng.standard_normal((6000, 2))).astype(np.float32)
+        buf = io.BytesIO()
+        flacio.write(buf, sig, 16000, blocksize=1024)
+        raw = buf.getvalue()
+        for cut in rng.integers(5, len(raw) - 1, size=12):
+            try:
+                flacio.read(io.BytesIO(raw[: int(cut)]))
+            except (ValueError, EOFError):
+                pass  # any clean error is acceptable
+        for _ in range(12):
+            mangled = bytearray(raw)
+            mangled[int(rng.integers(4, len(raw)))] ^= int(rng.integers(1, 256))
+            try:
+                flacio.read(io.BytesIO(bytes(mangled)))
+            except (ValueError, EOFError):
+                pass
+
     def test_corruption_detected(self):
         sig = (0.3 * np.sin(np.arange(6000) / 10)).astype(np.float32)
         buf = io.BytesIO()
