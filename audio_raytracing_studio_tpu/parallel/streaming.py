@@ -88,13 +88,22 @@ def render_streaming(
     with_metrics: bool = False,
     external_ir: Optional[np.ndarray] = None,
     external_ir_rate: Optional[int] = None,
+    return_output: bool = True,
 ):
     """Render one long clip in bounded memory → (len_out, channels) float32.
 
     Unity EQ gains required (see module docstring); any layout; internal
     hall or external IR.  ``chunk_seconds`` bounds per-step FFT size and
     HBM; results are chunk-size-invariant (overlap-add is exact, tested).
+
+    ``return_output=False`` (requires ``with_metrics``) skips the bulk
+    device→host result transfer and returns ``(None, metrics)`` — the
+    metrics readbacks still force the full render on device.  Use when the
+    host only needs the measurement (or when benchmarking compute without
+    the link bandwidth, e.g. through the remote dev tunnel).
     """
+    if not return_output and not with_metrics:
+        raise ValueError("return_output=False requires with_metrics=True")
     audio_nc = pipeline._ensure_stereo_host(audio)
     n_in = audio_nc.shape[0]
     kers, kernel_is_late, pairwise, spec, scal = _build_kernels(
@@ -187,6 +196,8 @@ def render_streaming(
         return np.asarray(out_cn[:, :len_out]).T
 
     metrics = _streaming_metrics(out_cn, rate, len_out, chunk, n_chunks)
+    if not return_output:
+        return None, metrics
     return np.asarray(out_cn[:, :len_out]).T, metrics
 
 

@@ -76,6 +76,23 @@ class TestStreaming:
         )
         assert metrics["rms_dbfs"] == pytest.approx(float(ref["rms_dbfs"]), abs=1e-3)
 
+    def test_metrics_only_mode(self, rng):
+        """return_output=False skips the bulk transfer, same metrics."""
+        rate = 16000
+        x = clip(rng, 1.5, rate)
+        p = RenderParams(target_layout="Stereo", room_size=60.0)
+        _out, m_full = streaming.render_streaming(
+            x, rate, p, seed=2, chunk_seconds=0.5, with_metrics=True
+        )
+        none, m_only = streaming.render_streaming(
+            x, rate, p, seed=2, chunk_seconds=0.5, with_metrics=True,
+            return_output=False,
+        )
+        assert none is None
+        assert m_only == m_full
+        with pytest.raises(ValueError, match="with_metrics"):
+            streaming.render_streaming(x, rate, p, return_output=False)
+
     def test_metrics_silence(self):
         rate = 16000
         x = np.zeros(rate, np.float32)
