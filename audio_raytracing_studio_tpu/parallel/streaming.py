@@ -27,6 +27,7 @@ whole-signal FFT or the multi-device distributed transform); fast_air mode
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -135,9 +136,10 @@ def render_streaming(
                  for is_late in kernel_is_late]
             )
 
-    @jax.jit
-    def chunk_step(audio_chunk, carry_tail):
-        """One overlap-add hop: (2, chunk) + carried tail → mixed chunk."""
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def chunk_step(buf, audio_chunk, carry_tail, gmax, start):
+        """One overlap-add hop fused with buffer placement and the running
+        max — a single dispatch per chunk, donated buffer (no HBM copy)."""
         if pairwise:
             conv = convolution.convolve_pairwise(audio_chunk, kers, out_len_local)
             wet = conv[..., :chunk]
@@ -161,21 +163,18 @@ def render_streaming(
             scal.dry_factor * (1.0 - scal.dry_wet) * audio_chunk
             + scal.dry_wet * wet
         )
-        return mixed, tail, jnp.max(jnp.abs(mixed))
+        buf = jax.lax.dynamic_update_slice(buf, mixed, (0, start))
+        return buf, tail, jnp.maximum(gmax, jnp.max(jnp.abs(mixed)))
 
     # --- pass 1: chunked conv + mix, accumulate into the HBM buffer ---
-    @jax.jit
-    def place(buf, chunk_cn, start):
-        return jax.lax.dynamic_update_slice(buf, chunk_cn, (0, start))
-
     mixed_buf = jnp.zeros((2, n_total), dtype=jnp.float32)
     carry = jnp.zeros((2, l - 1), dtype=jnp.float32)
     global_max = jnp.float32(0.0)
     for i in range(n_chunks):
         a = jnp.asarray(audio_cn[:, i * chunk : (i + 1) * chunk])
-        mixed, carry, m = chunk_step(a, carry)
-        mixed_buf = place(mixed_buf, mixed, i * chunk)
-        global_max = jnp.maximum(global_max, m)
+        mixed_buf, carry, global_max = chunk_step(
+            mixed_buf, a, carry, global_max, jnp.int32(i * chunk)
+        )
     # the conv tail past len_out is zero by construction (input zero-padded)
 
     # --- pass 2: normalize → pan → map, whole buffer, one executable ---
@@ -217,8 +216,15 @@ def _streaming_metrics(out_cn, rate: int, len_out: int, chunk: int, n_chunks: in
     bounds = np.concatenate([lo, hi]) if jblocks > 0 else np.zeros(0, np.int64)
     max_per_chunk = int(np.ceil(chunk / (kwc.BLOCK_SECONDS * step * rate)) + 4) * 2
 
+    n_ch = int(out_cn.shape[0])
+
     @jax.jit
-    def meter_chunk(out_chunk, kw_carry, energy_carry, bpos, bvalid):
+    def meter_chunk(out_buf, offset, kw_carry, energy_carry, bpos, bvalid,
+                    peak_c, sq_c, mpk_c):
+        """One meter hop: slices its chunk from the device buffer and folds
+        the scalar statistics into carried accumulators — a single dispatch
+        per chunk with no host synchronization until the end."""
+        out_chunk = jax.lax.dynamic_slice(out_buf, (0, offset), (n_ch, chunk))
         valid = (bvalid).astype(jnp.float32)
         mono = 0.5 * (out_chunk[0] + out_chunk[1])
         conv = convolution.convolve_pairwise(
@@ -230,17 +236,18 @@ def _streaming_metrics(out_cn, rate: int, len_out: int, chunk: int, n_chunks: in
             [jnp.zeros(1, jnp.float32), jnp.cumsum(jnp.square(kw))]
         )
         vals = jnp.where(bvalid, energy_carry + cums[bpos], 0.0) * valid
-        peak = jnp.max(jnp.abs(out_chunk))
-        sq = jnp.sum(jnp.square(out_chunk))
-        mono_peak = jnp.max(jnp.abs(mono))
-        return new_carry, energy_carry + cums[-1], vals, peak, sq, mono_peak
+        peak_c = jnp.maximum(peak_c, jnp.max(jnp.abs(out_chunk)))
+        sq_c = sq_c + jnp.sum(jnp.square(out_chunk))
+        mpk_c = jnp.maximum(mpk_c, jnp.max(jnp.abs(mono)))
+        return new_carry, energy_carry + cums[-1], vals, peak_c, sq_c, mpk_c
 
     kw_carry = jnp.zeros(fir_len - 1, dtype=jnp.float32)
     energy_carry = jnp.float32(0.0)
     energies = np.zeros(bounds.shape[0], dtype=np.float64)
-    peak = 0.0
-    sq_sum = 0.0
-    mono_peak = 0.0
+    peak_c = jnp.float32(0.0)
+    sq_c = jnp.float32(0.0)
+    mpk_c = jnp.float32(0.0)
+    deferred = []  # (target indices, device vals) — read back after the loop
     for i in range(n_chunks):
         offset = i * chunk
         inside = (bounds > offset) & (bounds <= offset + chunk)
@@ -249,18 +256,18 @@ def _streaming_metrics(out_cn, rate: int, len_out: int, chunk: int, n_chunks: in
         bvalid = np.zeros(max_per_chunk, bool)
         bpos[: idx.size] = (bounds[idx] - offset).astype(np.int32)
         bvalid[: idx.size] = True
-        out_chunk = jax.lax.dynamic_slice(
-            out_cn, (0, offset), (out_cn.shape[0], chunk)
-        )
         # positions past len_out are zero in the buffer → contribute nothing
-        kw_carry, energy_carry, vals, pk, sq, mpk = meter_chunk(
-            out_chunk, kw_carry, energy_carry,
-            jnp.asarray(bpos), jnp.asarray(bvalid),
+        kw_carry, energy_carry, vals, peak_c, sq_c, mpk_c = meter_chunk(
+            out_cn, jnp.int32(offset), kw_carry, energy_carry,
+            jnp.asarray(bpos), jnp.asarray(bvalid), peak_c, sq_c, mpk_c,
         )
-        energies[idx] = np.asarray(vals)[: idx.size]
-        peak = max(peak, float(pk))
-        sq_sum += float(sq)
-        mono_peak = max(mono_peak, float(mpk))
+        deferred.append((idx, vals))
+    for idx, vals in deferred:
+        if idx.size:
+            energies[idx] = np.asarray(vals)[: idx.size]
+    peak = float(peak_c)
+    sq_sum = float(sq_c)
+    mono_peak = float(mpk_c)
 
     if jblocks > 0:
         z = (energies[jblocks:] - energies[:jblocks]) / (kwc.BLOCK_SECONDS * rate)
