@@ -142,6 +142,15 @@ def main(argv=None) -> int:
             return 1
 
     results = []
+    if args.sweep and args.stream:
+        # the sweep path batches whole-clip renders in memory — silently
+        # dropping --stream would defeat the reason it was passed
+        print(
+            "error: --stream cannot be combined with --sweep (sweeps render "
+            "whole clips in device memory; run one streaming render per value)",
+            file=sys.stderr,
+        )
+        return 2
     if args.sweep:
         name, _, values_str = args.sweep.partition("=")
         if name not in SWEEPABLE:

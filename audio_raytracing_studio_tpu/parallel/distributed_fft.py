@@ -24,7 +24,9 @@ TPU-first construction, all ICI collectives and pow2 local FFTs:
    signal layout and the FFT layout is two static `ppermute`s each way.
 
 Per-device memory stays flat in the clip length (O(m/D)); per-EQ cost is
-4 distributed FFTs (the chirp-kernel spectra are jit-cached per shape).
+5 distributed transforms: forward + inverse Bluestein each take a data FFT
+and a conv IFFT, and the two data-independent chirp-kernel spectra are
+batched into one extra (double-width) distributed FFT.
 """
 
 from __future__ import annotations
@@ -195,12 +197,11 @@ def _from_fft_layout(y: jnp.ndarray, axis_name: str, num_blocks: int) -> jnp.nda
 # --------------------------------------------------------------------------
 
 
-def _chirp_kernel_spectrum(
+def _chirp_kernel(
     n0: int, m: int, axis_name: str, num_blocks: int, sign: float
 ) -> jnp.ndarray:
-    """B = FFT_m(chirp kernel), bin-strided.  K[k] = w̄[k] (k < n0),
-    K[m−k] = w̄[k] (1 ≤ k < n0), else 0 — built per device from global
-    indices, then one distributed FFT (XLA caches it per shape under jit)."""
+    """Time-domain chirp kernel shard: K[k] = w̄[k] (k < n0), K[m−k] = w̄[k]
+    (1 ≤ k < n0), else 0 — built per device from global indices."""
     b_m = m // num_blocks
     c = jax.lax.axis_index(axis_name)
     k = c * b_m + jnp.arange(b_m, dtype=jnp.int32)  # global m-index
@@ -208,7 +209,14 @@ def _chirp_kernel_spectrum(
     tail = k > m - n0  # mirror region; maps to w̄[m−k]
     idx = jnp.where(head, k, jnp.where(tail, m - k, 0))
     wbar = _chirp(idx, n0, sign=-sign)  # conj of the length-n0 chirp
-    kernel = jnp.where(head | tail, wbar, jnp.zeros_like(wbar))
+    return jnp.where(head | tail, wbar, jnp.zeros_like(wbar))
+
+
+def _chirp_kernel_spectrum(
+    n0: int, m: int, axis_name: str, num_blocks: int, sign: float
+) -> jnp.ndarray:
+    """B = FFT_m(chirp kernel), bin-strided."""
+    kernel = _chirp_kernel(n0, m, axis_name, num_blocks, sign)
     return dist_fft(kernel, axis_name, num_blocks)
 
 
@@ -218,12 +226,16 @@ def dist_dft_exact(
     axis_name: str,
     num_blocks: int,
     inverse: bool = False,
+    kernel_spectrum: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Exact length-n0 (i)DFT of a block-sharded (..., B_sig) complex array.
 
     Requires B_sig = m/(2·D) (see ``block_len_for``) so the layouts align.
     Positions ≥ n0 of the input are ignored; output positions ≥ n0 are zero.
-    The inverse includes the 1/n0 normalization.
+    The inverse includes the 1/n0 normalization.  ``kernel_spectrum``, when
+    given, is a precomputed ``_chirp_kernel_spectrum(n0, m, …, sign)`` shard
+    (callers doing a forward+inverse pair batch both kernel FFTs into one
+    distributed transform — see ``shelf_eq_sharded``).
     """
     b_sig = x_block.shape[-1]
     m = 2 * num_blocks * b_sig
@@ -243,7 +255,9 @@ def dist_dft_exact(
 
     u = x_block.astype(jnp.complex64) * w
     spec = dist_fft(_to_fft_layout(u, axis_name, num_blocks), axis_name, num_blocks)
-    spec = spec * _chirp_kernel_spectrum(n0, m, axis_name, num_blocks, sign)
+    if kernel_spectrum is None:
+        kernel_spectrum = _chirp_kernel_spectrum(n0, m, axis_name, num_blocks, sign)
+    spec = spec * kernel_spectrum
     conv = _from_fft_layout(
         dist_ifft(spec, axis_name, num_blocks), axis_name, num_blocks
     )
@@ -256,6 +270,30 @@ def dist_dft_exact(
 # --------------------------------------------------------------------------
 # Sharded exact shelf EQ (the long-render stage).
 # --------------------------------------------------------------------------
+
+
+def _band_edges(n0: int, rate: int):
+    """(k_lo, k_bass, k_treble): bass bins are [k_lo, k_bass], treble bins
+    start at k_treble — replicating ``np.fft.rfftfreq``'s float64 arithmetic
+    bit-for-bit.  ``ops.filters.shelf_eq_gain`` builds its masks from
+    rfftfreq, and a bin can land *exactly* on a cutoff with float dust (e.g.
+    250.00000000000003 Hz at 44.1 kHz), so an integer floor/ceil of
+    cutoff·n0/rate disagrees with the single-device mask on edge bins."""
+    val = 1.0 / (n0 * (1.0 / rate))  # rfftfreq(n0, d=1/rate) bin spacing
+    half = n0 // 2
+    bass_hz = float(config.EQ_BASS_CUTOFF_HZ)
+    treble_hz = float(config.EQ_TREBLE_CUTOFF_HZ)
+
+    k_lo = 0  # smallest bin with freq > 1e-6 (the bass mask's DC exclusion)
+    while k_lo <= half and k_lo * val <= 1e-6:
+        k_lo += 1
+    k_bass = min(int(np.floor(bass_hz * n0 / rate)) + 2, half)
+    while k_bass >= 0 and k_bass * val > bass_hz:
+        k_bass -= 1
+    k_treble = max(int(np.ceil(treble_hz * n0 / rate)) - 2, 0)
+    while k_treble <= half and k_treble * val < treble_hz:
+        k_treble += 1
+    return k_lo, k_bass, k_treble
 
 
 def shelf_eq_sharded(
@@ -272,28 +310,46 @@ def shelf_eq_sharded(
     Matches ``ops.filters.apply_shelf_eq`` at length n0 (reference
     raytracer_studio.py:392-397): bass gain on (0, 250] Hz, treble on
     [4 kHz, ∞), treble mask wins on overlap; applied over the full (two-
-    sided) spectrum with integer-exact band edges.
+    sided) spectrum with band edges replicating the single-device rfftfreq
+    masks bit-for-bit (``_band_edges``).
     """
     if not is_power_of_two(num_blocks):
         raise ValueError("shelf_eq_sharded requires a power-of-two block axis")
     b_sig = x_block.shape[-1]
+    m = 2 * num_blocks * b_sig
     c = jax.lax.axis_index(axis_name)
 
-    spec = dist_dft_exact(x_block, n0, axis_name, num_blocks, inverse=False)
+    # both chirp-kernel spectra (forward + inverse) in one batched
+    # distributed FFT — they are data-independent, only the sign differs
+    kernels = jnp.stack(
+        [
+            _chirp_kernel(n0, m, axis_name, num_blocks, sign=-1.0),
+            _chirp_kernel(n0, m, axis_name, num_blocks, sign=+1.0),
+        ]
+    )
+    kspec_fwd, kspec_inv = dist_fft(kernels, axis_name, num_blocks)
 
-    # band edges as exact host integers: k·rate/n0 ≤ 250  ⇔  k ≤ k_bass
-    k_bass = int(np.floor(config.EQ_BASS_CUTOFF_HZ * n0 / rate))
-    k_treble = int(np.ceil(config.EQ_TREBLE_CUTOFF_HZ * n0 / rate))
+    spec = dist_dft_exact(
+        x_block, n0, axis_name, num_blocks, inverse=False,
+        kernel_spectrum=kspec_fwd,
+    )
+
+    k_lo, k_bass, k_treble = _band_edges(n0, rate)
     k = c * b_sig + jnp.arange(b_sig, dtype=jnp.int32)  # global bin index
     in_band = k < n0
-    bass_mask = in_band & (k >= 1) & ((k <= k_bass) | (k >= n0 - k_bass))
+    bass_mask = in_band & (
+        ((k >= k_lo) & (k <= k_bass)) | ((k >= n0 - k_bass) & (k <= n0 - k_lo))
+    )
     treble_mask = in_band & (k >= k_treble) & (k <= n0 - k_treble)
     lo, hi = config.EQ_GAIN_CLIP
     gain = jnp.where(bass_mask, jnp.clip(bass_gain, lo, hi), 1.0)
     gain = jnp.where(treble_mask, jnp.clip(treble_gain, lo, hi), gain)
     spec = spec * gain.astype(jnp.float32)
 
-    y = dist_dft_exact(spec, n0, axis_name, num_blocks, inverse=True)
+    y = dist_dft_exact(
+        spec, n0, axis_name, num_blocks, inverse=True,
+        kernel_spectrum=kspec_inv,
+    )
     out = jnp.real(y).astype(jnp.float32)
     j = k
     return jnp.where(j < n0, out, jnp.zeros_like(out))

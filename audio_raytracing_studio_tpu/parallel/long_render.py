@@ -141,17 +141,13 @@ def _sharded_metrics(
     carry = jnp.sum(jnp.where(jnp.arange(num_blocks) < idx, totals, 0.0))
 
     # gating-block boundaries (host-static); E[g] = Σ_{t<g} kw²
-    jblocks = kwc.block_count(len_out, rate)
+    from ..metering.loudness import _block_bounds
+
+    lo, hi, jblocks = _block_bounds(len_out, rate)
     if jblocks <= 0:
         lufs = jnp.float32(-jnp.inf)
     else:
-        step = 1.0 - kwc.BLOCK_OVERLAP
-        jj = np.arange(jblocks)
-        lo = (kwc.BLOCK_SECONDS * (jj * step) * rate).astype(np.int64)
-        hi = np.minimum(
-            (kwc.BLOCK_SECONDS * (jj * step + 1) * rate).astype(np.int64), len_out
-        )
-        bounds = np.concatenate([lo, hi])  # (2J,)
+        bounds = np.concatenate([lo[:jblocks], hi[:jblocks]])  # (2J,)
         b = jnp.asarray(bounds)
         own = (b > offset) & (b <= offset + block_len)
         local_idx = jnp.clip(b - offset, 1, block_len)

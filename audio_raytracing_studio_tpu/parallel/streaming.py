@@ -187,6 +187,11 @@ def render_streaming(
         )
         six = filters.conditional_peak_normalize(six)
         out = spatial.map_layout(six, spec.layout, spec.rate, scal.z_pos)
+        # The exact pipeline works on (C, len_out) buffers, so map_layout's
+        # 12/18 ms delays trim at len_out; in this oversized buffer they
+        # spill into [len_out, len_out+delay).  Zero the spill so the final
+        # data-dependent normalize (and the meter) see identical samples.
+        out = out * (jnp.arange(n_total) < len_out)
         return filters.conditional_peak_normalize(out)
 
     out_cn = finish(mixed_buf, global_max)
@@ -206,26 +211,32 @@ def _streaming_metrics(out_cn, rate: int, len_out: int, chunk: int, n_chunks: in
     fir_len = int(fir.shape[0])
 
     # gating-block boundaries (host-static), grouped per chunk with padding
-    jblocks = kwc.block_count(len_out, rate)
+    from ..metering.loudness import _block_bounds
+
+    lo, hi, jblocks = _block_bounds(len_out, rate)
     step = 1.0 - kwc.BLOCK_OVERLAP
-    jj = np.arange(max(jblocks, 0))
-    lo = (kwc.BLOCK_SECONDS * (jj * step) * rate).astype(np.int64)
-    hi = np.minimum(
-        (kwc.BLOCK_SECONDS * (jj * step + 1) * rate).astype(np.int64), len_out
+    bounds = (
+        np.concatenate([lo[:jblocks], hi[:jblocks]])
+        if jblocks > 0
+        else np.zeros(0, np.int64)
     )
-    bounds = np.concatenate([lo, hi]) if jblocks > 0 else np.zeros(0, np.int64)
     max_per_chunk = int(np.ceil(chunk / (kwc.BLOCK_SECONDS * step * rate)) + 4) * 2
 
     n_ch = int(out_cn.shape[0])
 
     @jax.jit
-    def meter_chunk(out_buf, offset, kw_carry, energy_carry, bpos, bvalid,
+    def meter_chunk(out_buf, offset, kw_carry, bpos, bvalid,
                     peak_c, sq_c, mpk_c):
         """One meter hop: slices its chunk from the device buffer and folds
         the scalar statistics into carried accumulators — a single dispatch
-        per chunk with no host synchronization until the end."""
+        per chunk with no host synchronization until the end.
+
+        Boundary energies are returned *relative to the chunk start*; the
+        unbounded running carry lives on host in float64 (a float32 carry
+        loses ~ulp-of-total per block at hour scale, drifting the gated
+        LUFS — cf. the CLAUDE.md cumsum-precision note).
+        """
         out_chunk = jax.lax.dynamic_slice(out_buf, (0, offset), (n_ch, chunk))
-        valid = (bvalid).astype(jnp.float32)
         mono = 0.5 * (out_chunk[0] + out_chunk[1])
         conv = convolution.convolve_pairwise(
             mono[None, :], fir[None, :], chunk + fir_len - 1
@@ -235,19 +246,18 @@ def _streaming_metrics(out_cn, rate: int, len_out: int, chunk: int, n_chunks: in
         cums = jnp.concatenate(
             [jnp.zeros(1, jnp.float32), jnp.cumsum(jnp.square(kw))]
         )
-        vals = jnp.where(bvalid, energy_carry + cums[bpos], 0.0) * valid
+        vals = jnp.where(bvalid, cums[bpos], 0.0)
         peak_c = jnp.maximum(peak_c, jnp.max(jnp.abs(out_chunk)))
         sq_c = sq_c + jnp.sum(jnp.square(out_chunk))
         mpk_c = jnp.maximum(mpk_c, jnp.max(jnp.abs(mono)))
-        return new_carry, energy_carry + cums[-1], vals, peak_c, sq_c, mpk_c
+        return new_carry, cums[-1], vals, peak_c, sq_c, mpk_c
 
     kw_carry = jnp.zeros(fir_len - 1, dtype=jnp.float32)
-    energy_carry = jnp.float32(0.0)
     energies = np.zeros(bounds.shape[0], dtype=np.float64)
     peak_c = jnp.float32(0.0)
     sq_c = jnp.float32(0.0)
     mpk_c = jnp.float32(0.0)
-    deferred = []  # (target indices, device vals) — read back after the loop
+    deferred = []  # (indices, device rel-vals, device chunk total) per chunk
     for i in range(n_chunks):
         offset = i * chunk
         inside = (bounds > offset) & (bounds <= offset + chunk)
@@ -257,14 +267,16 @@ def _streaming_metrics(out_cn, rate: int, len_out: int, chunk: int, n_chunks: in
         bpos[: idx.size] = (bounds[idx] - offset).astype(np.int32)
         bvalid[: idx.size] = True
         # positions past len_out are zero in the buffer → contribute nothing
-        kw_carry, energy_carry, vals, peak_c, sq_c, mpk_c = meter_chunk(
-            out_cn, jnp.int32(offset), kw_carry, energy_carry,
+        kw_carry, total, vals, peak_c, sq_c, mpk_c = meter_chunk(
+            out_cn, jnp.int32(offset), kw_carry,
             jnp.asarray(bpos), jnp.asarray(bvalid), peak_c, sq_c, mpk_c,
         )
-        deferred.append((idx, vals))
-    for idx, vals in deferred:
+        deferred.append((idx, vals, total))
+    carry64 = 0.0  # float64 running K-weighted energy, accumulated on host
+    for idx, vals, total in deferred:
         if idx.size:
-            energies[idx] = np.asarray(vals)[: idx.size]
+            energies[idx] = carry64 + np.asarray(vals)[: idx.size]
+        carry64 += float(total)
     peak = float(peak_c)
     sq_sum = float(sq_c)
     mono_peak = float(mpk_c)

@@ -493,8 +493,13 @@ def _split_stream(data: bytes) -> Tuple[StreamInfo, int]:
         btype = header[0] & 0x7F
         length = int.from_bytes(header[1:4], "big")
         body = data[pos + 4 : pos + 4 + length]
+        if len(body) < length:
+            raise ValueError("truncated FLAC metadata")
         if btype == 0:
-            info = StreamInfo(body)
+            try:
+                info = StreamInfo(body)
+            except EOFError as e:  # declared length shorter than STREAMINFO
+                raise ValueError("invalid FLAC STREAMINFO block") from e
         pos += 4 + length
         if last:
             break
@@ -732,6 +737,10 @@ def write(path_or_file: Union[str, os.PathLike, BinaryIO], data: np.ndarray,
         raise ValueError(f"FLAC supports 1-8 channels, got {channels}")
     if bits_per_sample not in (8, 12, 16, 20, 24):
         raise ValueError(f"unsupported bits per sample {bits_per_sample}")
+    if not 16 <= blocksize <= 65535:
+        # STREAMINFO stores the blocksize in 16 bits; write_uint would
+        # silently mask a larger value into a corrupt header
+        raise ValueError(f"FLAC blocksize must be in [16, 65535], got {blocksize}")
 
     md5 = hashlib.md5(_samples_to_le_bytes(samples, bits_per_sample))
     frames = []
@@ -770,10 +779,25 @@ def write(path_or_file: Union[str, os.PathLike, BinaryIO], data: np.ndarray,
 
 
 def probe(path: Union[str, os.PathLike]) -> dict:
-    """Header-only metadata (same dict shape as wavio.probe)."""
+    """Header-only metadata (same dict shape as wavio.probe).
+
+    Reads 64 KiB and doubles on demand — the metadata chain can exceed the
+    initial window (e.g. multi-hundred-KiB embedded PICTURE blocks) without
+    pulling the whole audio stream in.
+    """
     with open(path, "rb") as f:
         data = f.read(64 * 1024)
-    info, _pos = _split_stream(data)
+        while True:
+            try:
+                info, _pos = _split_stream(data)
+                break
+            except ValueError as e:
+                if "truncated FLAC metadata" not in str(e):
+                    raise
+                more = f.read(max(len(data), 64 * 1024))
+                if not more:
+                    raise
+                data += more
     return {
         "samplerate": info.sample_rate,
         "channels": info.channels,

@@ -82,6 +82,31 @@ def test_dist_dft_exact_matches_numpy(block_mesh):
         assert np.abs(X[n0:]).max() == 0.0  # padding stays clean
 
 
+def test_band_edges_match_rfftfreq_masks():
+    """The sharded EQ's host band edges must replicate the single-device
+    rfftfreq masks bit-for-bit — bins can land exactly on a cutoff with
+    float dust (e.g. 250.00000000000003 Hz at 44.1 kHz, n0 = k·2646)."""
+    rng = np.random.default_rng(6)
+    cases = [(44100, 2646 * k) for k in (1, 7, 100, 1167)]  # 250 Hz edge bins
+    cases += [(44100, 441 * k) for k in (10, 70, 700)]
+    cases += [(48000, 192 * k) for k in (1, 125, 1000)]  # exact edges at 48 k
+    cases += [
+        (int(rate), int(n0))
+        for rate in (8000, 16000, 22050, 44100, 48000, 96000)
+        for n0 in rng.integers(16, 500_000, size=8)
+    ]
+    for rate, n0 in cases:
+        freqs = np.fft.rfftfreq(n0, d=1.0 / rate)
+        bass_ref = (freqs > 1e-6) & (freqs <= 250.0)
+        treble_ref = freqs >= 4000.0
+        k_lo, k_bass, k_treble = dfft._band_edges(n0, rate)
+        k = np.arange(freqs.size)
+        bass = (k >= k_lo) & (k <= k_bass)
+        treble = k >= k_treble
+        assert (bass == bass_ref).all(), (rate, n0)
+        assert (treble == treble_ref).all(), (rate, n0)
+
+
 def test_shelf_eq_sharded_matches_exact(block_mesh):
     D = 8
     rng = np.random.default_rng(5)

@@ -166,6 +166,49 @@ class TestRoundTrip:
             flacio.read(io.BytesIO(bytes(raw)))
 
 
+class TestMetadataRobustness:
+    def _with_padding_block(self, raw: bytes, pad_len: int) -> bytes:
+        """Insert a PADDING metadata block after STREAMINFO (tagger layout)."""
+        assert raw[:4] == b"fLaC" and raw[4] == 0x80  # STREAMINFO, last-flag
+        si_len = int.from_bytes(raw[5:8], "big")
+        out = bytearray(raw[:4])
+        out += bytes([0x00]) + raw[5:8] + raw[8 : 8 + si_len]  # clear last
+        out += bytes([0x80 | 0x01]) + pad_len.to_bytes(3, "big")  # PADDING
+        out += bytes(pad_len)
+        out += raw[8 + si_len :]
+        return bytes(out)
+
+    def test_probe_with_metadata_past_64k(self, tmp_path):
+        """probe() must walk metadata chains larger than its initial read
+        window (embedded album art routinely exceeds 64 KiB)."""
+        sig = (0.3 * np.sin(np.arange(4000) / 9)).astype(np.float32)
+        buf = io.BytesIO()
+        flacio.write(buf, sig, 8000)
+        big = self._with_padding_block(buf.getvalue(), 200_000)
+        path = tmp_path / "art.flac"
+        path.write_bytes(big)
+        info = flacio.probe(path)
+        assert info["frames"] == 4000 and info["samplerate"] == 8000
+        out, rate = flacio.read(path)  # decode survives the padding too
+        assert out.shape[0] == 4000 and rate == 8000
+        assert wavio.probe(path)["frames"] == 4000  # the wavio route as well
+
+    def test_probe_truncated_metadata_raises_valueerror(self, tmp_path):
+        # short STREAMINFO body: the ValueError contract, not a raw EOFError
+        path = tmp_path / "trunc.flac"
+        path.write_bytes(b"fLaC" + bytes([0x80]) + (10).to_bytes(3, "big") + bytes(10))
+        with pytest.raises(ValueError):
+            flacio.probe(path)
+        with pytest.raises(ValueError):
+            wavio.probe(path)
+
+    def test_blocksize_out_of_range_rejected(self):
+        sig = np.zeros(100, np.float32)
+        for bad in (8, 65536):
+            with pytest.raises(ValueError, match="blocksize"):
+                flacio.write(io.BytesIO(), sig, 8000, blocksize=bad)
+
+
 # ---------------------------------------------------------------------------
 # hand-assembled decode features the encoder never emits
 # ---------------------------------------------------------------------------

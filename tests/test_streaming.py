@@ -76,6 +76,27 @@ class TestStreaming:
         )
         assert metrics["rms_dbfs"] == pytest.approx(float(ref["rms_dbfs"]), abs=1e-3)
 
+    def test_metrics_match_meter_on_delayed_layout(self, rng):
+        """Review regression: 7.1's 12 ms side-channel delay spills past
+        len_out in the oversized streaming buffer; the meter (and the final
+        conditional normalize) must see the len_out-trimmed samples only."""
+        import jax.numpy as jnp
+        from audio_raytracing_studio_tpu.metering import loudness as jl
+
+        rate = 16000
+        x = clip(rng, 2.0, rate)
+        p = RenderParams(target_layout="7.1 (Surround)", room_size=60.0,
+                         air_absorption=0.0, z_pos=0.6)
+        out, metrics = streaming.render_streaming(
+            x, rate, p, seed=5, chunk_seconds=0.7, with_metrics=True
+        )
+        ref = jl.audio_metrics(jnp.asarray(out.T), rate)
+        assert metrics["rms_dbfs"] == pytest.approx(float(ref["rms_dbfs"]), abs=1e-3)
+        assert metrics["true_peak_dbfs"] == pytest.approx(
+            float(ref["true_peak_dbfs"]), abs=1e-3
+        )
+        assert metrics["lufs"] == pytest.approx(float(ref["lufs"]), abs=0.02)
+
     def test_metrics_only_mode(self, rng):
         """return_output=False skips the bulk transfer, same metrics."""
         rate = 16000
