@@ -72,28 +72,41 @@ def normalize_to_lufs(
     }
 
 
-def convert(input_path: str, output_path: str, bitrate: str = "256") -> str:
+def convert(input_path: str, output_path: str, bitrate: str = "256",
+            samplerate: int | None = None) -> str:
     """Format conversion (analyser.py:73-83).  WAV and FLAC natively (both
     directions, via utils.wavio / utils.flacio); other codecs require
-    ffmpeg on PATH."""
+    ffmpeg on PATH.  ``samplerate`` additionally rate-converts through the
+    on-device polyphase resampler (ops.resample) — a rebuild extension; the
+    reference's converter can only change containers, not rates."""
+
+    def _maybe_resample(data: np.ndarray, rate: int) -> tuple[np.ndarray, int]:
+        if samplerate is None or int(samplerate) == rate:
+            return data, rate
+        from ..ops.resample import resample_poly
+
+        return np.asarray(resample_poly(data, int(samplerate), rate)), int(samplerate)
+
     if output_path.lower().endswith(".wav"):
         data, rate = wavio.read(input_path)  # reads WAV or FLAC natively
-        wavio.write(output_path, data, rate, subtype="PCM_16")
+        data, rate = _maybe_resample(data, rate)
+        wavio.write(output_path, np.clip(data, -1.0, 1.0), rate, subtype="PCM_16")
         return output_path
     if output_path.lower().endswith(".flac"):
         from ..utils import flacio
 
         data, rate = wavio.read(input_path)
-        flacio.write(output_path, data, rate, bits_per_sample=16)
+        data, rate = _maybe_resample(data, rate)
+        flacio.write(output_path, np.clip(data, -1.0, 1.0), rate, bits_per_sample=16)
         return output_path
     if shutil.which("ffmpeg") is None:
         raise RuntimeError(
             "ffmpeg not found — non-WAV conversion needs ffmpeg on PATH"
         )
-    subprocess.run(
-        ["ffmpeg", "-y", "-i", str(input_path), "-b:a", f"{bitrate}k", str(output_path)],
-        check=True, capture_output=True,
-    )
+    cmd = ["ffmpeg", "-y", "-i", str(input_path), "-b:a", f"{bitrate}k"]
+    if samplerate is not None:
+        cmd += ["-ar", str(int(samplerate))]
+    subprocess.run(cmd + [str(output_path)], check=True, capture_output=True)
     return output_path
 
 
@@ -115,6 +128,8 @@ def main(argv=None) -> int:
     c.add_argument("input")
     c.add_argument("output")
     c.add_argument("--bitrate", default="256")
+    c.add_argument("--samplerate", type=int, default=None,
+                   help="also rate-convert (on-device polyphase resampler)")
 
     from ..utils.runtime import ensure_backend
 
@@ -126,7 +141,8 @@ def main(argv=None) -> int:
         elif args.cmd == "normalize":
             print(json.dumps(normalize_to_lufs(args.input, args.output, args.target, args.backend), indent=2))
         elif args.cmd == "convert":
-            print(convert(args.input, args.output, args.bitrate))
+            print(convert(args.input, args.output, args.bitrate,
+                          samplerate=args.samplerate))
     except Exception as e:  # noqa: BLE001 — CLI error surface
         print(f"error: {e}", file=sys.stderr)
         return 1
