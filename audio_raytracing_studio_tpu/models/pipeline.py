@@ -77,6 +77,10 @@ class StaticSpec(NamedTuple):
     early_on: bool
     late_on: bool
     fast_air: bool = False
+    # Batched renderers set this: the exact-air conv must use power-of-two
+    # FFT grids under a large vmap batch (3·2^k grids hit a pathological
+    # 8-16×-padded layout on this backend — see ops.convolution).
+    pow2_conv: bool = False
 
     @property
     def len_out(self) -> int:
@@ -148,7 +152,9 @@ def internal_graph_with_irs(
     elif kernels:
         # Exact air mode filters the late stream at the exact output length
         # before the levels combine — keep the per-kernel streams separate.
-        conv = convolution.convolve_full(audio_cn, jnp.stack(kernels), len_out)
+        conv = convolution.convolve_full(
+            audio_cn, jnp.stack(kernels), len_out, pow2=spec.pow2_conv
+        )
         early_wet = jnp.zeros((audio_cn.shape[0], len_out), dtype=jnp.float32)
         late_wet = jnp.zeros_like(early_wet)
         idx = 0

@@ -35,6 +35,7 @@ def convolve_full(
     kernels: jnp.ndarray,
     out_length: int,
     kernel_gains: jnp.ndarray | None = None,
+    pow2: bool = False,
 ) -> jnp.ndarray:
     """Linear convolution of each signal channel with each kernel.
 
@@ -54,7 +55,21 @@ def convolve_full(
     """
     n = signal.shape[-1]
     l = kernels.shape[-1]
-    nfft = fast_fft_length(max(out_length, n + l - 1))
+    need = max(out_length, n + l - 1)
+    # Batched transforms at 3·2^k lengths hit a pathological tiled layout on
+    # this backend once the batch grows: the radix-3 factor lands in a
+    # (2..8, 128)-tiled minor dim and pads 8-16× (measured 768 MB → 6 GB of
+    # HLO temps under the batched exact render, HBM OOM at B=8 — including
+    # with the batch dims flattened around the transform; vmap re-batches
+    # them).  Small batches (single clip, streaming chunks) lay out fine, so
+    # keep the cheaper 3·2^k grid there and go power-of-two above 4 rows.
+    # ``pow2=True`` forces the safe grid — batched callers must pass it,
+    # because under vmap this trace only sees the per-example shape.
+    rows = 1
+    for d in signal.shape[:-1]:
+        rows *= d
+    rows *= kernels.shape[0]
+    nfft = next_power_of_two(need) if (pow2 or rows > 4) else fast_fft_length(need)
 
     sig_f = jnp.fft.rfft(signal, n=nfft, axis=-1)  # (..., C, F)
     ker_f = jnp.fft.rfft(kernels, n=nfft, axis=-1)  # (K, F)

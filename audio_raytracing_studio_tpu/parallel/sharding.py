@@ -47,6 +47,8 @@ def _batched_internal(
     spec: pipeline.StaticSpec,
     with_metrics: bool,
 ):
+    spec = spec._replace(pow2_conv=True)  # 3·2^k grids mis-tile under vmap
+
     def one(audio_cn, seed, ir_sc, mix_sc):
         delays, strengths, noise = ir_synth.hash_draws(seed, ir_shape)
         out = pipeline.internal_graph(
@@ -94,6 +96,7 @@ def _batched_internal_pallas(
     """Batched render with the fused Pallas RIR bank as the IR source."""
     from ..ops.ir_synth_pallas import fused_rir_bank
 
+    spec = spec._replace(pow2_conv=True)  # 3·2^k grids mis-tile under vmap
     early_bank, late_bank = fused_rir_bank(seeds, ir_shape, ir_scalars)
 
     def one(audio_cn, early_ir, late_ir, mix_sc):
@@ -124,6 +127,8 @@ def _sharded_internal_pallas(
     each device runs its own bank + render over its batch shard explicitly.
     """
     from ..ops.ir_synth_pallas import fused_rir_bank
+
+    spec = spec._replace(pow2_conv=True)  # 3·2^k grids mis-tile under vmap
 
     def local(audio_shard, seed_shard, ir_sc_shard, mix_shard):
         early_bank, late_bank = fused_rir_bank(seed_shard, ir_shape, ir_sc_shard)
