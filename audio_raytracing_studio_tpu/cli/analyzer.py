@@ -90,14 +90,14 @@ def convert(input_path: str, output_path: str, bitrate: str = "256",
     if output_path.lower().endswith(".wav"):
         data, rate = wavio.read(input_path)  # reads WAV or FLAC natively
         data, rate = _maybe_resample(data, rate)
-        wavio.write(output_path, np.clip(data, -1.0, 1.0), rate, subtype="PCM_16")
+        wavio.write(output_path, data, rate, subtype="PCM_16")
         return output_path
     if output_path.lower().endswith(".flac"):
         from ..utils import flacio
 
         data, rate = wavio.read(input_path)
         data, rate = _maybe_resample(data, rate)
-        flacio.write(output_path, np.clip(data, -1.0, 1.0), rate, bits_per_sample=16)
+        flacio.write(output_path, data, rate, bits_per_sample=16)
         return output_path
     if shutil.which("ffmpeg") is None:
         raise RuntimeError(

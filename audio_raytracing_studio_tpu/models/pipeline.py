@@ -245,7 +245,9 @@ def prepare_external_ir(
     """Validate and (FFT-)resample an external IR to the clip's sample rate.
 
     Mirrors the external-IR handling at raytracer_studio.py:1034-1041:
-    resample on rate mismatch, reject non-stereo.
+    resample on rate mismatch (Fourier method — ops.resample.resample_fft
+    replicates scipy.signal.resample's semantics on device, pinned ≤5e-6
+    against scipy in test_resample), reject non-stereo.
     """
     ir = np.asarray(ir, dtype=np.float32)
     if ir.ndim != 2:
@@ -253,12 +255,14 @@ def prepare_external_ir(
     if ir.size == 0:
         raise ValueError("External IR is empty.")
     if ir_rate != target_rate:
-        from scipy.signal import resample
+        from ..ops.resample import resample_fft
 
         n_resampled = int(ir.shape[0] * target_rate / ir_rate)
         if n_resampled <= 0:
             raise ValueError("Resampling would produce an empty IR.")
-        ir = resample(ir, n_resampled, axis=0).astype(np.float32)
+        if ir.shape[0] < 2:
+            raise ValueError("External IR too short to resample.")
+        ir = np.asarray(resample_fft(ir, n_resampled), dtype=np.float32)
     if ir.shape[1] != 2:
         raise ValueError("External IR must be stereo.")
     return ir

@@ -62,14 +62,19 @@ def convolve_full(
     # HLO temps under the batched exact render, HBM OOM at B=8 — including
     # with the batch dims flattened around the transform; vmap re-batches
     # them).  Small batches (single clip, streaming chunks) lay out fine, so
-    # keep the cheaper 3·2^k grid there and go power-of-two above 4 rows.
-    # ``pow2=True`` forces the safe grid — batched callers must pass it,
-    # because under vmap this trace only sees the per-example shape.
-    rows = 1
-    for d in signal.shape[:-1]:
-        rows *= d
-    rows *= kernels.shape[0]
-    nfft = next_power_of_two(need) if (pow2 or rows > 4) else fast_fft_length(need)
+    # the cheap 3·2^k grid stays the default; batched renderers MUST pass
+    # ``pow2=True`` (via StaticSpec.pow2_conv) — under vmap this trace only
+    # sees the per-example shape, so no heuristic here can detect the batch.
+    if kernel_gains is not None:
+        # gains are (K, F) per-bin curves built by the caller — the grid is
+        # fixed by their bin count, so a pow2 override cannot desync them
+        nfft = 2 * (kernel_gains.shape[-1] - 1)
+        if nfft < need:
+            raise ValueError(
+                f"kernel_gains imply nfft={nfft} < required {need}"
+            )
+    else:
+        nfft = next_power_of_two(need) if pow2 else fast_fft_length(need)
 
     sig_f = jnp.fft.rfft(signal, n=nfft, axis=-1)  # (..., C, F)
     ker_f = jnp.fft.rfft(kernels, n=nfft, axis=-1)  # (K, F)

@@ -95,6 +95,9 @@ def _poly_kernel(x_cn: jnp.ndarray, up: int, down: int, n_out: int, half_width: 
         window_strides=(down,),
         padding=((half_len, max(pad_right, 0)),),
         lhs_dilation=(up,),
+        # the TPU MXU would otherwise accumulate in bf16 (~-50 dB error),
+        # swamping the Kaiser stopband (CLAUDE.md precision discipline)
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[:, 0, :n_out]
 
