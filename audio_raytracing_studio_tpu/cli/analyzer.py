@@ -62,7 +62,7 @@ def normalize_to_lufs(
     gain_db = target_lufs - lufs
     gain = 10.0 ** (gain_db / 20.0)
     out = np.clip(data * gain, -1.0, 1.0)
-    wavio.write(output_path, out, rate, subtype="PCM_16")
+    wavio.write_audio(output_path, out, rate, subtype="PCM_16")
     after = calculate_audio_metrics(out, rate, backend=backend)
     return {
         "input_lufs": round(lufs, 2),

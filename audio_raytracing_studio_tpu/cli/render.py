@@ -73,8 +73,12 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="ars-render", description="Audio Raytracing Studio TPU — headless renderer"
     )
-    ap.add_argument("input", help="input WAV file")
-    ap.add_argument("output", help="output WAV file; use {i} for sweep index")
+    ap.add_argument("input", help="input audio file (WAV or FLAC)")
+    ap.add_argument(
+        "output",
+        help="output file; .flac targets the native encoder, anything else "
+        "writes WAV; use {i} for sweep index",
+    )
     add_param_flags(ap)
     ap.add_argument(
         "--sweep",
@@ -180,7 +184,7 @@ def main(argv=None) -> int:
                 from ..ops.binaural import binauralize
 
                 clip_out = binauralize(clip_out, rate, base_params.target_layout)
-            wavio.write(out_path, np.clip(clip_out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
+            wavio.write_audio(out_path, np.clip(clip_out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
             results.append({"output": out_path, name: v, "metrics": metrics[i]})
     elif args.stream:
         from ..parallel.streaming import render_streaming
@@ -199,7 +203,7 @@ def main(argv=None) -> int:
 
             out = binauralize(out, rate, base_params.target_layout)
         out_path = args.output.format(i=0)
-        wavio.write(out_path, np.clip(out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
+        wavio.write_audio(out_path, np.clip(out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
         results.append({"output": out_path, "metrics": metrics})
     else:
         out, metrics = pipeline.render(
@@ -212,7 +216,7 @@ def main(argv=None) -> int:
 
             out = binauralize(out, rate, base_params.target_layout)
         out_path = args.output.format(i=0)
-        wavio.write(out_path, np.clip(out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
+        wavio.write_audio(out_path, np.clip(out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
         results.append({"output": out_path, "metrics": metrics})
 
     if args.json:

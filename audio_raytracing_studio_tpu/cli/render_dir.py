@@ -116,7 +116,7 @@ def main(argv=None) -> int:
 
                 trimmed = binauralize(trimmed, rate, p.target_layout)
             metrics = calculate_audio_metrics(trimmed, rate)
-            wavio.write(out_path, trimmed, rate)
+            wavio.write_audio(out_path, trimmed, rate)
             chunk_results.append({"output": out_path, "metrics": metrics})
         return chunk_results
 

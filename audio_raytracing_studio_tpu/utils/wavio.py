@@ -241,6 +241,27 @@ def _read_stream(fh: BinaryIO) -> Tuple[np.ndarray, int]:
     return data[: frames * channels].reshape(frames, channels), int(rate)
 
 
+def write_audio(
+    path: Union[str, os.PathLike],
+    data: np.ndarray,
+    rate: int,
+    subtype: str = "PCM_16",
+) -> None:
+    """Extension-dispatching writer: ``.flac`` → the native FLAC encoder,
+    anything else → WAV.  Lets every CLI accept FLAC output targets (the
+    reference can only write WAV, raytracer_studio.py:1084; FLAC halves the
+    file at bit-identical 16-bit fidelity).  ``subtype`` applies to both
+    containers ("PCM_16" → 16-bit, "FLOAT"/"PCM_24" → 24-bit FLAC).
+    """
+    if str(path).lower().endswith(".flac"):
+        from . import flacio
+
+        bits = 16 if subtype == "PCM_16" else 24
+        flacio.write(path, data, rate, bits_per_sample=bits)
+        return
+    write(path, data, rate, subtype=subtype)
+
+
 def write(
     path_or_file: Union[str, os.PathLike, BinaryIO],
     data: np.ndarray,

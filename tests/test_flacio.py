@@ -409,6 +409,34 @@ class TestIntegration:
         assert r1 == r2 == rate
         np.testing.assert_array_equal(d1, d2)
 
+    def test_render_cli_flac_output(self, tmp_path):
+        """FLAC as a render *target*: .flac extension routes to the native
+        encoder (the reference writes WAV only, raytracer_studio.py:1084)."""
+        from audio_raytracing_studio_tpu.cli.render import main
+
+        src = tmp_path / "in.wav"
+        t = np.arange(8000) / 8000
+        wavio.write(src, (0.4 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), 8000)
+        out = tmp_path / "out.flac"
+        rc = main([str(src), str(out), "--layout", "Stereo", "--room-size", "40",
+                   "--seed", "1"])
+        assert rc == 0 and out.exists()
+        data, rate = flacio.read(out)
+        assert rate == 8000 and data.shape[1] == 2
+        # round-trips through the generic reader too
+        data2, _ = wavio.read(out)
+        assert np.array_equal(data, data2)
+
+    def test_normalize_to_flac_target(self, tmp_path, rng):
+        from audio_raytracing_studio_tpu.cli.analyzer import normalize_to_lufs
+
+        src = tmp_path / "in.wav"
+        wavio.write(src, (0.3 * rng.standard_normal(16000)).astype(np.float32), 8000)
+        out = tmp_path / "norm.flac"
+        res = normalize_to_lufs(str(src), str(out), target_lufs=-20.0)
+        assert abs(res["output_lufs"] + 20.0) < 0.4
+        assert flacio.probe(out)["samplerate"] == 8000
+
     def test_render_pipeline_accepts_flac_input(self, tmp_path):
         """The full orchestrator path renders a FLAC upload (VERDICT gap 1)."""
         from audio_raytracing_studio_tpu.app import api
