@@ -47,6 +47,7 @@ def compute_spectrogram(
 ):
     """Hann spectrogram (f, t, Sxx).  use_device routes the STFT through JAX."""
     if use_device:
+        import jax
         import jax.numpy as jnp
 
         hop = nperseg // 2
@@ -55,11 +56,17 @@ def compute_spectrogram(
         idx = np.arange(num_frames)[:, None] * hop + np.arange(nperseg)[None, :]
         frames = jnp.asarray(data)[idx]
         window = jnp.asarray(np.hanning(nperseg).astype(np.float32))
-        spec = jnp.fft.rfft(frames * window, axis=-1)
-        # scipy 'density' scaling: |X|²/(fs·Σw²), interior bins doubled
+        # scipy 'density' scaling: |X|²/(fs·Σw²), interior bins doubled.
+        # jitted: eager complex arithmetic (the |rfft|²) is UNIMPLEMENTED
+        # on the axon TPU backend.
         scale = 1.0 / (rate * float(np.sum(np.hanning(nperseg) ** 2)))
-        sxx = (jnp.abs(spec) ** 2) * scale
-        sxx = sxx.at[..., 1:-1].multiply(2.0)
+
+        @jax.jit
+        def stft_power(fr, w):
+            sx = jnp.abs(jnp.fft.rfft(fr * w, axis=-1)) ** 2 * scale
+            return sx.at[..., 1:-1].multiply(2.0)
+
+        sxx = stft_power(frames, window)
         f = np.fft.rfftfreq(nperseg, 1.0 / rate)
         t = (np.arange(num_frames) * hop + nperseg / 2) / rate
         return f, t, np.asarray(sxx).T

@@ -54,19 +54,30 @@ def _block_bounds(num_samples: int, rate: int) -> tuple[np.ndarray, np.ndarray, 
 
 
 def k_weight(signal: jnp.ndarray, rate: int) -> jnp.ndarray:
-    """Apply the K-weighting prefilter over the last axis (causal FIR form)."""
+    """Apply the K-weighting prefilter over the last axis (causal FIR form).
+
+    One kernel FFT broadcast against all channels (a per-channel kernel
+    copy would redundantly transform the same 8192 taps C times).
+    """
     n = signal.shape[-1]
     fir = jnp.asarray(k_weighting_fir(rate).astype(np.float32))
-    squeeze = signal.ndim == 1
-    sig = signal[None, :] if squeeze else signal
-    out = convolution.convolve_pairwise(sig, fir[None, :].repeat(sig.shape[-2], 0), n)
-    return out[0] if squeeze else out
+    nfft = convolution.fast_fft_length(n + int(fir.shape[0]) - 1)
+    sig_f = jnp.fft.rfft(signal, n=nfft, axis=-1)
+    out = jnp.fft.irfft(sig_f * jnp.fft.rfft(fir, n=nfft), n=nfft, axis=-1)
+    return out[..., :n].astype(jnp.float32)
 
 
 def block_mean_squares(signal: jnp.ndarray, rate: int) -> jnp.ndarray:
     """Per-gating-block mean square z_j over the last axis → (..., num_blocks).
 
     Energy-cumsum + gather at pyloudnorm's block grid: z_j = Σ x² / (T_g·rate).
+
+    Precision envelope: XLA lowers the float32 cumsum as a log-depth scan,
+    so a block energy (difference of two prefixes) carries ~log2(n)·eps of
+    the *total* energy — ≈0.01 dB at the ~10-minute ceiling of the single-
+    shot render path.  Hour-scale clips go through the streaming/sequence-
+    parallel meters, which carry the running energy in host float64
+    (parallel/streaming.py, parallel/long_render.py).
     """
     n = signal.shape[-1]
     lo, hi, num_blocks = _block_bounds(n, rate)
@@ -177,6 +188,10 @@ def oversampled_true_peak_dbfs(
     """
     phases = jnp.asarray(_polyphase_kernels(factor, taps_per_phase))
     n = data.shape[-1]
+    if n < taps_per_phase:  # too short for one full tap window: zero-pad
+        pad = [(0, 0)] * (data.ndim - 1) + [(0, taps_per_phase - n)]
+        data = jnp.pad(data, pad)
+        n = taps_per_phase
     valid = max(1, n - taps_per_phase + 1)
     # interpolated sample (phase p, offset i) = Σ_k x[i+k]·h_p[k], evaluated
     # only where the full tap window fits — running the kernel off the signal
@@ -192,13 +207,8 @@ def oversampled_true_peak_dbfs(
     ).astype(jnp.float32)
 
 
-def audio_metrics(data_cn: jnp.ndarray, rate: int) -> dict:
-    """LUFS / sample-peak / RMS with the reference's conventions.
-
-    data_cn: (C, n) channels-leading.  LUFS meters the mean of the first ≤2
-    channels (raytracer_studio.py:687-688); silence (< 1e-6 peak) short-
-    circuits to −inf like the reference (:689).
-    """
+@functools.partial(jax.jit, static_argnames=("rate",))
+def _audio_metrics_jit(data_cn: jnp.ndarray, *, rate: int) -> dict:
     num_channels = data_cn.shape[0]
     mono = data_cn[0] if num_channels == 1 else jnp.mean(data_cn[:2], axis=0)
     lufs = integrated_loudness(mono, rate, weights=np.array([1.0]))
@@ -208,3 +218,19 @@ def audio_metrics(data_cn: jnp.ndarray, rate: int) -> dict:
         "true_peak_dbfs": sample_peak_dbfs(data_cn),
         "rms_dbfs": rms_dbfs(data_cn),
     }
+
+
+def audio_metrics(data_cn: jnp.ndarray, rate: int) -> dict:
+    """LUFS / sample-peak / RMS with the reference's conventions.
+
+    data_cn: (C, n) channels-leading.  LUFS meters the mean of the first ≤2
+    channels (raytracer_studio.py:687-688); silence (< 1e-6 peak) short-
+    circuits to −inf like the reference (:689).
+
+    Jitted: the K-weighting convolution multiplies complex64 spectra, and
+    EAGER complex arithmetic is UNIMPLEMENTED on the axon TPU backend
+    (CLAUDE.md) — host callers (pipeline.render(return_metrics=True), the
+    analyzer CLI) would crash on hardware while CPU-backend CI stays green.
+    Under an enclosing jit (batched/sharded meters) the call inlines.
+    """
+    return _audio_metrics_jit(jnp.asarray(data_cn), rate=int(rate))

@@ -24,6 +24,7 @@ from __future__ import annotations
 import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -100,6 +101,20 @@ def _binaural_table(layout_key: tuple, rate: int, nfft: int) -> np.ndarray:
     return table
 
 
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _binaural_mix(data_cn, table_re, table_im, nfft: int, n: int):
+    # jitted, and the ear-filter table arrives as real/imag float32 pairs:
+    # EAGER complex arithmetic AND complex64 host↔device transfers are both
+    # UNIMPLEMENTED on the axon TPU backend (CLAUDE.md) — complex values may
+    # only exist inside the compiled graph
+    table = jax.lax.complex(table_re, table_im)
+    spec = jnp.fft.rfft(data_cn, n=nfft, axis=-1)
+    # elementwise sum over the small channel axis (VPU) — the default einsum
+    # contraction would run bf16 on the MXU (see CLAUDE.md)
+    ears = jnp.sum(spec[:, None, :] * table, axis=0)
+    return jnp.fft.irfft(ears, n=nfft, axis=-1)[:, :n].astype(jnp.float32)
+
+
 def binauralize(data_nc: np.ndarray, rate: int, layout_name: str) -> np.ndarray:
     """Surround (n, C) → binaural stereo (n, 2) for headphone playback."""
     layout = config.CHANNEL_LAYOUTS.get(layout_name)
@@ -111,10 +126,11 @@ def binauralize(data_nc: np.ndarray, rate: int, layout_name: str) -> np.ndarray:
     n = data_nc.shape[0]
     nfft = fast_fft_length(n + 256)  # headroom for the ITD delays
 
-    table = jnp.asarray(_binaural_table(names, int(rate), nfft))
-    spec = jnp.fft.rfft(jnp.asarray(data_nc.astype(np.float32).T), n=nfft, axis=-1)
-    # elementwise sum over the small channel axis (VPU) — the default einsum
-    # contraction would run bf16 on the MXU (see CLAUDE.md)
-    ears = jnp.sum(spec[:, None, :] * table, axis=0)
-    out = jnp.fft.irfft(ears, n=nfft, axis=-1)[:, :n]
+    table = _binaural_table(names, int(rate), nfft)
+    out = _binaural_mix(
+        jnp.asarray(data_nc.astype(np.float32).T),
+        jnp.asarray(np.ascontiguousarray(table.real, dtype=np.float32)),
+        jnp.asarray(np.ascontiguousarray(table.imag, dtype=np.float32)),
+        nfft, n,
+    )
     return np.asarray(out, dtype=np.float32).T

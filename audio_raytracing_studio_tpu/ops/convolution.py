@@ -61,10 +61,14 @@ def convolve_full(
     # (2..8, 128)-tiled minor dim and pads 8-16× (measured 768 MB → 6 GB of
     # HLO temps under the batched exact render, HBM OOM at B=8 — including
     # with the batch dims flattened around the transform; vmap re-batches
-    # them).  Small batches (single clip, streaming chunks) lay out fine, so
-    # the cheap 3·2^k grid stays the default; batched renderers MUST pass
-    # ``pow2=True`` (via StaticSpec.pow2_conv) — under vmap this trace only
-    # sees the per-example shape, so no heuristic here can detect the batch.
+    # them).  The hazard is specific to the rank-4 (batch, K, C, nfft) shape
+    # this function produces under vmap — the rank-3 (batch, C, nfft) shapes
+    # of convolve_combined/convolve_pairwise are measured clean at B=48
+    # (BENCH_HISTORY).  Small batches (single clip, streaming chunks) lay
+    # out fine too, so the cheap 3·2^k grid stays the default; batched
+    # renderers MUST pass ``pow2=True`` (via StaticSpec.pow2_conv) — under
+    # vmap this trace only sees the per-example shape, so no heuristic here
+    # can detect the batch.
     if kernel_gains is not None:
         # gains are (K, F) per-bin curves built by the caller — the grid is
         # fixed by their bin count, so a pow2 override cannot desync them

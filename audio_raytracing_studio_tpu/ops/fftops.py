@@ -32,8 +32,8 @@ def next_power_of_two(n: int) -> int:
     return 1 << max(0, int(np.ceil(np.log2(max(1, n)))))
 
 
-@functools.lru_cache(maxsize=64)
-def _bluestein_constants(n: int, inverse: bool):
+@functools.lru_cache(maxsize=8)  # ~0.34 GB/entry at n~1e7 — keep the host
+def _bluestein_constants(n: int, inverse: bool):  # cache bounded
     """Host-precomputed (w, B, m) for a length-n (i)DFT, float64 → complex64.
 
     Returns NumPy arrays only — device constants must be materialized inside
@@ -72,9 +72,12 @@ def _bluestein_dft(x: jnp.ndarray, n: int, inverse: bool) -> jnp.ndarray:
 
 
 def rfft_exact(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    """rfft of real (..., n) input at exactly length n (any n ≥ 2)."""
+    """rfft of real input at exactly length n (any n ≥ 2); like
+    ``np.fft.rfft(x, n)``, shorter input is zero-padded, longer truncated."""
     if is_power_of_two(n):
         return jnp.fft.rfft(x, n=n, axis=-1)
+    if x.shape[-1] < n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
     full = _bluestein_dft(x[..., :n].astype(jnp.complex64), n, inverse=False)
     return full[..., : n // 2 + 1]
 

@@ -50,17 +50,24 @@ def resample_fft(x: jnp.ndarray, num: int) -> jnp.ndarray:
         raise ValueError(f"cannot resample {n} samples to {num}")
     if num == n:
         return x[:, 0] if squeeze else x
+    out = _resample_fft_jit(x, num)
+    return out[:, 0] if squeeze else out
 
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _resample_fft_jit(x: jnp.ndarray, num: int) -> jnp.ndarray:
+    # jitted: the Bluestein chirp products are complex64 multiplies, and
+    # EAGER complex arithmetic is UNIMPLEMENTED on the axon TPU backend
+    n = int(x.shape[0])
     m = min(num, n)
     m2 = m // 2 + 1
     spec = fftops.rfft_exact(x.T, n)[..., :m2]
-    if m % 2 == 0:  # unpaired bin at m//2 (num == n returned early above)
+    if m % 2 == 0:  # unpaired bin at m//2 (num == n handled by the caller)
         spec = spec.at[..., m // 2].multiply(2.0 if num < n else 0.5)
     if num > n:  # upsampling: zero-pad the half spectrum to the new length
         spec = jnp.pad(spec, [(0, 0)] * (spec.ndim - 1) + [(0, num // 2 + 1 - m2)])
     out = fftops.irfft_exact(spec, num).T * (np.float32(num) / np.float32(n))
-    out = out.astype(jnp.float32)
-    return out[:, 0] if squeeze else out
+    return out.astype(jnp.float32)
 
 
 @functools.lru_cache(maxsize=32)
