@@ -11,6 +11,7 @@ cli.analyzer and work headless.
 from __future__ import annotations
 
 import json
+import os
 
 from ..cli import analyzer as core
 
@@ -29,7 +30,10 @@ def build_demo():
         if file is None:
             return "Keine Datei."
         path = getattr(file, "name", file)
-        return json.dumps(core.analyze(path), ensure_ascii=False, indent=2)
+        try:
+            return json.dumps(core.analyze(path), ensure_ascii=False, indent=2)
+        except Exception as e:  # noqa: BLE001 — surfaced to the UI
+            return f"Analyse fehlgeschlagen: {e}"
 
     def do_normalize(file, target):
         if file is None:
@@ -39,7 +43,14 @@ def build_demo():
 
         with tempfile.NamedTemporaryFile(delete=False, suffix="_normalized.wav") as tmp:
             out_path = tmp.name
-        result = core.normalize_to_lufs(path, out_path, float(target))
+        try:
+            result = core.normalize_to_lufs(path, out_path, float(target))
+        except Exception as e:  # noqa: BLE001 — e.g. silent clip: LUFS nicht messbar
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
+            return None, f"Normalisierung fehlgeschlagen: {e}"
         return out_path, json.dumps(result, indent=2)
 
     def do_convert(file, fmt, bitrate):

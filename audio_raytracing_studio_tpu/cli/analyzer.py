@@ -29,8 +29,12 @@ from ..utils import wavio
 
 def analyze(path: str, backend: str = "jax") -> dict:
     """Rate / channels / duration / LUFS — analyser.py:50-70 equivalents."""
-    meta = wavio.info(path)
-    data, rate = wavio.read(path)
+    data, rate = wavio.read(path)  # one decode: meta derives from the data
+    meta = {
+        "samplerate": rate,
+        "channels": data.shape[1],
+        "duration": data.shape[0] / rate if rate > 0 else 0.0,
+    }
     metrics = calculate_audio_metrics(data, rate, backend=backend)
     lufs = metrics["lufs"]
     peak = metrics["true_peak_dbfs"]
@@ -131,10 +135,10 @@ def main(argv=None) -> int:
     c.add_argument("--samplerate", type=int, default=None,
                    help="also rate-convert (on-device polyphase resampler)")
 
+    args = ap.parse_args(argv)  # parse first: --help shouldn't init the TPU
     from ..utils.runtime import ensure_backend
 
     ensure_backend()
-    args = ap.parse_args(argv)
     try:
         if args.cmd == "analyze":
             print(json.dumps(analyze(args.input, args.backend), ensure_ascii=False, indent=2))

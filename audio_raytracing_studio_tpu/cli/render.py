@@ -125,11 +125,19 @@ def params_from_args(args) -> RenderParams:
     return dataclasses.replace(p, **overrides)
 
 
+def _format_output(template: str, i: int) -> str:
+    """Fill the {i} placeholder; paths with other literal braces pass through."""
+    try:
+        return template.format(i=i)
+    except (KeyError, IndexError, ValueError):
+        return template
+
+
 def main(argv=None) -> int:
-    from ..utils.runtime import ensure_backend
+    args = build_parser().parse_args(argv)  # parse before backend init:
+    from ..utils.runtime import ensure_backend  # --help shouldn't pay it
 
     ensure_backend()
-    args = build_parser().parse_args(argv)
     try:
         audio, rate = wavio.read(args.input)
     except (OSError, ValueError) as e:
@@ -156,6 +164,14 @@ def main(argv=None) -> int:
         )
         return 2
     if args.sweep:
+        if "{i}" not in args.output:
+            print(
+                "error: sweep output path needs an '{i}' placeholder "
+                "(e.g. out_{i}.wav) — otherwise every sweep value would "
+                "overwrite the same file",
+                file=sys.stderr,
+            )
+            return 2
         name, _, values_str = args.sweep.partition("=")
         if name not in SWEEPABLE:
             print(f"error: sweep over '{name}' not supported (shape-changing)", file=sys.stderr)
@@ -178,7 +194,7 @@ def main(argv=None) -> int:
             external_ir=external_ir, external_ir_rate=external_rate,
         )
         for i, v in enumerate(values):
-            out_path = args.output.format(i=i)
+            out_path = _format_output(args.output, i)
             clip_out = outs[i]
             if args.binaural:
                 from ..ops.binaural import binauralize
@@ -202,7 +218,7 @@ def main(argv=None) -> int:
             from ..ops.binaural import binauralize
 
             out = binauralize(out, rate, base_params.target_layout)
-        out_path = args.output.format(i=0)
+        out_path = _format_output(args.output, 0)
         wavio.write_audio(out_path, np.clip(out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
         results.append({"output": out_path, "metrics": metrics})
     else:
@@ -215,7 +231,7 @@ def main(argv=None) -> int:
             from ..ops.binaural import binauralize
 
             out = binauralize(out, rate, base_params.target_layout)
-        out_path = args.output.format(i=0)
+        out_path = _format_output(args.output, 0)
         wavio.write_audio(out_path, np.clip(out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
         results.append({"output": out_path, "metrics": metrics})
 

@@ -92,9 +92,12 @@ def main(argv=None) -> int:
 
     # flatten micro-batches so batch i+1 prefetches while i renders
     schedule = []
-    for (rate, n_bucket), items in sorted(buckets.items()):
+    clip_base = 0  # global clip index: per-clip seeds must not collide
+    for (rate, n_bucket), items in sorted(buckets.items()):  # across buckets
         for lo in range(0, len(items), args.batch):
-            schedule.append((rate, n_bucket, items[lo : lo + args.batch], lo))
+            chunk_items = items[lo : lo + args.batch]
+            schedule.append((rate, n_bucket, chunk_items, clip_base))
+            clip_base += len(chunk_items)
 
     def post_chunk(outs, chunk, rate, n_bucket):
         """Trim, clip, binauralize, meter, and write one rendered chunk.
@@ -125,7 +128,7 @@ def main(argv=None) -> int:
     post_futures = []
 
     pending = io_pool.submit(load_chunk, schedule[0][2]) if schedule else None
-    for step, (rate, n_bucket, chunk, lo) in enumerate(schedule):
+    for step, (rate, n_bucket, chunk, base) in enumerate(schedule):
         datas = pending.result()
         pending = (
             io_pool.submit(load_chunk, schedule[step + 1][2])
@@ -142,7 +145,7 @@ def main(argv=None) -> int:
 
         outs = render_batch(
             clips, rate, p,
-            seeds=[args.seed + lo + i for i in range(len(chunk))],
+            seeds=[args.seed + base + i for i in range(len(chunk))],
             fast_filters=True,
         )
         post_futures.append(io_pool.submit(post_chunk, outs, chunk, rate, n_bucket))

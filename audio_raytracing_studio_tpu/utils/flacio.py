@@ -732,6 +732,14 @@ def write(path_or_file: Union[str, os.PathLike, BinaryIO], data: np.ndarray,
         samples = np.clip(np.round(data * scale), -scale, scale - 1).astype(np.int64)
     else:
         samples = data.astype(np.int64)
+        lim = 1 << (bits_per_sample - 1)
+        if samples.size and (samples.min() < -lim or samples.max() >= lim):
+            # write_sint would silently wrap, and the STREAMINFO MD5 is
+            # computed over the unwrapped values — the file would both
+            # decode to wrong audio and fail its own integrity check
+            raise ValueError(
+                f"integer samples exceed the {bits_per_sample}-bit range"
+            )
     n, channels = samples.shape
     if not 1 <= channels <= 8:
         raise ValueError(f"FLAC supports 1-8 channels, got {channels}")

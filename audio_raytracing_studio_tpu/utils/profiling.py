@@ -53,6 +53,20 @@ class TimingResult:
         )
 
 
+def _force_sync(out) -> None:
+    """Force device completion via a scalar readback of the first real
+    float leaf (falls back to block_until_ready for non-float pytrees)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        dt = getattr(leaf, "dtype", None)
+        if dt is not None and np.issubdtype(dt, np.floating):
+            float(jnp.sum(leaf))
+            return
+    jax.block_until_ready(out)
+
+
 def time_jitted(
     fn: Callable,
     *args,
@@ -63,16 +77,18 @@ def time_jitted(
 ) -> TimingResult:
     """Steady-state timing of a device computation.
 
-    Compiles/warms up first, then measures wall time per call with
-    ``jax.block_until_ready`` on the result — the only honest way to time
-    async dispatch.
+    Compiles/warms up first, then measures wall time per call, forcing
+    completion with a scalar readback of the result: on the axon backend
+    ``block_until_ready`` alone can return ~0.3 ms for ~0.2 s of device
+    work when the jit carries donated args (CLAUDE.md) — the readback is
+    the honest sync, same methodology as bench.py.
     """
     for _ in range(max(1, warmup)):
-        jax.block_until_ready(fn(*args, **kwargs))
+        _force_sync(fn(*args, **kwargs))
     samples = []
     for _ in range(iterations):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args, **kwargs))
+        _force_sync(fn(*args, **kwargs))
         samples.append(time.perf_counter() - t0)
     return TimingResult(
         name=name,

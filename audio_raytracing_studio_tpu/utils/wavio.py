@@ -94,6 +94,12 @@ def sniff_container(head: bytes) -> Union[str, None]:
     for magic, name in _CONTAINER_SIGNATURES:
         if head.startswith(magic):
             return name
+    # generic MPEG audio frame sync (0xFF + top 3 bits of byte 1): covers
+    # CRC-protected MP3 (FF FA), MPEG-2.5 (FF E2/E3) and ADTS AAC variants
+    # the fixed signature list above misses
+    if len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0:
+        layer_bits = (head[1] >> 1) & 0x3
+        return "AAC" if layer_bits == 0 else "MP3"
     return None
 
 
@@ -141,7 +147,9 @@ def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndar
 
         data, rate = sf.read(str(path), dtype="float32", always_2d=True)
         return np.asarray(data, dtype=np.float32), int(rate)
-    except ImportError:
+    except (ImportError, OSError):
+        # OSError: the package imports but libsndfile.so is absent —
+        # fall through to ffmpeg rather than leaking a linker error
         pass
     import shutil
 
@@ -176,6 +184,13 @@ def read(path_or_file: Union[str, os.PathLike, BinaryIO]) -> Tuple[np.ndarray, i
 
 
 def _read_stream(fh: BinaryIO) -> Tuple[np.ndarray, int]:
+    try:
+        return _read_stream_impl(fh)
+    except struct.error as e:  # undersized/truncated chunk → error contract
+        raise ValueError(f"corrupt or truncated WAV header: {e}") from e
+
+
+def _read_stream_impl(fh: BinaryIO) -> Tuple[np.ndarray, int]:
     header = fh.read(12)
     if len(header) < 12 or header[:4] != b"RIFF" or header[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
@@ -354,24 +369,27 @@ def probe(path: Union[str, os.PathLike]) -> dict:
             raise ValueError("not a RIFF/WAVE file")
         fmt = None
         data_size = None
-        while fmt is None or data_size is None:
-            chunk_header = fh.read(8)
-            if len(chunk_header) < 8:
-                break
-            chunk_id, chunk_size = struct.unpack("<4sI", chunk_header)
-            if chunk_id == b"fmt ":
-                fmt_raw = fh.read(chunk_size)
-                if chunk_size & 1:
-                    fh.seek(1, io.SEEK_CUR)
-                _tag, channels, rate, _br, _ba, bits = struct.unpack(
-                    "<HHIIHH", fmt_raw[:16]
-                )
-                fmt = (channels, rate, bits)
-            elif chunk_id == b"data":
-                data_size = chunk_size
-                fh.seek(chunk_size + (chunk_size & 1), io.SEEK_CUR)
-            else:
-                fh.seek(chunk_size + (chunk_size & 1), io.SEEK_CUR)
+        try:
+            while fmt is None or data_size is None:
+                chunk_header = fh.read(8)
+                if len(chunk_header) < 8:
+                    break
+                chunk_id, chunk_size = struct.unpack("<4sI", chunk_header)
+                if chunk_id == b"fmt ":
+                    fmt_raw = fh.read(chunk_size)
+                    if chunk_size & 1:
+                        fh.seek(1, io.SEEK_CUR)
+                    _tag, channels, rate, _br, _ba, bits = struct.unpack(
+                        "<HHIIHH", fmt_raw[:16]
+                    )
+                    fmt = (channels, rate, bits)
+                elif chunk_id == b"data":
+                    data_size = chunk_size
+                    fh.seek(chunk_size + (chunk_size & 1), io.SEEK_CUR)
+                else:
+                    fh.seek(chunk_size + (chunk_size & 1), io.SEEK_CUR)
+        except struct.error as e:  # truncated fmt chunk → error contract
+            raise ValueError(f"corrupt or truncated WAV header: {e}") from e
     if fmt is None or data_size is None:
         raise ValueError("WAV file missing fmt or data chunk")
     channels, rate, bits = fmt

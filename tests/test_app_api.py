@@ -278,6 +278,16 @@ class TestCLIPresetFlow:
         rc = main([wav_file, str(tmp_path / "z{i}.wav"), "--sweep", "z_pos=0.1,0.9"])
         assert rc == 2
 
+    def test_sweep_without_placeholder_rejected(self, wav_file, tmp_path, capsys):
+        """Review regression: without '{i}' every sweep value would
+        silently overwrite the same output file."""
+        from audio_raytracing_studio_tpu.cli.render import main
+
+        rc = main([wav_file, str(tmp_path / "same.wav"),
+                   "--sweep", "diffusion=0.2,0.8"])
+        assert rc == 2
+        assert "{i}" in capsys.readouterr().err
+
     def test_stream_plus_sweep_rejected(self, wav_file, tmp_path, capsys):
         """--stream must not be silently dropped by the sweep branch."""
         from audio_raytracing_studio_tpu.cli.render import main

@@ -208,6 +208,18 @@ class TestMetadataRobustness:
             with pytest.raises(ValueError, match="blocksize"):
                 flacio.write(io.BytesIO(), sig, 8000, blocksize=bad)
 
+    def test_integer_input_out_of_range_rejected(self):
+        # write_sint would silently wrap 40000 → -25536 at 16 bits and the
+        # MD5 would be computed over the unwrapped value (corrupt stream)
+        with pytest.raises(ValueError, match="16-bit range"):
+            flacio.write(io.BytesIO(), np.array([40000], np.int32), 8000)
+        # in-range integers still round-trip
+        buf = io.BytesIO()
+        flacio.write(buf, np.array([-32768, 32767, 0], np.int32), 8000)
+        buf.seek(0)
+        out, _ = flacio.read(buf)
+        assert out.shape[0] == 3
+
 
 # ---------------------------------------------------------------------------
 # hand-assembled decode features the encoder never emits

@@ -108,6 +108,25 @@ class TestNonWavFallback:
         assert wavio.sniff_container(b"FORM\x00\x00\x00\x00AIFF") == "AIFF"
         assert wavio.sniff_container(b"RIFF\x00\x00\x00\x00WAVE") == "WAV"
         assert wavio.sniff_container(b"garbage bytes") is None
+        # generic MPEG frame sync: CRC-protected MP3, MPEG-2.5, ADTS AAC
+        assert wavio.sniff_container(b"\xff\xfa\x90\x00") == "MP3"
+        assert wavio.sniff_container(b"\xff\xe3\x18\xc4") == "MP3"
+        assert wavio.sniff_container(b"\xff\xf0\x00\x00") == "AAC"
+        assert wavio.sniff_container(b"\xff\xf8\x00\x00") == "AAC"
+
+    def test_truncated_fmt_chunk_valueerror(self, tmp_path):
+        """Review regression: an undersized fmt chunk must raise ValueError
+        (the CLI error contract), not leak struct.error."""
+        import struct
+
+        bad = (b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+               + b"fmt " + struct.pack("<I", 8) + b"12345678")
+        p = tmp_path / "trunc.wav"
+        p.write_bytes(bad)
+        with pytest.raises(ValueError, match="WAV"):
+            wavio.probe(p)
+        with pytest.raises(ValueError, match="WAV"):
+            wavio.read(p)
 
     def test_ogg_without_ffmpeg_clear_error(self, tmp_path, monkeypatch):
         monkeypatch.setenv("PATH", str(tmp_path))  # hide any ffmpeg
