@@ -55,14 +55,21 @@ def compute_spectrogram(
         num_frames = max(1, (n - nperseg) // hop + 1)
         idx = np.arange(num_frames)[:, None] * hop + np.arange(nperseg)[None, :]
         frames = jnp.asarray(data)[idx]
-        window = jnp.asarray(np.hanning(nperseg).astype(np.float32))
+        # periodic hann, exactly scipy.signal.spectrogram's default window
+        # (np.hanning is the symmetric variant — ~0.1% different Σw²)
+        from scipy.signal import get_window
+
+        win_np = get_window("hann", nperseg).astype(np.float32)
+        window = jnp.asarray(win_np)
         # scipy 'density' scaling: |X|²/(fs·Σw²), interior bins doubled.
         # jitted: eager complex arithmetic (the |rfft|²) is UNIMPLEMENTED
         # on the axon TPU backend.
-        scale = 1.0 / (rate * float(np.sum(np.hanning(nperseg) ** 2)))
+        scale = 1.0 / (rate * float(np.sum(win_np.astype(np.float64) ** 2)))
 
         @jax.jit
         def stft_power(fr, w):
+            # scipy's default detrend='constant': remove each segment's mean
+            fr = fr - jnp.mean(fr, axis=-1, keepdims=True)
             sx = jnp.abs(jnp.fft.rfft(fr * w, axis=-1)) ** 2 * scale
             return sx.at[..., 1:-1].multiply(2.0)
 

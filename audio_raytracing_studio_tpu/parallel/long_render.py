@@ -20,6 +20,8 @@ with flat per-device memory.  Metering runs on device, block-sharded.
 from __future__ import annotations
 
 import math
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import config
 from ..models import pipeline
-from ..ops import convolution, filters, ir_synth, spatial
+from ..ops import convolution, filters, spatial
 from ..params import RenderParams
 from . import distributed_fft
 from . import mesh as meshlib
@@ -80,10 +82,14 @@ def _map_layout_sharded(
         delay = int(rate * config.SIDE_DELAY_MS / 1000)
         sides = _delay_sharded(six[..., 4:6, :], delay, axis_name, num_blocks)
         return jnp.concatenate([six, sides * config.SIDE_GAIN], axis=-2)
-    delay = int(rate * config.HEIGHT_DELAY_MS / 1000)
-    height_gain = jnp.clip(z_pos, 0.0, 1.0) * config.HEIGHT_Z_GAIN
-    heights = _delay_sharded(six[..., 4:6, :], delay, axis_name, num_blocks)
-    return jnp.concatenate([six, heights * height_gain], axis=-2)
+    if layout == "5.1.2 (Atmos Light)":
+        delay = int(rate * config.HEIGHT_DELAY_MS / 1000)
+        height_gain = jnp.clip(z_pos, 0.0, 1.0) * config.HEIGHT_Z_GAIN
+        heights = _delay_sharded(six[..., 4:6, :], delay, axis_name, num_blocks)
+        return jnp.concatenate([six, heights * height_gain], axis=-2)
+    # unknown layout → 5.1, matching ops.spatial.map_layout's fallback to
+    # DEFAULT_CHANNEL_LAYOUT (the exact path must not diverge from long mode)
+    return six
 
 
 def _sharded_metrics(
@@ -97,10 +103,11 @@ def _sharded_metrics(
     """On-device LUFS / sample-peak / RMS of a block-sharded render.
 
     ROADMAP item: the K-weighting FIR rides the same ring overlap-add as the
-    signal convolution; gating-block energies come from a local energy cumsum
-    plus an exclusive prefix of per-shard totals (one all_gather of D
-    scalars), gathered at host-precomputed block boundaries (one psum of a
-    (J,)-vector) — every shard then computes the identical gated loudness.
+    signal convolution (wrap-free: linear-conv semantics); each shard sums
+    its local overlap with every host-precomputed gating block from an
+    energy cumsum, and one psum of the (J,)-vector of contributions gives
+    exact block energies — every shard then computes the identical gated
+    loudness.
     """
     from ..metering import kweighting as kwc
     from ..metering.loudness import gated_loudness_from_blocks, k_weighting_fir
@@ -130,30 +137,36 @@ def _sharded_metrics(
     conv = convolution.convolve_pairwise(
         mono[None, :], fir[None, :], block_len + fir_len - 1
     )
+    # wrap=False: the meter signal runs to within < fir_len of the grid end,
+    # so ring wrap-around would add the clip ending's K-weighted tail into
+    # block 0 — a circular convolution the exact meter does not compute
     kw_local = _ring_overlap_add(
-        conv[..., :block_len], conv[..., block_len:], axis_name, num_blocks, block_len
+        conv[..., :block_len], conv[..., block_len:], axis_name, num_blocks,
+        block_len, wrap=False,
     )[0]
 
-    # global exclusive energy prefix at this shard's start
+    # gating-block energies as per-shard contributions: each shard sums its
+    # own overlap with every block (eloc differences of *local* magnitude),
+    # one psum of a (J,) vector assembles the exact totals.  No unbounded
+    # running carry — the old exclusive-prefix scheme added the whole-clip
+    # energy to every boundary in float32, losing ~ulp(total) per block at
+    # hour scale (the CLAUDE.md cumsum-precision hazard).
     local_energy = jnp.cumsum(jnp.square(kw_local))
     eloc = jnp.concatenate([jnp.zeros(1, jnp.float32), local_energy])
-    totals = jax.lax.all_gather(local_energy[-1], axis_name)  # (D,)
-    carry = jnp.sum(jnp.where(jnp.arange(num_blocks) < idx, totals, 0.0))
 
-    # gating-block boundaries (host-static); E[g] = Σ_{t<g} kw²
     from ..metering.loudness import _block_bounds
 
     lo, hi, jblocks = _block_bounds(len_out, rate)
     if jblocks <= 0:
         lufs = jnp.float32(-jnp.inf)
     else:
-        bounds = np.concatenate([lo[:jblocks], hi[:jblocks]])  # (2J,)
-        b = jnp.asarray(bounds)
-        own = (b > offset) & (b <= offset + block_len)
-        local_idx = jnp.clip(b - offset, 1, block_len)
-        vals = jnp.where(own, carry + eloc[local_idx], 0.0)
-        energies = jax.lax.psum(vals, axis_name)  # E at every boundary
-        z = (energies[jblocks:] - energies[:jblocks]) / (kwc.BLOCK_SECONDS * rate)
+        lo_d = jnp.asarray(lo[:jblocks])  # (J,) host-static bounds
+        hi_d = jnp.asarray(hi[:jblocks])
+        lo_loc = jnp.clip(lo_d - offset, 0, block_len)
+        hi_loc = jnp.clip(hi_d - offset, 0, block_len)
+        contrib = eloc[hi_loc] - eloc[lo_loc]  # this shard's slice of each block
+        block_energy = jax.lax.psum(contrib, axis_name)  # (J,) exact totals
+        z = block_energy / (kwc.BLOCK_SECONDS * rate)
         lufs = gated_loudness_from_blocks(z[None, :], jnp.ones(1, jnp.float32))
     lufs = jnp.where(mono_peak < 1e-6, -jnp.inf, lufs)
     return lufs.astype(jnp.float32), peak_db.astype(jnp.float32), rms_db.astype(jnp.float32)
@@ -179,22 +192,14 @@ def render_long(
     audio_nc = pipeline._ensure_stereo_host(audio)
     n_in = audio_nc.shape[0]
 
-    if p.use_external_ir:
-        if external_ir is None:
-            raise ValueError("use_external_ir=True requires external_ir")
-        ir = pipeline.prepare_external_ir(
-            external_ir, external_ir_rate if external_ir_rate else rate, rate
-        )
-        eq_on = not (np.isclose(p.bass_gain, 1.0) and np.isclose(p.treble_gain, 1.0))
-        spec = pipeline.StaticSpec(
-            n_in=n_in, ir_length=ir.shape[0], rate=int(rate),
-            layout=p.target_layout, eq_on=eq_on,
-            air_on=False, early_on=False, late_on=False,
-        )
-        setup = None
-    else:
-        setup = pipeline.build_internal_setup(p, rate, n_in, fast_filters=True)
-        spec = setup.spec
+    # IR/spec/scalar preparation — ONE implementation shared with the
+    # single-chip streaming renderer (parallel.streaming._build_kernels);
+    # the two long-clip paths must not drift apart here.
+    from .streaming import _build_kernels
+
+    kernels_arr, kernel_is_late, pairwise, spec, scal = _build_kernels(
+        p, rate, n_in, int(seed), external_ir, external_ir_rate
+    )
 
     num_blocks = device_mesh.shape[axis_name]
     len_out = spec.len_out
@@ -215,32 +220,6 @@ def render_long(
     audio_cn = np.zeros((2, n_total), dtype=np.float32)
     audio_cn[:, :n_in] = audio_nc.T
 
-    # IR synthesis / preparation once (replicated input to the sharded stage).
-    if p.use_external_ir:
-        kernels_arr = jnp.asarray(ir.T)  # (2, L) true-stereo pair
-        kernel_is_late = []
-        pairwise = True
-        scal = pipeline._mix_scalars(p, 1.0, 1.0)
-    else:
-        delays, strengths, noise = ir_synth.hash_draws(int(seed), setup.ir_shape)
-        early_ir, late_ir = ir_synth.synthesize(
-            setup.ir_shape, delays, strengths, noise, setup.ir_scalars
-        )
-        kernels = []
-        kernel_is_late = []
-        if spec.early_on:
-            kernels.append(early_ir)
-            kernel_is_late.append(False)
-        if spec.late_on:
-            kernels.append(late_ir)
-            kernel_is_late.append(True)
-        kernels_arr = (
-            jnp.stack(kernels)
-            if kernels
-            else jnp.zeros((1, spec.ir_length), jnp.float32)
-        )
-        pairwise = False
-        scal = setup.mix_scalars
     l = int(kernels_arr.shape[-1])
 
     def local(audio_block: jnp.ndarray, kers: jnp.ndarray) -> jnp.ndarray:

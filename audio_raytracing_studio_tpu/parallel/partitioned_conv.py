@@ -27,20 +27,31 @@ from . import mesh as meshlib
 
 
 def _ring_overlap_add(local_out: jnp.ndarray, tail: jnp.ndarray, axis_name: str,
-                      num_blocks: int, block_len: int) -> jnp.ndarray:
+                      num_blocks: int, block_len: int,
+                      wrap: bool = True) -> jnp.ndarray:
     """Shift conv tails downstream around the ring and accumulate.
 
     local_out: (..., block_len) — this device's in-block samples.
     tail: (..., L-1) — samples this device's convolution spills past its block.
     After ceil((L-1)/block_len) hops every spilled sample has landed on the
     device that owns its output position.  Wrap-around from the last device
-    reaches only zero-padded ghost blocks, so it adds zeros by construction.
+    reaches only zero-padded ghost blocks, so it adds zeros by construction —
+    *when the grid is padded by the kernel tail*.  Callers whose signal runs
+    to the end of the grid (e.g. the sharded meter's K-weighting FIR) pass
+    ``wrap=False``: spill arriving back at device 0 is dropped, making the
+    result the truncated *linear* convolution instead of the circular one.
     """
     tail_len = tail.shape[-1]
     steps = max(0, math.ceil(tail_len / block_len))
     perm = [(i, (i + 1) % num_blocks) for i in range(num_blocks)]
     for _ in range(steps):
         tail = jax.lax.ppermute(tail, axis_name, perm)
+        if not wrap:
+            # device 0 has no upstream predecessor in linear order: anything
+            # it receives came around the ring — drop it (and, by zeroing the
+            # carried tail here, everything it would propagate onward)
+            idx = jax.lax.axis_index(axis_name)
+            tail = jnp.where(idx == 0, jnp.zeros_like(tail), tail)
         chunk = tail[..., :block_len]
         if chunk.shape[-1] < block_len:
             pad = [(0, 0)] * (chunk.ndim - 1) + [(0, block_len - chunk.shape[-1])]

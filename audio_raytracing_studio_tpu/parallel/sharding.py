@@ -200,6 +200,14 @@ def render_batch(
             raise ValueError("mixed internal/external modes in one batch")
         if external_ir is None:
             raise ValueError("use_external_ir=True requires external_ir")
+        if any(p.target_layout != param_list[0].target_layout for p in param_list):
+            # the internal path raises for mismatched shape-determining
+            # fields; without this the batch silently renders every clip
+            # with clip 0's layout
+            raise ValueError(
+                "external-IR batch requires one target_layout for all clips "
+                "(shape-determining); bucket your batch by layout"
+            )
         ir = pipeline.prepare_external_ir(
             external_ir, external_ir_rate if external_ir_rate else rate, rate
         )

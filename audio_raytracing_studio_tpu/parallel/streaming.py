@@ -119,6 +119,12 @@ def render_streaming(
     l = int(kers.shape[-1])
     len_out = spec.len_out
     chunk = max(int(chunk_seconds * rate), 2 * l)
+    if with_metrics:
+        # the chunked meter carries fir_len−1 samples of K-weighting tail
+        # into the next chunk — a chunk shorter than the FIR cannot absorb it
+        from ..metering.loudness import K_FIR_LENGTH
+
+        chunk = max(chunk, K_FIR_LENGTH)
     n_chunks = math.ceil(len_out / chunk)
     n_total = n_chunks * chunk
 

@@ -133,6 +133,20 @@ class TestAnalysis:
         assert path and os.path.getsize(path) > 1000
         os.remove(path)
 
+    def test_device_stft_matches_scipy(self, rng):
+        """Review regression: the device STFT used the symmetric hann and
+        skipped scipy's constant detrend — now bin-for-bin comparable."""
+        from audio_raytracing_studio_tpu.analysis.visualize import compute_spectrogram
+
+        rate = 8000
+        t = np.arange(4 * 1024) / rate
+        x = (0.3 * np.sin(2 * np.pi * 440 * t) + 0.1  # DC offset exercises detrend
+             + 0.05 * rng.standard_normal(t.size)).astype(np.float32)
+        f_s, t_s, sxx_s = compute_spectrogram(x, rate, 1024, use_device=False)
+        f_d, t_d, sxx_d = compute_spectrogram(x, rate, 1024, use_device=True)
+        assert np.allclose(f_s, f_d) and sxx_s.shape == np.asarray(sxx_d).shape
+        np.testing.assert_allclose(np.asarray(sxx_d), sxx_s, rtol=1e-3, atol=1e-9)
+
     def test_visualizer_error_png(self):
         path = plot_waveform_and_spectrogram("/nonexistent.wav", "Test")
         assert path and path.endswith(".png")  # error-PNG fallback

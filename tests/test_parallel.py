@@ -142,6 +142,19 @@ class TestBatchedExternal:
             single = pipeline.render(clips[i], rate, p, external_ir=ir)
             np.testing.assert_allclose(out[i], single, atol=2e-5)
 
+    def test_external_layout_mismatch_rejected(self, rng):
+        """Review regression: the external path silently rendered every clip
+        with clip 0's layout instead of raising like the internal path."""
+        rate = 16000
+        clips = np.stack([np.zeros(rate // 4, np.float32)] * 2)
+        ir = (rng.standard_normal((200, 2)) * 0.2).astype(np.float32)
+        params = [
+            RenderParams(use_external_ir=True, target_layout="Stereo"),
+            RenderParams(use_external_ir=True, target_layout="5.1 (Standard)"),
+        ]
+        with pytest.raises(ValueError, match="target_layout"):
+            sharding.render_batch(clips, rate, params, external_ir=ir)
+
     def test_mixed_modes_rejected(self, rng):
         rate = 16000
         clips = np.zeros((2, 1000), np.float32)

@@ -114,6 +114,23 @@ class TestStreaming:
         with pytest.raises(ValueError, match="with_metrics"):
             streaming.render_streaming(x, rate, p, return_output=False)
 
+    def test_metrics_with_chunk_shorter_than_meter_fir(self, rng):
+        """Review regression: chunk < the 8192-tap K-weighting FIR crashed
+        the chunked meter with a broadcast error; the chunk floor must
+        cover the carried meter tail."""
+        import jax.numpy as jnp
+        from audio_raytracing_studio_tpu.metering import loudness as jl
+
+        rate = 8000
+        x = clip(rng, 3.0, rate)
+        ir = (rng.standard_normal((64, 2)) * 0.3).astype(np.float32)
+        p = RenderParams(use_external_ir=True, target_layout="Stereo", dry_wet=0.6)
+        out, metrics = streaming.render_streaming(
+            x, rate, p, external_ir=ir, chunk_seconds=0.5, with_metrics=True
+        )
+        ref = jl.audio_metrics(jnp.asarray(out.T), rate)
+        assert metrics["lufs"] == pytest.approx(float(ref["lufs"]), abs=0.02)
+
     def test_metrics_silence(self):
         rate = 16000
         x = np.zeros(rate, np.float32)
