@@ -2,10 +2,13 @@
 
 Two biquads: a +4 dB high-frequency shelf modelling head acoustics, and a
 high-pass (RLB) weighting.  Coefficients are designed for arbitrary sample
-rates from the analog prototype parameters, the same approach pyloudnorm
-uses — the reference meters loudness through ``pyloudnorm.Meter(rate)``
-(/root/reference/raytracer_studio.py:685-691).  At fs=48 kHz the design
-reproduces the coefficient table printed in BS.1770-4 itself.
+rates from the analog prototype parameters using the De Man
+parameterization — the variant that reproduces the coefficient table
+printed in BS.1770-4 exactly at fs=48 kHz (pyloudnorm ships it as its
+opt-in ``filter_class="DeMan"``; its *default* cookbook shelf, which the
+reference uses via ``pyloudnorm.Meter(rate)`` at
+/root/reference/raytracer_studio.py:685-691, deviates from the table by
+~0.01 LU — this design is the more standard-conformant of the two).
 
 Shared by the float64 oracle meter (scipy.lfilter) and the JAX on-device
 meter (associative-scan biquads).
@@ -31,6 +34,19 @@ BLOCK_OVERLAP = 0.75
 ABSOLUTE_GATE_LUFS = -70.0
 RELATIVE_GATE_LU = -10.0
 LOUDNESS_OFFSET = -0.691
+
+
+def channel_weights(num_channels: int) -> np.ndarray:
+    """BS.1770-4 G weights for THIS repo's channel orders
+    (config.CHANNEL_LAYOUTS: FL FR C LFE RL RR [SL SR | TFL TFR]): the LFE
+    channel (index 3) is excluded from the measurement entirely, and
+    rear/side/height channels weigh +1.5 dB (1.41)."""
+    w = np.ones(num_channels, dtype=np.float64)
+    if num_channels >= 4:
+        w[3] = 0.0  # LFE
+    if num_channels >= 5:
+        w[4:] = 1.41
+    return w
 
 
 def high_shelf_coefficients(rate: float) -> tuple[np.ndarray, np.ndarray]:

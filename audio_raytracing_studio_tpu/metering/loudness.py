@@ -134,7 +134,7 @@ def integrated_loudness(
         signal = signal[None, :]
     num_channels = signal.shape[0]
     if weights is None:
-        weights = np.array([1.0, 1.0, 1.0, 1.41, 1.41] + [1.41] * 10)[:num_channels]
+        weights = kw.channel_weights(num_channels)  # LFE excluded (BS.1770-4)
     w = jnp.asarray(weights.astype(np.float32))
 
     filtered = k_weight(signal, rate)

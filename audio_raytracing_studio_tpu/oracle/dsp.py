@@ -15,13 +15,23 @@ FFT convolution (scipy.signal.fftconvolve preserves dtype).
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 import numpy as np
 from scipy.signal import fftconvolve
 
 from .. import config
-from ..params import IRDraws, IRGeometry, RenderParams, derive_ir_geometry
+from ..params import (
+    IRDraws,
+    IRGeometry,
+    RenderParams,
+    adapt_early_late_levels,
+    adjust_parameters_for_3d,
+    compute_final_directionality_3d,
+    derive_ir_geometry,
+    dry_kill_factor,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -167,13 +177,9 @@ def dynamic_dry_wet_mix(
     dw = float(np.clip(float(dry_wet), 0.0, 1.0))
     ks = float(np.clip(float(kill_start), 0.0, 1.0))
 
-    dry_mix_factor = 1.0
-    if ks < 1.0 and dw >= ks:
-        fade_range = 1.0 - ks
-        if fade_range < 1e-6:
-            dry_mix_factor = 0.0
-        else:
-            dry_mix_factor = float(np.clip(1.0 - (dw - ks) / fade_range, 0.0, 1.0))
+    # ONE implementation of the reference's dry-kill fade (:97-105) — shared
+    # with the JAX pipeline via params.dry_kill_factor (parity-bearing)
+    dry_mix_factor = dry_kill_factor(dw, ks)
 
     min_len = min(dry.shape[0], wet.shape[0])
     mixed = (dry_mix_factor * (1.0 - dw) * dry[:min_len]) + (dw * wet[:min_len])
@@ -330,22 +336,20 @@ def surround_panning_gains(x_pos: float, y_pos: float, z_pos: float) -> dict:
     The gain math of apply_surround_panning_3d (raytracer_studio.py:474-485),
     exposed separately so the JAX pipeline can consume identical scalars.
     """
-    import math as _math
-
     x = float(np.clip(float(x_pos), 0.0, 1.0))
     y = float(np.clip(float(y_pos), 0.0, 1.0))
     z = float(np.clip(float(z_pos), 0.0, 1.0))
 
-    gain_l = _math.sqrt(1.0 - x)
-    gain_r = _math.sqrt(x)
-    gain_f_base = _math.sqrt(1.0 - y)
-    gain_re_base = _math.sqrt(y)
+    gain_l = math.sqrt(1.0 - x)
+    gain_r = math.sqrt(x)
+    gain_f_base = math.sqrt(1.0 - y)
+    gain_re_base = math.sqrt(y)
     z_effect_scale = abs(y - 0.5) * config.PAN_Z_EFFECT_SCALE
     z_pull = (0.5 - z) * z_effect_scale
     gain_f = max(0.0, gain_f_base + z_pull)
     gain_re = max(0.0, gain_re_base - z_pull)
 
-    center_x_factor = _math.cos((x - 0.5) * _math.pi)
+    center_x_factor = math.cos((x - 0.5) * math.pi)
     return {
         "fl": gain_l * gain_f,
         "fr": gain_r * gain_f,
@@ -469,12 +473,6 @@ def render(
             p.dry_wet_kill_start,
         )
     else:
-        from ..params import (
-            adapt_early_late_levels,
-            adjust_parameters_for_3d,
-            compute_final_directionality_3d,
-        )
-
         adj_duration, adj_ref_count, adj_max_delay, adj_split = adjust_parameters_for_3d(
             p.hall_type, p.room_size, p.z_pos
         )

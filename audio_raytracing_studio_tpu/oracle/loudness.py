@@ -36,7 +36,7 @@ def integrated_loudness(data: np.ndarray, rate: float) -> float:
     if num_samples == 0:
         return float("-inf")
 
-    weights = np.array([1.0, 1.0, 1.0, 1.41, 1.41] + [1.41] * 10)[:num_channels]
+    weights = kw.channel_weights(num_channels)  # LFE excluded (BS.1770-4)
 
     filtered = k_weight(x, rate)
 

@@ -82,6 +82,18 @@ def adjust_parameters_for_3d(
     z_pos = float(z_pos)
     base = hall_base_parameters(hall_type)
 
+    if not np.isfinite(room_size) or room_size <= 0:
+        # negative sizes would go through complex powers (float() silently
+        # drops the imaginary part) and NaN crashes the int() below; the
+        # reference wrapped this block in try/except and fell back to the
+        # hall's base parameters (raytracer_studio.py:211-236)
+        return (
+            float(base.ir_duration_s),
+            int(base.reflection_count),
+            float(base.max_early_delay_s),
+            float(base.early_late_split_s),
+        )
+
     size_factor_dur = np.clip((room_size / 100.0) ** config.SIZE_DUR_EXP, *config.SIZE_DUR_CLIP)
     size_factor_delay = np.clip(
         (room_size / 100.0) ** config.SIZE_DELAY_EXP, *config.SIZE_DELAY_CLIP

@@ -70,6 +70,29 @@ class TestParamMath:
         assert e == pytest.approx(0.8 * 0.3)
         assert l == pytest.approx(0.6 * 1.6)
 
+    def test_invalid_room_size_falls_back_to_hall_base(self):
+        """Review regression: negative room_size went through complex powers
+        (imaginary part silently dropped) and NaN crashed int(); the
+        reference fell back to the hall's base parameters on any error."""
+        from audio_raytracing_studio_tpu.params import (
+            adjust_parameters_for_3d,
+            hall_base_parameters,
+        )
+
+        base = hall_base_parameters("Room")
+        for bad in (-5.0, 0.0, float("nan"), float("inf")):
+            dur, cnt, dly, split = adjust_parameters_for_3d("Room", bad, 0.5)
+            assert dur == base.ir_duration_s and cnt == base.reflection_count
+            assert dly == base.max_early_delay_s and split == base.early_late_split_s
+
+    def test_channel_weights_exclude_lfe(self):
+        from audio_raytracing_studio_tpu.metering import kweighting as kw
+
+        w6 = kw.channel_weights(6)  # FL FR C LFE RL RR
+        assert list(w6) == [1.0, 1.0, 1.0, 0.0, 1.41, 1.41]
+        assert list(kw.channel_weights(2)) == [1.0, 1.0]
+        assert kw.channel_weights(8)[3] == 0.0 and kw.channel_weights(8)[6] == 1.41
+
     def test_dry_kill_factor(self):
         assert dry_kill_factor(0.4, 0.5) == 1.0
         assert dry_kill_factor(0.75, 0.5) == pytest.approx(0.5)
