@@ -130,8 +130,93 @@ def _decode_via_ffmpeg(path: Union[str, os.PathLike]) -> Tuple[np.ndarray, int]:
             pass
 
 
+def _read_f80(raw: bytes) -> float:
+    """80-bit IEEE 754 extended float (AIFF COMM sample rate), big-endian."""
+    if len(raw) < 10:
+        raise ValueError("truncated AIFF extended float")
+    sign = -1.0 if raw[0] & 0x80 else 1.0
+    exponent = ((raw[0] & 0x7F) << 8) | raw[1]
+    mantissa = int.from_bytes(raw[2:10], "big")
+    if exponent == 0 and mantissa == 0:
+        return 0.0
+    return sign * mantissa * 2.0 ** (exponent - 16383 - 63)
+
+
+def _read_aiff(path: Union[str, os.PathLike]) -> Tuple[np.ndarray, int]:
+    """Native AIFF / AIFC reader: big-endian PCM 8/16/24/32 ('NONE') plus
+    the little-endian AIFC variant ('sowt') and 'fl32'/'FL32' float."""
+    with open(path, "rb") as fh:
+        head = fh.read(12)
+        if len(head) < 12 or head[:4] != b"FORM" or head[8:12] not in (b"AIFF", b"AIFC"):
+            raise ValueError("not an AIFF/AIFC file")
+        is_aifc = head[8:12] == b"AIFC"
+        comm = None
+        ssnd = None
+        comp = b"NONE"
+        while True:
+            ch = fh.read(8)
+            if len(ch) < 8:
+                break
+            cid, csize = ch[:4], int.from_bytes(ch[4:8], "big")
+            body = fh.read(csize)
+            if len(body) < csize:
+                raise ValueError("corrupt or truncated AIFF chunk")
+            if csize & 1:
+                fh.seek(1, io.SEEK_CUR)
+            if cid == b"COMM":
+                if len(body) < 18:
+                    raise ValueError("corrupt or truncated AIFF COMM chunk")
+                channels = int.from_bytes(body[0:2], "big")
+                frames = int.from_bytes(body[2:6], "big")
+                bits = int.from_bytes(body[6:8], "big")
+                rate = _read_f80(body[8:18])
+                if is_aifc and len(body) >= 22:
+                    comp = body[18:22]
+                comm = (channels, frames, bits, rate)
+            elif cid == b"SSND":
+                if len(body) < 8:
+                    raise ValueError("corrupt or truncated AIFF SSND chunk")
+                offset = int.from_bytes(body[0:4], "big")
+                ssnd = body[8 + offset :]
+        if comm is None or ssnd is None:
+            raise ValueError("AIFF file missing COMM or SSND chunk")
+    channels, frames, bits, rate = comm
+    if channels <= 0 or rate <= 0:
+        raise ValueError("invalid AIFF header")
+    if comp in (b"fl32", b"FL32"):
+        data = np.frombuffer(ssnd, dtype=">f4").astype(np.float32)
+    elif comp in (b"NONE", b"sowt"):
+        endian = "<" if comp == b"sowt" else ">"
+        if bits == 8:  # AIFF 8-bit is SIGNED (unlike WAV's unsigned)
+            data = np.frombuffer(ssnd, dtype=np.int8).astype(np.float32) / 128.0
+        elif bits == 16:
+            data = np.frombuffer(ssnd, dtype=f"{endian}i2").astype(np.float32) / 32768.0
+        elif bits == 24:
+            b3 = np.frombuffer(ssnd, dtype=np.uint8)
+            b3 = b3[: (len(b3) // 3) * 3].reshape(-1, 3)
+            if comp == b"sowt":
+                as_int = (b3[:, 0].astype(np.int32) | (b3[:, 1].astype(np.int32) << 8)
+                          | (b3[:, 2].astype(np.int32) << 16))
+            else:
+                as_int = ((b3[:, 0].astype(np.int32) << 16)
+                          | (b3[:, 1].astype(np.int32) << 8) | b3[:, 2].astype(np.int32))
+            as_int = np.where(as_int >= 0x800000, as_int - 0x1000000, as_int)
+            data = as_int.astype(np.float32) / 8388608.0
+        elif bits == 32:
+            data = np.frombuffer(ssnd, dtype=f"{endian}i4").astype(np.float32) / 2147483648.0
+        else:
+            raise ValueError(f"unsupported AIFF bit depth {bits}")
+    else:
+        raise ValueError(
+            f"unsupported AIFC compression {comp!r} — only PCM ('NONE'/'sowt') "
+            "and 'fl32' are supported natively; install ffmpeg for others"
+        )
+    usable = (data.shape[0] // channels) * channels
+    return data[:usable].reshape(-1, channels), int(round(rate))
+
+
 def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndarray, int]:
-    """Non-WAV inputs: FLAC via the native codec, else soundfile if
+    """Non-WAV inputs: FLAC and AIFF via native codecs, else soundfile if
     importable, else ffmpeg, else a clear user-facing error (the reference
     reads FLAC/OGG via soundfile, everything else via FFmpeg)."""
     if container == "FLAC":
@@ -142,6 +227,13 @@ def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndar
         except EOFError as e:  # truncated stream → same error contract
             raise ValueError(f"FLAC-Datei beschädigt oder abgeschnitten: {e}")
         return np.asarray(data, dtype=np.float32), int(rate)
+    if container == "AIFF":
+        try:
+            return _read_aiff(path)
+        except ValueError as e:
+            if "unsupported AIFC compression" not in str(e):
+                raise
+            # compressed AIFC → fall through to soundfile/ffmpeg below
     try:  # optional, not in the base image
         import soundfile as sf  # type: ignore
 

@@ -114,6 +114,50 @@ class TestNonWavFallback:
         assert wavio.sniff_container(b"\xff\xf0\x00\x00") == "AAC"
         assert wavio.sniff_container(b"\xff\xf8\x00\x00") == "AAC"
 
+    def _aiff_bytes(self, samples_i16, rate, form=b"AIFF", comp=None, sowt=False):
+        """Hand-assemble an AIFF/AIFC container around int16 samples."""
+        import math
+
+        def f80(x):
+            e = math.floor(math.log2(x))
+            mant = int(x * 2 ** (63 - e))
+            return (16383 + e).to_bytes(2, "big") + mant.to_bytes(8, "big")
+
+        n, ch = samples_i16.shape
+        comm = ch.to_bytes(2, "big") + n.to_bytes(4, "big") + (16).to_bytes(2, "big")
+        comm += f80(rate)
+        if comp is not None:
+            comm += comp + b"\x00"  # pstring compression name (empty)
+        pcm = samples_i16.astype("<i2" if sowt else ">i2").tobytes()
+        ssnd = (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + pcm
+        body = b"COMM" + len(comm).to_bytes(4, "big") + comm + (b"\x00" if len(comm) & 1 else b"")
+        body += b"SSND" + len(ssnd).to_bytes(4, "big") + ssnd + (b"\x00" if len(ssnd) & 1 else b"")
+        return b"FORM" + (4 + len(body)).to_bytes(4, "big") + form + body
+
+    def test_native_aiff_read(self, tmp_path, rng):
+        vals = (rng.standard_normal((500, 2)) * 8000).astype(np.int16)
+        p = tmp_path / "x.aiff"
+        p.write_bytes(self._aiff_bytes(vals, 44100))
+        data, rate = wavio.read(p)
+        assert rate == 44100 and data.shape == (500, 2)
+        np.testing.assert_allclose(data, vals / 32768.0, atol=1e-7)
+
+    def test_native_aifc_sowt_read(self, tmp_path, rng):
+        vals = (rng.standard_normal((300, 1)) * 12000).astype(np.int16)
+        p = tmp_path / "x.aifc"
+        p.write_bytes(self._aiff_bytes(vals, 8000, form=b"AIFC", comp=b"sowt", sowt=True))
+        data, rate = wavio.read(p)
+        assert rate == 8000 and data.shape == (300, 1)
+        np.testing.assert_allclose(data, vals / 32768.0, atol=1e-7)
+
+    def test_compressed_aifc_clear_error(self, tmp_path, monkeypatch, rng):
+        monkeypatch.setenv("PATH", str(tmp_path))  # hide any ffmpeg
+        vals = np.zeros((10, 1), np.int16)
+        p = tmp_path / "c.aifc"
+        p.write_bytes(self._aiff_bytes(vals, 8000, form=b"AIFC", comp=b"ulaw"))
+        with pytest.raises(ValueError, match="ffmpeg"):
+            wavio.read(p)
+
     def test_truncated_fmt_chunk_valueerror(self, tmp_path):
         """Review regression: an undersized fmt chunk must raise ValueError
         (the CLI error contract), not leak struct.error."""
