@@ -1,6 +1,7 @@
 """Directory batch renderer — production serving loop with I/O prefetch.
 
-Renders every WAV in a directory through the batched SPMD pipeline, keeping
+Renders every audio file in a directory (WAV/FLAC/AIFF — anything the
+native codecs read) through the batched SPMD pipeline, keeping
 the TPU busy: clips are bucketed by (rate, length quantized to a
 half-second grid) using header-only probes, each bucket reuses one compiled
 executable, and while the device renders micro-batch *i* a thread pool reads
@@ -38,8 +39,13 @@ def _bucket_length(n: int, rate: int) -> int:
     return int(math.ceil(n / step)) * step
 
 
+AUDIO_EXTENSIONS = (".wav", ".flac", ".aiff", ".aifc", ".aif")
+
+
 def discover(in_dir: str) -> List[str]:
-    return sorted(f for f in os.listdir(in_dir) if f.lower().endswith(".wav"))
+    return sorted(
+        f for f in os.listdir(in_dir) if f.lower().endswith(AUDIO_EXTENSIONS)
+    )
 
 
 def main(argv=None) -> int:
@@ -48,7 +54,7 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="ars-render-dir", description="directory batch renderer"
     )
-    ap.add_argument("input", help="input directory of WAV files")
+    ap.add_argument("input", help="input directory of audio files (WAV/FLAC/AIFF)")
     ap.add_argument("output", help="output directory")
     ap.add_argument("--batch", type=int, default=8, help="micro-batch size")
     add_param_flags(ap)
@@ -62,7 +68,7 @@ def main(argv=None) -> int:
     os.makedirs(args.output, exist_ok=True)
     names = discover(args.input)
     if not names:
-        print("no WAV files found", file=sys.stderr)
+        print("no audio files found", file=sys.stderr)
         return 1
     p = params_from_args(args)
     if p.use_external_ir:
@@ -80,7 +86,7 @@ def main(argv=None) -> int:
         key = (meta["samplerate"], _bucket_length(meta["frames"], meta["samplerate"]))
         buckets.setdefault(key, []).append((name, meta["frames"]))
     if not buckets:
-        print("no readable WAV files", file=sys.stderr)
+        print("no readable audio files", file=sys.stderr)
         return 1
 
     io_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
@@ -108,7 +114,11 @@ def main(argv=None) -> int:
         """
         chunk_results = []
         for i, (name, frames) in enumerate(chunk):
-            out_path = os.path.join(args.output, name)
+            base, ext = os.path.splitext(name)
+            # keep .wav/.flac (write_audio dispatches on extension); other
+            # input formats (AIFF…) come back as WAV
+            out_name = name if ext.lower() in (".wav", ".flac") else base + ".wav"
+            out_path = os.path.join(args.output, out_name)
             # trim the bucket padding: real output = clip len + IR − 1
             real_len = frames + (outs.shape[1] - n_bucket)
             trimmed = np.clip(

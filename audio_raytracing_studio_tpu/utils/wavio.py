@@ -445,6 +445,35 @@ def write(
             fh.close()
 
 
+def _probe_aiff(path: Union[str, os.PathLike]) -> dict:
+    """Header-only AIFF/AIFC info: seek over chunks, parse COMM only."""
+    with open(path, "rb") as fh:
+        fh.read(12)
+        while True:
+            ch = fh.read(8)
+            if len(ch) < 8:
+                raise ValueError("AIFF file missing COMM chunk")
+            cid, csize = ch[:4], int.from_bytes(ch[4:8], "big")
+            if cid == b"COMM":
+                body = fh.read(min(csize, 18))
+                if len(body) < 18:
+                    raise ValueError("corrupt or truncated AIFF COMM chunk")
+                channels = int.from_bytes(body[0:2], "big")
+                frames = int.from_bytes(body[2:6], "big")
+                bits = int.from_bytes(body[6:8], "big")
+                rate = _read_f80(body[8:18])
+                if channels <= 0 or rate <= 0:
+                    raise ValueError("invalid AIFF header")
+                return {
+                    "samplerate": int(round(rate)),
+                    "channels": channels,
+                    "bits": bits,
+                    "frames": frames,
+                    "duration": frames / rate if rate > 0 else 0.0,
+                }
+            fh.seek(csize + (csize & 1), io.SEEK_CUR)
+
+
 def probe(path: Union[str, os.PathLike]) -> dict:
     """Header-only info (rate, channels, bits, frames) — no sample data read.
 
@@ -457,6 +486,8 @@ def probe(path: Union[str, os.PathLike]) -> dict:
             from . import flacio
 
             return flacio.probe(path)
+        if header[:4] == b"FORM" and header[8:12] in (b"AIFF", b"AIFC"):
+            return _probe_aiff(path)
         if len(header) < 12 or header[:4] != b"RIFF" or header[8:12] != b"WAVE":
             raise ValueError("not a RIFF/WAVE file")
         fmt = None

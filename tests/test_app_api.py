@@ -341,3 +341,43 @@ class TestRenderDir:
         (tmp_path / "empty").mkdir()
         rc = main([str(tmp_path / "empty"), str(tmp_path / "o"), "--layout", "Stereo"])
         assert rc == 1
+
+    def test_mixed_formats_directory(self, tmp_path, rng, capsys):
+        """WAV + FLAC + AIFF inputs in one directory all render; FLAC output
+        keeps its container, AIFF comes back as WAV."""
+        import math
+
+        from audio_raytracing_studio_tpu.cli.render_dir import main
+        from audio_raytracing_studio_tpu.utils import flacio
+
+        in_dir = tmp_path / "in"
+        out_dir = tmp_path / "out"
+        in_dir.mkdir()
+        rate = 16000
+        t = np.arange(int(0.25 * rate)) / rate
+        sig = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+        wavio.write(in_dir / "a.wav", sig, rate)
+        flacio.write(in_dir / "b.flac", sig, rate)
+        # minimal big-endian AIFF
+        vals = np.clip(np.round(sig * 32767), -32768, 32767).astype(">i2")[:, None]
+        e = math.floor(math.log2(rate))
+        f80 = (16383 + e).to_bytes(2, "big") + int(rate * 2 ** (63 - e)).to_bytes(8, "big")
+        comm = (1).to_bytes(2, "big") + len(vals).to_bytes(4, "big") + (16).to_bytes(2, "big") + f80
+        ssnd = bytes(8) + vals.tobytes()
+        body = b"COMM" + len(comm).to_bytes(4, "big") + comm
+        body += b"SSND" + len(ssnd).to_bytes(4, "big") + ssnd + (b"\x00" if len(ssnd) & 1 else b"")
+        (in_dir / "c.aiff").write_bytes(
+            b"FORM" + (4 + len(body)).to_bytes(4, "big") + b"AIFF" + body
+        )
+        rc = main([str(in_dir), str(out_dir), "--layout", "Stereo",
+                   "--room-size", "50", "--batch", "3", "--json"])
+        assert rc == 0
+        import json as _json
+        summary = _json.loads(capsys.readouterr().out)
+        assert len(summary["clips"]) == 3
+        assert (out_dir / "a.wav").exists()
+        assert (out_dir / "b.flac").exists()  # FLAC in → FLAC out
+        assert (out_dir / "c.wav").exists()   # AIFF in → WAV out
+        for f in ("a.wav", "b.flac", "c.wav"):
+            data, r = wavio.read(out_dir / f)
+            assert r == rate and data.shape[1] == 2
