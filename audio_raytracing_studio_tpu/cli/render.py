@@ -164,7 +164,9 @@ def main(argv=None) -> int:
         )
         return 2
     if args.sweep:
-        if "{i}" not in args.output:
+        if _format_output(args.output, 0) == _format_output(args.output, 1):
+            # behavioral check: any usable placeholder ({i}, {i:03d}, …)
+            # makes consecutive indices expand to distinct paths
             print(
                 "error: sweep output path needs an '{i}' placeholder "
                 "(e.g. out_{i}.wav) — otherwise every sweep value would "

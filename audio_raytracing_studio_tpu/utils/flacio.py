@@ -536,6 +536,13 @@ def read(path_or_file: Union[str, os.PathLike, BinaryIO]) -> Tuple[np.ndarray, i
     if not frames:
         raise ValueError("FLAC stream contains no audio frames")
     samples = np.concatenate(frames, axis=0)
+    if info.total_samples and total < info.total_samples:
+        # a stream cut at a frame boundary passes every per-frame CRC but is
+        # still truncated — the MD5 check below would be silently skipped
+        raise ValueError(
+            f"FLAC stream truncated: expected {info.total_samples} samples, "
+            f"got {total}"
+        )
     if info.total_samples:
         samples = samples[: info.total_samples]
     if (

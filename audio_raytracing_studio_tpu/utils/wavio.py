@@ -96,10 +96,26 @@ def sniff_container(head: bytes) -> Union[str, None]:
             return name
     # generic MPEG audio frame sync (0xFF + top 3 bits of byte 1): covers
     # CRC-protected MP3 (FF FA), MPEG-2.5 (FF E2/E3) and ADTS AAC variants
-    # the fixed signature list above misses
-    if len(head) >= 2 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0:
+    # the fixed signature list above misses.  Validated past the bare sync so
+    # arbitrary 0xFF Ex binaries don't masquerade as MPEG audio: the version
+    # bits must not be the reserved pattern, and for MP3 the bitrate nibble
+    # (0xF = invalid) and sample-rate bits (0b11 = reserved) must be legal.
+    if len(head) >= 4 and head[0] == 0xFF and (head[1] & 0xE0) == 0xE0:
+        version_bits = (head[1] >> 3) & 0x3
         layer_bits = (head[1] >> 1) & 0x3
-        return "AAC" if layer_bits == 0 else "MP3"
+        if version_bits == 1:  # reserved MPEG version
+            return None
+        if layer_bits == 0:  # layer 00: ADTS AAC framing
+            # ADTS: sync 0xFFF, so bits 7..5 of head[1] must ALL be set and
+            # the sampling-frequency index (head[2] bits 5..2) must be < 13
+            if (head[1] & 0xF0) == 0xF0 and ((head[2] >> 2) & 0xF) < 13:
+                return "AAC"
+            return None
+        bitrate_nibble = head[2] >> 4
+        samplerate_bits = (head[2] >> 2) & 0x3
+        if bitrate_nibble in (0x0, 0xF) or samplerate_bits == 3:
+            return None
+        return "MP3"
     return None
 
 
@@ -212,7 +228,11 @@ def _read_aiff(path: Union[str, os.PathLike]) -> Tuple[np.ndarray, int]:
             "and 'fl32' are supported natively; install ffmpeg for others"
         )
     usable = (data.shape[0] // channels) * channels
-    return data[:usable].reshape(-1, channels), int(round(rate))
+    data = data[:usable]
+    if frames > 0:
+        # honor the COMM frame count: trailing SSND slack/pad bytes are not audio
+        data = data[: frames * channels]
+    return data.reshape(-1, channels), int(round(rate))
 
 
 def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndarray, int]:

@@ -302,6 +302,17 @@ class TestCLIPresetFlow:
         assert rc == 2
         assert "{i}" in capsys.readouterr().err
 
+    def test_sweep_format_spec_placeholder_accepted(self, wav_file, tmp_path, capsys):
+        """ADVICE r2: a format-spec placeholder like {i:03d} is usable and
+        must pass the guard (checked behaviorally, not by substring)."""
+        from audio_raytracing_studio_tpu.cli.render import main
+
+        rc = main([wav_file, str(tmp_path / "out_{i:03d}.wav"),
+                   "--sweep", "diffusion=0.2,0.8"])
+        assert rc == 0
+        assert (tmp_path / "out_000.wav").exists()
+        assert (tmp_path / "out_001.wav").exists()
+
     def test_stream_plus_sweep_rejected(self, wav_file, tmp_path, capsys):
         """--stream must not be silently dropped by the sweep branch."""
         from audio_raytracing_studio_tpu.cli.render import main

@@ -467,3 +467,84 @@ class TestIntegration:
         out, out_rate = wavio.read(download)
         assert out_rate == rate
         assert out.shape[0] > sig.size  # reverb tail appended
+
+
+class TestFrameBoundaryTruncation:
+    def test_truncation_at_frame_boundary_raises(self):
+        """A stream cut exactly at a frame boundary passes every per-frame
+        CRC; the decoder must still detect the missing samples (ADVICE r2)."""
+        rng = np.random.default_rng(7)
+        sig = (0.3 * rng.standard_normal((4096, 1))).astype(np.float32)
+        buf = io.BytesIO()
+        flacio.write(buf, sig, 16000, blocksize=1024)
+        raw = buf.getvalue()
+        # find the start of the last frame by sync code (0xFF 0xF8) scanning
+        # backwards; cutting there leaves N-1 intact frames
+        cut = raw.rfind(b"\xff\xf8")
+        assert cut > 42  # past STREAMINFO
+        with pytest.raises(ValueError, match="truncated"):
+            flacio.read(io.BytesIO(raw[:cut]))
+
+
+class TestExternalInterop:
+    """Cross-validation against an independent FLAC implementation.
+
+    This image ships neither libFLAC nor ffmpeg, so these tests skip here —
+    they exist so any future image with the tools exercises real interop
+    (mirrored encoder/decoder bugs are invisible to round-trip tests).
+    """
+
+    @staticmethod
+    def _tool():
+        import shutil
+
+        for name in ("flac", "ffmpeg"):
+            if shutil.which(name):
+                return name
+        return None
+
+    @pytest.fixture
+    def tool(self):
+        t = self._tool()
+        if t is None:
+            pytest.skip("no external FLAC implementation (flac/ffmpeg) in image")
+        return t
+
+    def test_external_tool_decodes_our_flac(self, tool, tmp_path):
+        import subprocess
+
+        rng = np.random.default_rng(11)
+        sig = (0.4 * rng.standard_normal((9000, 2))).astype(np.float32)
+        ours = str(tmp_path / "ours.flac")
+        flacio.write(ours, sig, 22050)
+        out_wav = str(tmp_path / "dec.wav")
+        if tool == "flac":
+            cmd = ["flac", "-d", "-f", "-o", out_wav, ours]
+        else:
+            cmd = ["ffmpeg", "-y", "-v", "error", "-i", ours,
+                   "-acodec", "pcm_s16le", out_wav]
+        proc = subprocess.run(cmd, capture_output=True)
+        assert proc.returncode == 0, proc.stderr.decode("utf-8", "replace")
+        theirs, rate = wavio.read(out_wav)
+        assert rate == 22050
+        expect = _quantize(sig, 16).astype(np.float32) / 32768.0
+        np.testing.assert_allclose(theirs, expect, atol=1.0 / 32768.0)
+
+    def test_we_decode_external_tool_flac(self, tool, tmp_path):
+        import subprocess
+
+        rng = np.random.default_rng(12)
+        sig = (0.4 * rng.standard_normal((9000, 2))).astype(np.float32)
+        src_wav = str(tmp_path / "src.wav")
+        wavio.write(src_wav, sig, 22050, subtype="PCM_16")
+        theirs_flac = str(tmp_path / "theirs.flac")
+        if tool == "flac":
+            cmd = ["flac", "-f", "-o", theirs_flac, src_wav]
+        else:
+            cmd = ["ffmpeg", "-y", "-v", "error", "-i", src_wav, theirs_flac]
+        proc = subprocess.run(cmd, capture_output=True)
+        assert proc.returncode == 0, proc.stderr.decode("utf-8", "replace")
+        decoded, rate = flacio.read(theirs_flac)
+        assert rate == 22050
+        ref, _ = wavio.read(src_wav)
+        np.testing.assert_array_equal(decoded, ref)
