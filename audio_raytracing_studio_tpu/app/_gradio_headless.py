@@ -98,6 +98,11 @@ class Component:
         self.visible = kwargs.pop("visible", True)
         self.config = kwargs
         self.blocks: Optional[Blocks] = None
+        # innermost enclosing Tab title (for structural rendering), if any
+        self.tab: Optional[str] = next(
+            (l.title for l in reversed(_layout_stack()) if isinstance(l, Tab)),
+            None,
+        )
         stack = _blocks_stack()
         if stack:
             stack[-1]._register(self)
@@ -189,17 +194,28 @@ class Number(Component):
         super().__init__(value=value, **kwargs)
 
 
+def _layout_stack() -> List["_Layout"]:
+    if not hasattr(_ctx, "layouts"):
+        _ctx.layouts = []
+    return _ctx.layouts
+
+
 class _Layout:
-    """Row/Column/Tab/Accordion — structural no-ops that keep nesting valid."""
+    """Row/Column/Tab/Accordion — structural contexts.  They do not affect
+    event semantics, but the nesting is recorded on each component so the
+    HTTP server (app/server.py) can render the real tab/row structure."""
 
     def __init__(self, *args, **kwargs):
         self.args = args
         self.kwargs = kwargs
+        self.title = args[0] if args and isinstance(args[0], str) else kwargs.get("label")
 
     def __enter__(self):
+        _layout_stack().append(self)
         return self
 
     def __exit__(self, *exc):
+        _layout_stack().pop()
         return False
 
 
@@ -277,11 +293,13 @@ class Blocks:
         self._all_deps.append(dep)
         return dep
 
-    def launch(self, **kwargs):
-        raise RuntimeError(
-            "headless UI runtime cannot serve HTTP; install gradio to launch. "
-            "The event graph is fully drivable via Blocks.fire()/startup()."
-        )
+    def launch(self, server_name: str = "0.0.0.0", server_port: int = 8861, **_):
+        """Serve this Blocks over HTTP with the framework's own stdlib
+        server (app/server.py) — the gradio-free equivalent of
+        gr.Blocks.launch (reference: raytracer_studio.py:1397)."""
+        from .server import serve
+
+        serve(self, host=server_name, port=server_port)
 
     # --- headless driver API ---
     def get(self, label: str) -> Component:

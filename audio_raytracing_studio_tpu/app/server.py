@@ -1,0 +1,563 @@
+"""Zero-dependency HTTP server for the studio UI.
+
+The reference's flagship surface is a served web app
+(/root/reference/raytracer_studio.py:1397 — ``demo.launch(0.0.0.0:8861)``).
+gradio is not installable in this image, so the framework serves its own
+headless Blocks runtime (app/_gradio_headless.py) over stdlib
+``http.server``: GET / renders the 4-tab component tree as an HTML app,
+JSON endpoints mirror the event runtime (set values, fire listeners,
+upload clips, download results), and the clickable position map posts
+pixel coordinates through the same ``SelectData`` path the gradio UI uses.
+
+Endpoints
+---------
+GET  /            the studio page (HTML + inline JS client)
+GET  /state       JSON snapshot of every component (id, type, value, …)
+POST /set         {"id": N, "value": V, "fire_change": bool} → state
+POST /event       {"id": N, "event": "click", "set": {id: value, …},
+                   "index": [x, y]?} → apply sets, fire listeners → state
+POST /upload      raw body + X-Filename header → {"path": …}
+GET  /file?path=  stream a file (only uploads, current component values,
+                  and the map assets — no arbitrary reads)
+
+Threading: events run under one lock (the render pipeline is a single
+device queue anyway); the server itself is threading so a long render
+does not block state polls or file downloads.
+"""
+
+from __future__ import annotations
+
+import html
+import json
+import logging
+import os
+import re
+import tempfile
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+from .. import config
+from . import _gradio_headless as hl
+
+log = logging.getLogger("ars_tpu.server")
+
+_CONTENT_TYPES = {
+    ".wav": "audio/wav",
+    ".flac": "audio/flac",
+    ".aif": "audio/aiff",
+    ".aiff": "audio/aiff",
+    ".png": "image/png",
+    ".jpg": "image/jpeg",
+    ".jpeg": "image/jpeg",
+    ".json": "application/json",
+    ".zip": "application/zip",
+    ".txt": "text/plain; charset=utf-8",
+}
+
+_MAX_UPLOAD = 512 * 1024 * 1024  # 512 MB — covers hour-scale WAV uploads
+
+
+def _jsonable(value: Any) -> Any:
+    """Serialize a component value for the wire (paths stay strings)."""
+    if value is None or isinstance(value, (bool, int, float, str)):
+        return value
+    if isinstance(value, (list, tuple)):
+        return [_jsonable(v) for v in value]
+    if isinstance(value, dict):
+        return {str(k): _jsonable(v) for k, v in value.items()}
+    return repr(value)
+
+
+class StudioHTTPServer:
+    """Serve a headless ``Blocks`` over HTTP.
+
+    ``start()`` binds and serves on a daemon thread (tests);
+    ``serve_forever()`` blocks (the CLI entry point).
+    """
+
+    def __init__(self, blocks: "hl.Blocks", host: str = "0.0.0.0", port: int = 0):
+        self.blocks = blocks
+        self._lock = threading.Lock()
+        self._upload_dir = tempfile.mkdtemp(prefix="ars_studio_uploads_")
+        self._uploads: set[str] = set()
+        handler = self._make_handler()
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd.daemon_threads = True
+        self.host, self.port = self.httpd.server_address[:2]
+        self._thread: Optional[threading.Thread] = None
+        # run the startup initializer exactly once, like gradio's page load
+        with self._lock:
+            self.blocks.startup()
+
+    # --- lifecycle ---
+    def start(self) -> "StudioHTTPServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def serve_forever(self):
+        log.info("studio serving on http://%s:%d", self.host, self.port)
+        self.httpd.serve_forever()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    # --- state / events ---
+    def component_state(self) -> List[Dict[str, Any]]:
+        comps = self.blocks.components
+        listeners: Dict[int, set] = {}
+        for dep in self.blocks._all_deps:
+            for i, c in enumerate(comps):
+                if dep.trigger is c:
+                    listeners.setdefault(i, set()).add(dep.event)
+        out = []
+        for i, c in enumerate(comps):
+            entry: Dict[str, Any] = {
+                "id": i,
+                "type": type(c).__name__,
+                "label": c.label,
+                "value": _jsonable(c.value),
+                "interactive": bool(c.interactive),
+                "visible": bool(c.visible),
+                "tab": c.tab,
+                "events": sorted(listeners.get(i, ())),
+            }
+            if c.choices is not None:
+                entry["choices"] = [_jsonable(x) for x in c.choices]
+            for attr in ("minimum", "maximum", "step"):
+                if hasattr(c, attr):
+                    entry[attr] = getattr(c, attr)
+            if isinstance(c.value, str) and os.path.isfile(c.value):
+                entry["url"] = "/file?path=" + urllib.parse.quote(c.value)
+            out.append(entry)
+        return out
+
+    def apply_sets(self, sets: Dict[str, Any]):
+        for key, value in sets.items():
+            comp = self.blocks.components[int(key)]
+            comp.value = value
+
+    def fire(self, comp_id: int, event: str, index=None) -> None:
+        comp = self.blocks.components[comp_id]
+        event_data = None
+        if event == "select":
+            event_data = hl.SelectData(index=tuple(index) if index else None)
+        self.blocks.fire(comp, event, event_data)
+
+    # --- uploads / downloads ---
+    def save_upload(self, filename: str, body: bytes) -> str:
+        base = os.path.basename(filename) or "upload.bin"
+        base = re.sub(r"[^A-Za-z0-9._\-]", "_", base)
+        path = os.path.join(self._upload_dir, base)
+        stem, ext = os.path.splitext(path)
+        n = 1
+        while os.path.exists(path):
+            path = f"{stem}_{n}{ext}"
+            n += 1
+        with open(path, "wb") as fh:
+            fh.write(body)
+        self._uploads.add(os.path.realpath(path))
+        return path
+
+    def file_allowed(self, path: str) -> bool:
+        """Only uploads, current component values, and the map assets are
+        servable — never arbitrary filesystem reads."""
+        real = os.path.realpath(path)
+        if real in self._uploads:
+            return True
+        allowed = {os.path.realpath(config.BASE_SURROUND_MAP_PATH)}
+        for c in self.blocks.components:
+            vals = c.value if isinstance(c.value, (list, tuple)) else [c.value]
+            for v in vals:
+                if isinstance(v, str) and v:
+                    allowed.add(os.path.realpath(v))
+        return real in allowed
+
+    # --- request handler ---
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, fmt, *args):  # route to logging, not stderr
+                log.debug("%s %s", self.address_string(), fmt % args)
+
+            def _send(self, code: int, body: bytes, ctype: str):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _send_json(self, obj: Any, code: int = 200):
+                self._send(code, json.dumps(obj).encode("utf-8"),
+                           "application/json; charset=utf-8")
+
+            def _read_body(self) -> bytes:
+                length = int(self.headers.get("Content-Length") or 0)
+                if length > _MAX_UPLOAD:
+                    raise ValueError(f"body too large ({length} bytes)")
+                return self.rfile.read(length)
+
+            # --- GET ---
+            def do_GET(self):
+                parsed = urllib.parse.urlparse(self.path)
+                if parsed.path == "/":
+                    page = render_page(server.blocks)
+                    self._send(200, page.encode("utf-8"), "text/html; charset=utf-8")
+                elif parsed.path == "/state":
+                    with server._lock:
+                        self._send_json({"components": server.component_state()})
+                elif parsed.path == "/file":
+                    qs = urllib.parse.parse_qs(parsed.query)
+                    path = (qs.get("path") or [""])[0]
+                    if not path or not os.path.isfile(path):
+                        self._send_json({"error": "not found"}, 404)
+                        return
+                    if not server.file_allowed(path):
+                        self._send_json({"error": "forbidden"}, 403)
+                        return
+                    ext = os.path.splitext(path)[1].lower()
+                    with open(path, "rb") as fh:
+                        body = fh.read()
+                    self.send_response(200)
+                    self.send_header(
+                        "Content-Type", _CONTENT_TYPES.get(ext, "application/octet-stream")
+                    )
+                    self.send_header("Content-Length", str(len(body)))
+                    self.send_header(
+                        "Content-Disposition",
+                        f'inline; filename="{os.path.basename(path)}"',
+                    )
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self._send_json({"error": "not found"}, 404)
+
+            # --- POST ---
+            def do_POST(self):
+                parsed = urllib.parse.urlparse(self.path)
+                try:
+                    if parsed.path == "/upload":
+                        body = self._read_body()
+                        filename = self.headers.get("X-Filename", "upload.bin")
+                        path = server.save_upload(filename, body)
+                        self._send_json({"path": path})
+                        return
+                    payload = json.loads(self._read_body() or b"{}")
+                    if parsed.path == "/set":
+                        with server._lock:
+                            server.apply_sets({payload["id"]: payload.get("value")})
+                            if payload.get("fire_change"):
+                                try:
+                                    server.fire(int(payload["id"]), "change")
+                                except KeyError:
+                                    pass  # no change listener — set alone is fine
+                            self._send_json({"components": server.component_state()})
+                    elif parsed.path == "/event":
+                        with server._lock:
+                            server.apply_sets(payload.get("set") or {})
+                            server.fire(
+                                int(payload["id"]),
+                                payload.get("event", "click"),
+                                payload.get("index"),
+                            )
+                            self._send_json({"components": server.component_state()})
+                    else:
+                        self._send_json({"error": "not found"}, 404)
+                except KeyError as e:
+                    self._send_json({"error": f"no such listener/component: {e}"}, 400)
+                except (ValueError, json.JSONDecodeError) as e:
+                    self._send_json({"error": str(e)}, 400)
+                except Exception as e:  # noqa: BLE001 — handler errors → 500 JSON
+                    log.exception("event handler failed")
+                    self._send_json({"error": f"{type(e).__name__}: {e}"}, 500)
+
+        return Handler
+
+
+# ---------------------------------------------------------------------------
+# HTML page
+# ---------------------------------------------------------------------------
+
+_PAGE_CSS = """
+body{font-family:system-ui,sans-serif;margin:0;background:#0f172a;color:#e2e8f0}
+header{padding:12px 20px;background:#1e293b;font-size:18px;font-weight:600}
+nav{display:flex;gap:4px;background:#1e293b;padding:0 12px;border-bottom:1px solid #334155}
+nav button{background:none;border:none;color:#94a3b8;padding:10px 14px;cursor:pointer;font-size:14px;border-bottom:2px solid transparent}
+nav button.active{color:#22d3ee;border-bottom-color:#22d3ee}
+main{padding:16px 20px;max-width:1100px;margin:0 auto}
+.tab{display:none;grid-template-columns:repeat(auto-fill,minmax(320px,1fr));gap:10px}
+.tab.active{display:grid}
+.comp{background:#1e293b;border-radius:8px;padding:10px 12px}
+.comp label.lbl{display:block;font-size:12px;color:#94a3b8;margin-bottom:6px}
+.comp input[type=range]{width:75%}
+.comp select,.comp input[type=text],.comp input[type=number]{width:95%;background:#0f172a;color:#e2e8f0;border:1px solid #334155;border-radius:4px;padding:5px}
+.comp button.action{background:#0891b2;color:#fff;border:none;border-radius:6px;padding:9px 14px;cursor:pointer;font-size:14px}
+.comp button.action:disabled{opacity:.45}
+.comp img{max-width:100%;border-radius:4px}
+.comp audio{width:100%}
+.md{background:none;padding:4px 2px;font-size:13px;line-height:1.45}
+.val{font-size:12px;color:#22d3ee;margin-left:8px}
+#busy{position:fixed;top:10px;right:16px;background:#0891b2;color:#fff;padding:6px 12px;border-radius:6px;display:none}
+a{color:#22d3ee}
+"""
+
+_PAGE_JS = r"""
+let state = [];
+const el = id => document.querySelector(`[data-id="${id}"]`);
+
+async function refresh(res) {
+  const data = res || await (await fetch('/state')).json();
+  state = data.components;
+  for (const c of state) render(c);
+}
+
+function render(c) {
+  const root = el(c.id);
+  if (!root) return;
+  root.style.display = c.visible ? '' : 'none';
+  const input = root.querySelector('.ctl');
+  if (input) {
+    if (input.type === 'checkbox') input.checked = !!c.value;
+    else if (input.tagName === 'SELECT') {
+      if (c.choices) {
+        const cur = Array.from(input.options).map(o => o.value).join('|');
+        if (cur !== c.choices.join('|')) {
+          input.innerHTML = '';
+          for (const ch of c.choices) {
+            const o = document.createElement('option');
+            o.value = ch; o.textContent = ch; input.appendChild(o);
+          }
+        }
+      }
+      input.value = c.value == null ? '' : c.value;
+    } else if (document.activeElement !== input) {
+      input.value = c.value == null ? '' : c.value;
+    }
+    input.disabled = !c.interactive;
+    const v = root.querySelector('.val');
+    if (v) v.textContent = c.value;
+  }
+  const btn = root.querySelector('button.action');
+  if (btn) btn.disabled = !c.interactive;
+  const md = root.querySelector('.md-body');
+  if (md) md.textContent = c.value == null ? '' : String(c.value);
+  const img = root.querySelector('img');
+  if (img && c.url && img.dataset.src !== c.url) {
+    img.dataset.src = c.url; img.src = c.url + '&t=' + Date.now();
+  }
+  const audio = root.querySelector('audio');
+  if (audio && c.url && audio.dataset.src !== c.url) {
+    audio.dataset.src = c.url; audio.src = c.url;
+  }
+  const link = root.querySelector('a.dl');
+  if (link) {
+    if (c.url) { link.href = c.url; link.style.display = ''; link.download = ''; }
+    else link.style.display = 'none';
+  }
+}
+
+function collectSets() {
+  const sets = {};
+  for (const c of state) {
+    const root = el(c.id); if (!root) continue;
+    const input = root.querySelector('.ctl'); if (!input) continue;
+    if (input.type === 'checkbox') sets[c.id] = input.checked;
+    else if (input.type === 'range' || input.type === 'number')
+      sets[c.id] = parseFloat(input.value);
+    else if (input.dataset.filepath !== undefined)
+      sets[c.id] = input.dataset.filepath || null;
+    else sets[c.id] = input.value;
+  }
+  return sets;
+}
+
+async function post(url, payload) {
+  busy(true);
+  try {
+    const res = await fetch(url, {method: 'POST', body: JSON.stringify(payload)});
+    const data = await res.json();
+    if (data.error) { alert(data.error); return; }
+    await refresh(data);
+  } finally { busy(false); }
+}
+
+function busy(on) { document.getElementById('busy').style.display = on ? 'block' : 'none'; }
+
+async function fireEvent(id, event, index) {
+  await post('/event', {id, event, index, set: collectSets()});
+}
+
+async function setValue(id, value, fireChange) {
+  await post('/set', {id, value, fire_change: !!fireChange});
+}
+
+async function uploadFile(id, fileInput) {
+  const f = fileInput.files[0]; if (!f) return;
+  busy(true);
+  try {
+    const res = await fetch('/upload', {method: 'POST', body: f,
+      headers: {'X-Filename': f.name}});
+    const data = await res.json();
+    if (data.error) { alert(data.error); return; }
+    const root = el(id);
+    const ctl = root.querySelector('.ctl');
+    if (ctl) ctl.dataset.filepath = data.path;
+    await setValue(id, data.path, hasEvent(id, 'change'));
+  } finally { busy(false); }
+}
+
+function hasEvent(id, ev) {
+  const c = state.find(c => c.id === id);
+  return c && c.events.includes(ev);
+}
+
+function mapClick(id, img, e) {
+  const r = img.getBoundingClientRect();
+  const x = Math.round((e.clientX - r.left) * img.naturalWidth / r.width);
+  const y = Math.round((e.clientY - r.top) * img.naturalHeight / r.height);
+  fireEvent(id, 'select', [x, y]);
+}
+
+function showTab(i, btn) {
+  document.querySelectorAll('.tab').forEach(t => t.classList.remove('active'));
+  document.querySelectorAll('nav button').forEach(b => b.classList.remove('active'));
+  document.getElementById('tab' + i).classList.add('active');
+  btn.classList.add('active');
+}
+
+refresh();
+"""
+
+
+def _render_component(c: "hl.Component", cid: int, events) -> str:
+    """One component → HTML block (data-id wires it to the JS client)."""
+    lbl = html.escape(str(c.label or ""))
+    t = type(c).__name__
+    head = f'<div class="comp" data-id="{cid}">'
+    label_html = f'<label class="lbl">{lbl}</label>' if c.label else ""
+    if t == "Markdown" or t == "Label":
+        body = f'<div class="md md-body">{html.escape(str(c.value or ""))}</div>'
+        return f'{head}{body}</div>'
+    if t == "Button":
+        return (
+            f'{head}<button class="action" '
+            f"onclick=\"fireEvent({cid},'click')\">{lbl}</button></div>"
+        )
+    if t == "Slider":
+        if "input" in events:
+            action = f"fireEvent({cid},'input')"
+        else:
+            action = f"setValue({cid},parseFloat(this.value))"
+        step = c.step if c.step is not None else "any"
+        return (
+            f"{head}{label_html}"
+            f'<input class="ctl" type="range" min="{c.minimum}" max="{c.maximum}" '
+            f'step="{step}" value="{c.value}" '
+            "oninput=\"this.parentNode.querySelector('.val').textContent=this.value\" "
+            f'onchange="{action}">'
+            f'<span class="val">{c.value}</span></div>'
+        )
+    if t == "Dropdown":
+        opts = "".join(
+            f'<option value="{html.escape(str(ch))}"'
+            + (" selected" if ch == c.value else "")
+            + f">{html.escape(str(ch))}</option>"
+            for ch in (c.choices or [])
+        )
+        action = (
+            f"fireEvent({cid},'change')" if "change" in events
+            else f"setValue({cid},this.value)"
+        )
+        return f'{head}{label_html}<select class="ctl" onchange="{action}">{opts}</select></div>'
+    if t == "Checkbox":
+        action = (
+            f"fireEvent({cid},'change')" if "change" in events
+            else f"setValue({cid},this.checked)"
+        )
+        checked = " checked" if c.value else ""
+        return (
+            f'{head}<label><input class="ctl" type="checkbox"{checked} '
+            f'onchange="{action}"> {lbl}</label></div>'
+        )
+    if t == "Textbox":
+        return (
+            f'{head}{label_html}<input class="ctl" type="text" '
+            f'value="{html.escape(str(c.value or ""))}" '
+            f'onchange="setValue({cid},this.value)"></div>'
+        )
+    if t == "Number":
+        return (
+            f'{head}{label_html}<input class="ctl" type="number" value="{c.value}" '
+            f'onchange="setValue({cid},parseFloat(this.value))"></div>'
+        )
+    if t in ("Audio", "File"):
+        player = '<audio controls data-src=""></audio>' if t == "Audio" else ""
+        return (
+            f'{head}{label_html}'
+            f'<input class="ctl" type="file" data-filepath="" '
+            f'onchange="uploadFile({cid},this)">{player}'
+            f'<a class="dl" style="display:none">⬇ Download</a></div>'
+        )
+    if t == "Image":
+        click = (
+            f' onclick="mapClick({cid},this,event)" style="cursor:crosshair"'
+            if "select" in events
+            else ""
+        )
+        return f'{head}{label_html}<img data-src="" alt="{lbl}"{click}></div>'
+    return f'{head}{label_html}<div class="md-body"></div></div>'
+
+
+def render_page(blocks: "hl.Blocks") -> str:
+    """The studio page: tabs → component blocks → inline JS client."""
+    listeners: Dict[int, set] = {}
+    for dep in blocks._all_deps:
+        for i, c in enumerate(blocks.components):
+            if dep.trigger is c:
+                listeners.setdefault(i, set()).add(dep.event)
+    tabs: List[str] = []
+    for c in blocks.components:
+        if c.tab and c.tab not in tabs:
+            tabs.append(c.tab)
+    nav = "".join(
+        f'<button class="{"active" if i == 0 else ""}" '
+        f'onclick="showTab({i},this)">{html.escape(t)}</button>'
+        for i, t in enumerate(tabs)
+    )
+    sections = []
+    for i, tab in enumerate(tabs):
+        blocks_html = "".join(
+            _render_component(c, cid, listeners.get(cid, set()))
+            for cid, c in enumerate(blocks.components)
+            if c.tab == tab
+        )
+        active = " active" if i == 0 else ""
+        sections.append(f'<div class="tab{active}" id="tab{i}">{blocks_html}</div>')
+    title = html.escape(blocks.title or "Audio Raytracing Studio")
+    return (
+        "<!doctype html><html><head><meta charset='utf-8'>"
+        f"<title>{title}</title><style>{_PAGE_CSS}</style></head>"
+        f"<body><header>{title}</header><nav>{nav}</nav>"
+        f"<div id='busy'>⏳ Verarbeitung läuft…</div>"
+        f"<main>{''.join(sections)}</main>"
+        f"<script>{_PAGE_JS}</script></body></html>"
+    )
+
+
+def serve(blocks: "hl.Blocks", host: str = "0.0.0.0", port: int = config.DEFAULT_SERVER_PORT):
+    """Blocking serve — the launch() path (reference raytracer_studio.py:1397)."""
+    server = StudioHTTPServer(blocks, host, port)
+    print(f"* Audio Raytracing Studio läuft auf http://{host}:{server.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.stop()

@@ -34,14 +34,6 @@ except ImportError:  # headless images: the executable in-repo UI runtime
     GRADIO_AVAILABLE = False
 
 
-def _require_gradio():
-    if not GRADIO_AVAILABLE:
-        raise ImportError(
-            "gradio is not installed; the web UI cannot serve HTTP. "
-            "build_demo() still works on the headless runtime "
-            "(app._gradio_headless) and the full event graph is drivable; "
-            "use audio_raytracing_studio_tpu.cli.render for headless rendering."
-        )
 
 
 def build_demo(store: PresetStore | None = None):
@@ -307,8 +299,15 @@ def build_demo(store: PresetStore | None = None):
 
 
 def main(server_name: str = "0.0.0.0", server_port: int = config.DEFAULT_SERVER_PORT):
-    """Launch the studio (reference launch config, raytracer_studio.py:1397)."""
-    _require_gradio()
+    """Launch the studio (reference launch config, raytracer_studio.py:1397).
+
+    With gradio installed this serves the gradio app; without it, the
+    framework's own stdlib HTTP server (app/server.py) serves the same
+    event graph on the same host:port — zero dependencies either way.
+    """
+    from ..utils.runtime import ensure_backend
+
+    ensure_backend()
     store = PresetStore(".")
     store.ensure_dir()
     marker.ensure_map_asset()

@@ -211,16 +211,25 @@ class TestMarker:
 
 class TestStudioGating:
     def test_headless_fallback(self, tmp_path, monkeypatch):
-        """Without gradio, build_demo() runs on the headless runtime and only
-        launching/serving raises (see tests/test_studio_ui.py for the drive)."""
+        """Without gradio, build_demo() runs on the headless runtime and
+        studio.main() serves it over the native HTTP server on the
+        reference port (see tests/test_http_server.py for the drive)."""
         monkeypatch.chdir(tmp_path)
         from audio_raytracing_studio_tpu.app import studio
+        from audio_raytracing_studio_tpu.app import _gradio_headless as hl
 
         assert studio.GRADIO_AVAILABLE is False
         demo = studio.build_demo()
         assert demo is not None
-        with pytest.raises(ImportError, match="gradio"):
-            studio.main()
+
+        served = {}
+
+        def fake_launch(self, server_name="0.0.0.0", server_port=8861, **_):
+            served["addr"] = (server_name, server_port)
+
+        monkeypatch.setattr(hl.Blocks, "launch", fake_launch)
+        studio.main()
+        assert served["addr"] == ("0.0.0.0", 8861)
 
 
 class TestCLI:

@@ -1,0 +1,239 @@
+"""Drive the studio over real HTTP (app/server.py) with a urllib client.
+
+Round-3 VERDICT item 1: the flagship web surface must be browser-reachable
+in this image, not pytest-only.  These tests bind the stdlib server on an
+ephemeral port and exercise the reference Tab-1 flow
+(/root/reference/raytracer_studio.py:1326-1330) end-to-end over the wire:
+page load, state snapshot, clip upload, process click, result download,
+map click → slider update, and a full preset save/load round-trip — plus
+the file-endpoint allowlist (no arbitrary reads).
+"""
+
+import io
+import json
+import os
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import numpy as np
+import pytest
+
+from audio_raytracing_studio_tpu.app import marker, studio
+from audio_raytracing_studio_tpu.app.server import StudioHTTPServer, render_page
+from audio_raytracing_studio_tpu.utils import wavio
+from audio_raytracing_studio_tpu.utils.presets import PresetStore
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    """One live server for the module (startup + bind are not free)."""
+    root = tmp_path_factory.mktemp("studio_http")
+    old_cwd = os.getcwd()
+    os.chdir(root)
+    try:
+        marker.ensure_map_asset()
+        store = PresetStore(str(root))
+        demo = studio.build_demo(store)
+        server = StudioHTTPServer(demo, host="127.0.0.1", port=0).start()
+        yield server, demo, root
+        server.stop()
+    finally:
+        os.chdir(old_cwd)
+
+
+def _get(server, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server.port}{path}", timeout=120) as r:
+        return r.status, r.headers.get("Content-Type", ""), r.read()
+
+
+def _post_json(server, path, payload):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}{path}",
+        data=json.dumps(payload).encode("utf-8"),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return r.status, json.loads(r.read())
+
+
+def _state(server):
+    _, _, body = _get(server, "/state")
+    return json.loads(body)["components"]
+
+
+def _by_label(components, label):
+    matches = [c for c in components if c["label"] == label]
+    assert matches, f"no component labeled {label!r}"
+    return matches[0]
+
+
+@pytest.fixture
+def clip(tmp_path):
+    rate = 16000
+    t = np.arange(int(0.6 * rate)) / rate
+    x = (0.5 * np.sin(2 * np.pi * 330.0 * t)).astype(np.float32)
+    path = tmp_path / "http_in.wav"
+    wavio.write(path, x, rate)
+    return str(path)
+
+
+def test_page_serves_tabs_and_controls(served):
+    server, demo, _ = served
+    status, ctype, body = _get(server, "/")
+    assert status == 200 and ctype.startswith("text/html")
+    page = body.decode("utf-8")
+    for fragment in (
+        "Audio-Verarbeitung &amp; Positionierung",
+        "Visualizer",
+        "Preset-Editor",
+        "Hilfe",
+        "Verarbeiten &amp; Anhören!",
+        "mapClick",  # clickable position map wired
+    ):
+        assert fragment in page, fragment
+    # render_page is deterministic given the blocks
+    assert render_page(demo) is not None
+
+
+def test_state_snapshot(served):
+    server, _, _ = served
+    status, _, body = _get(server, "/state")
+    assert status == 200
+    comps = json.loads(body)["components"]
+    layout = _by_label(comps, "🎯 Ziel-Layout")
+    assert "Stereo" in layout["choices"]
+    process = _by_label(comps, "➡️ Verarbeiten & Anhören!")
+    assert "click" in process["events"]
+    # the startup initializer ran: metrics display shows the ready message
+    metrics = _by_label(comps, "📊 Ergebnis-Metriken (Gesamt)")
+    assert metrics["value"] == "Bereit. Bitte Audio laden."
+    # the map image is downloadable
+    image = _by_label(comps, "Karte (Klicken für X/Y)")
+    assert image.get("url")
+    status, ctype, body = _get(server, image["url"])
+    assert status == 200 and ctype == "image/png" and body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_upload_process_download(served, clip):
+    """The reference Tab-1 flow, over the wire: upload → process → result."""
+    server, _, _ = served
+    with open(clip, "rb") as fh:
+        raw = fh.read()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/upload",
+        data=raw,
+        headers={"X-Filename": "clip.wav"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        uploaded = json.loads(r.read())["path"]
+    assert os.path.isfile(uploaded)
+
+    comps = _state(server)
+    audio_in = _by_label(comps, "🔊 Audio hochladen")
+    layout = _by_label(comps, "🎯 Ziel-Layout")
+    process = _by_label(comps, "➡️ Verarbeiten & Anhören!")
+    status, data = _post_json(
+        server,
+        "/event",
+        {
+            "id": process["id"],
+            "event": "click",
+            "set": {str(audio_in["id"]): uploaded, str(layout["id"]): "Stereo"},
+        },
+    )
+    assert status == 200
+    comps = data["components"]
+    result = _by_label(comps, "🎧 Ergebnis anhören")
+    metrics = _by_label(comps, "📊 Ergebnis-Metriken (Gesamt)")
+    assert "LUFS" in metrics["value"]
+    assert result["value"] and result.get("url")
+    status, ctype, body = _get(server, result["url"])
+    assert status == 200 and ctype == "audio/wav"
+    out, rate = wavio.read(io.BytesIO(body))
+    assert rate == 16000
+    assert out.shape[0] > int(0.6 * 16000)  # reverb tail appended
+    assert np.max(np.abs(out)) > 1e-4
+
+
+def test_map_click_updates_sliders(served):
+    server, _, _ = served
+    comps = _state(server)
+    image = _by_label(comps, "Karte (Klicken für X/Y)")
+    w, h = marker.MAP_SIZE
+    status, data = _post_json(
+        server,
+        "/event",
+        {"id": image["id"], "event": "select", "index": [w // 4, (3 * h) // 4]},
+    )
+    assert status == 200
+    comps = data["components"]
+    assert _by_label(comps, "↔️ X (L/R)")["value"] == pytest.approx(0.25, abs=0.01)
+    assert _by_label(comps, "↕️ Y (F/B)")["value"] == pytest.approx(0.75, abs=0.01)
+    # the marker image re-rendered and is servable
+    pos = _by_label(comps, "🎯 Position (X/Y)")
+    assert pos.get("url")
+    status, _, body = _get(server, pos["url"])
+    assert status == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_preset_roundtrip_over_http(served):
+    server, _, _ = served
+    comps = _state(server)
+    name = _by_label(comps, "📝 Preset-Name")
+    save = _by_label(comps, "💾 Speichern")
+    bass = _by_label(comps, "Bass Gain")
+    status, data = _post_json(
+        server,
+        "/event",
+        {
+            "id": save["id"],
+            "event": "click",
+            "set": {str(name["id"]): "http_preset", str(bass["id"]): 2.5},
+        },
+    )
+    assert status == 200
+    comps = data["components"]
+    plist = _by_label(comps, "📂 Presets (v4)")
+    assert any("http_preset" in c for c in plist["choices"])
+    saved = plist["value"]
+
+    # perturb bass, then load the preset back over the wire
+    load = _by_label(comps, "📥 Laden")
+    status, data = _post_json(
+        server,
+        "/event",
+        {
+            "id": load["id"],
+            "event": "click",
+            "set": {str(bass["id"]): 1.0, str(plist["id"]): saved},
+        },
+    )
+    assert status == 200
+    comps = data["components"]
+    assert _by_label(comps, "Bass Gain")["value"] == pytest.approx(2.5)
+    assert "geladen" in str(_by_label(comps, "Status")["value"])
+
+
+def test_file_endpoint_is_allowlisted(served):
+    server, _, _ = served
+    for path in ("/etc/passwd", os.path.abspath(__file__)):
+        try:
+            status, _, _ = _get(server, "/file?path=" + urllib.parse.quote(path))
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status in (403, 404)
+
+
+def test_bad_event_is_clean_400(served):
+    server, _, _ = served
+    comps = _state(server)
+    metrics = _by_label(comps, "📊 Ergebnis-Metriken (Gesamt)")
+    try:
+        status, _ = _post_json(
+            server, "/event", {"id": metrics["id"], "event": "click"}
+        )
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
