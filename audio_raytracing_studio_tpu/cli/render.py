@@ -88,7 +88,7 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument(
         "--stream", action="store_true",
         help="chunked streaming render: bounded memory at any clip length "
-        "(hour-scale clips on one chip; requires unity EQ gains)",
+        "(hour-scale clips on one chip; exact EQ via blockwise transform)",
     )
     ap.add_argument(
         "--chunk-seconds", type=float, default=30.0,

@@ -20,9 +20,10 @@ Stage plan (mirrors the single-device graph, pipeline._mix_eq_spatial):
      cumsums at host-static block boundaries (same prefix-energy scheme as
      long_render._sharded_metrics, sequential instead of psum).
 
-Constraints: unity EQ gains (the exact-length circular EQ needs either the
-whole-signal FFT or the multi-device distributed transform); fast_air mode
-(same ≤1e-3 envelope as long mode).
+Non-unity EQ gains run the exact-length circular EQ between stages 1 and 2
+via the blockwise single-chip Bluestein transform (parallel.streaming_eq —
+bounded FFT workspace, n0 < 2^30); fast_air conv mode (same ≤1e-3 envelope
+as long mode).
 """
 
 from __future__ import annotations
@@ -93,9 +94,10 @@ def render_streaming(
 ):
     """Render one long clip in bounded memory → (len_out, channels) float32.
 
-    Unity EQ gains required (see module docstring); any layout; internal
-    hall or external IR.  ``chunk_seconds`` bounds per-step FFT size and
-    HBM; results are chunk-size-invariant (overlap-add is exact, tested).
+    Any EQ gains (exact-length circular EQ via parallel.streaming_eq); any
+    layout; internal hall or external IR.  ``chunk_seconds`` bounds per-step
+    FFT size and HBM; results are chunk-size-invariant (overlap-add is
+    exact, tested).
 
     ``return_output=False`` (requires ``with_metrics``) skips the bulk
     device→host result transfer and returns ``(None, metrics)`` — the
@@ -110,12 +112,8 @@ def render_streaming(
     kers, kernel_is_late, pairwise, spec, scal = _build_kernels(
         p, rate, n_in, seed, external_ir, external_ir_rate
     )
-    if spec.eq_on:
-        raise ValueError(
-            "render_streaming requires unity bass/treble gains — the exact-"
-            "length circular EQ needs the whole-signal transform (use "
-            "pipeline.render) or a multi-device mesh (parallel.long_render)"
-        )
+    # non-unity EQ runs the blockwise exact-length transform on the device
+    # buffer between pass 1 and pass 2 (parallel.streaming_eq) — no gate
     l = int(kers.shape[-1])
     len_out = spec.len_out
     chunk = max(int(chunk_seconds * rate), 2 * l)
@@ -199,6 +197,18 @@ def render_streaming(
         # data-dependent normalize (and the meter) see identical samples.
         out = out * (jnp.arange(n_total) < len_out)
         return filters.conditional_peak_normalize(out)
+
+    if spec.eq_on:
+        # exact-length circular shelf EQ over [0, len_out) of the device
+        # buffer (blockwise Bluestein — bounded FFT workspace); the
+        # conditional normalization then keys on the POST-EQ peak, exactly
+        # like pipeline._mix_eq_spatial's ordering (mix → EQ → normalize)
+        from .streaming_eq import shelf_eq_streaming
+
+        mixed_buf = shelf_eq_streaming(
+            mixed_buf, len_out, int(rate), scal.bass_gain, scal.treble_gain
+        )
+        global_max = jnp.max(jnp.abs(mixed_buf))
 
     out_cn = finish(mixed_buf, global_max)
 

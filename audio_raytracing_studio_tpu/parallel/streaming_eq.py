@@ -1,0 +1,179 @@
+"""Exact-length shelf EQ on ONE chip for clips too long for a whole-signal FFT.
+
+The reference's shelf EQ is a circular FFT gain at the exact signal length
+(raytracer_studio.py:392-397).  The single-shot path (models.pipeline) takes
+that FFT directly and tops out around ~10 minutes on a 16 GB chip; the
+multi-device path (parallel.distributed_fft) shards it over a mesh.  This
+module is the missing single-chip long-clip case (round-3 VERDICT item 2):
+the same Bluestein factorization, but the inner power-of-two transform runs
+**blockwise on one device** via the four-step decomposition —
+
+    FFT_m  (m = D·B, both pow2)  =  D-point DFT across row-blocks (one
+    complex matmul on the (D, B) view)  →  twiddle e^{-2πi·c·b/m}  →
+    length-B FFT per row,
+
+so the working set stays O(m) data arrays with only row-sized FFT workspace,
+instead of XLA's whole-m FFT scratch.  Bluestein wraps the arbitrary exact
+length n0 into that m-circular convolution with int32-exact chirp phases
+(reused from parallel.distributed_fft: j² mod 2n0 in uint32 — exact for
+n0 < 2^30).  A further structural saving: the forward transform's post-chirp
+e^{-iπk²/n0} and the inverse's pre-chirp e^{+iπk²/n0} cancel, so the full
+EQ is
+
+    u   = x · w⁻                    (time chirp)
+    c₁  = IFFT_m(FFT_m(u) · K⁺)     (forward Bluestein convolution)
+    u₂  = c₁ · gain · [k < n0]      (the EQ gain, chirp pair cancelled)
+    c₂  = IFFT_m(FFT_m(u₂) · K⁻)    (inverse Bluestein convolution)
+    y   = Re(c₂ · w⁺) / n0
+
+— four blockwise transforms per channel plus two one-off kernel-spectrum
+transforms per render.  Peak HBM ≈ 4.5·m complex64 ≈ 9 GB at m = 2^28
+(clips to ~46 min @ 48 kHz on a 16 GB chip); longer clips use the
+distributed path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from .distributed_fft import _band_edges, _chirp, fft_length_for
+
+DEFAULT_D_ROWS = 16
+
+
+def _dft_matrix(d: int, sign: float) -> np.ndarray:
+    """(D, D) complex64 DFT matrix e^{sign·2πi·c·d/D}, built in float64."""
+    idx = np.arange(d)
+    phase = sign * 2.0 * np.pi * np.outer(idx, idx) / d
+    return (np.cos(phase) + 1j * np.sin(phase)).astype(np.complex64)
+
+
+def _twiddle_db(d: int, b: int, sign: float) -> jnp.ndarray:
+    """(D, B) twiddle e^{sign·2πi·c·j/m}: c·j < m < 2^31 stays exact int32."""
+    m = d * b
+    c = jnp.arange(d, dtype=jnp.int32)[:, None]
+    j = jnp.arange(b, dtype=jnp.int32)[None, :]
+    cj = (c * j).astype(jnp.float32)
+    phase = (np.float32(sign * 2.0 * np.pi) / np.float32(m)) * cj
+    return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+
+def _fftm(x_db: jnp.ndarray, d: int, b: int) -> jnp.ndarray:
+    """FFT_m of the natural (D, B) block view → bin-strided (D, B):
+    row c holds bins c + D·t.  Four-step; HIGHEST matmul precision (the
+    D-point DFT is parity-bearing — cf. CLAUDE.md on small einsums)."""
+    w = jnp.asarray(_dft_matrix(d, -1.0))
+    s = jnp.einsum("cd,db->cb", w, x_db, precision=jax.lax.Precision.HIGHEST)
+    s = s * _twiddle_db(d, b, -1.0)
+    return jnp.fft.fft(s, axis=-1)
+
+
+def _ifftm(x_strided: jnp.ndarray, d: int, b: int) -> jnp.ndarray:
+    """Inverse of ``_fftm``: strided (D, B) → natural (D, B), 1/m applied."""
+    w = jnp.asarray(_dft_matrix(d, +1.0))
+    t = jnp.fft.ifft(x_strided, axis=-1)  # 1/B
+    t = t * _twiddle_db(d, b, +1.0)
+    out = jnp.einsum("cd,cb->db", w, t, precision=jax.lax.Precision.HIGHEST)
+    return out / d
+
+
+def _global_index(d: int, b: int) -> jnp.ndarray:
+    return (
+        jnp.arange(d, dtype=jnp.int32)[:, None] * b
+        + jnp.arange(b, dtype=jnp.int32)[None, :]
+    )
+
+
+def _chirp_kernel_db(n0: int, d: int, b: int, sign: float) -> jnp.ndarray:
+    """Bluestein chirp kernel on the (D, B) view: K[k] = w̄[k] (k < n0),
+    K[m−k] = w̄[k] (1 ≤ k < n0), else 0 (parallel.distributed_fft layout)."""
+    m = d * b
+    k = _global_index(d, b)
+    head = k < n0
+    tail = k > m - n0
+    idx = jnp.where(head, k, jnp.where(tail, m - k, 0))
+    wbar = _chirp(idx, n0, sign=-sign)
+    return jnp.where(head | tail, wbar, jnp.zeros_like(wbar))
+
+
+def _eq_gain_db(
+    n0: int, rate: int, d: int, b: int,
+    bass_gain: jnp.ndarray, treble_gain: jnp.ndarray,
+) -> jnp.ndarray:
+    """Two-sided shelf gain over global bins k < n0 on the (D, B) view —
+    identical band edges to the single-device rfftfreq masks
+    (distributed_fft._band_edges replicates them bit-for-bit)."""
+    k_lo, k_bass, k_treble = _band_edges(n0, rate)
+    k = _global_index(d, b)
+    in_band = k < n0
+    bass_mask = in_band & (
+        ((k >= k_lo) & (k <= k_bass)) | ((k >= n0 - k_bass) & (k <= n0 - k_lo))
+    )
+    treble_mask = in_band & (k >= k_treble) & (k <= n0 - k_treble)
+    lo, hi = config.EQ_GAIN_CLIP
+    gain = jnp.where(bass_mask, jnp.clip(bass_gain, lo, hi), 1.0)
+    gain = jnp.where(treble_mask, jnp.clip(treble_gain, lo, hi), gain)
+    return jnp.where(in_band, gain, 0.0).astype(jnp.float32)
+
+
+def shelf_eq_streaming(
+    buf_cn: jnp.ndarray,
+    n0: int,
+    rate: int,
+    bass_gain,
+    treble_gain,
+    d_rows: int = DEFAULT_D_ROWS,
+) -> jnp.ndarray:
+    """Exact-length circular shelf EQ of a (C, n_total) device buffer.
+
+    The signal occupies ``[0, n0)`` of the buffer (positions beyond are
+    ignored and return as zeros).  Matches ``ops.filters.apply_shelf_eq``
+    at length n0 to float32 round-off; bounded FFT workspace regardless of
+    n0.  Channels run sequentially to cap peak HBM.
+    """
+    c_count, n_total = int(buf_cn.shape[0]), int(buf_cn.shape[1])
+    if n0 < 2:
+        return buf_cn
+    if n0 >= (1 << 30):
+        raise ValueError("exact streaming EQ supports n0 < 2^30")
+    m = fft_length_for(n0)
+    d = min(d_rows, m)
+    b = m // d
+    n_copy = min(n0, n_total)
+
+    @jax.jit
+    def kernel_spectrum_fwd():
+        return _fftm(_chirp_kernel_db(n0, d, b, sign=-1.0), d, b)
+
+    @jax.jit
+    def kernel_spectrum_inv():
+        return _fftm(_chirp_kernel_db(n0, d, b, sign=+1.0), d, b)
+
+    @jax.jit
+    def eq_channel(row, kspec_fwd, kspec_inv, bg, tg):
+        j = _global_index(d, b)
+        valid = j < n0
+        w_fwd = jnp.where(valid, _chirp(jnp.where(valid, j, 0), n0, -1.0), 0.0)
+        x = jnp.zeros(m, jnp.float32).at[:n_copy].set(row[:n_copy]).reshape(d, b)
+        u = x.astype(jnp.complex64) * w_fwd
+        conv1 = _ifftm(_fftm(u, d, b) * kspec_fwd, d, b)
+        # forward post-chirp w⁻[k] and inverse pre-chirp w⁺[k] cancel:
+        # only the gain (zeroed past n0) sits between the two convolutions
+        u2 = conv1 * _eq_gain_db(n0, rate, d, b, bg, tg)
+        conv2 = _ifftm(_fftm(u2, d, b) * kspec_inv, d, b)
+        w_inv = jnp.where(valid, _chirp(jnp.where(valid, j, 0), n0, +1.0), 0.0)
+        y = jnp.real(conv2 * w_inv).reshape(m) / np.float32(n0)
+        out = jnp.zeros(n_total, jnp.float32)
+        return out.at[:n_copy].set(y[:n_copy])
+
+    kf = kernel_spectrum_fwd()
+    ki = kernel_spectrum_inv()
+    bg = jnp.float32(bass_gain)
+    tg = jnp.float32(treble_gain)
+    rows = [eq_channel(buf_cn[ch], kf, ki, bg, tg) for ch in range(c_count)]
+    return jnp.stack(rows)

@@ -1,5 +1,6 @@
 """Single-device streaming long render vs the single-shot pipeline."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -52,12 +53,38 @@ class TestStreaming:
         assert out.shape == single.shape
         assert np.max(np.abs(out - single)) < 2e-4
 
-    def test_eq_gated(self, rng):
+    def test_eq_streaming_matches_single_shot(self, rng):
+        """Round-3 VERDICT item 2: non-unity gains render in streaming mode
+        via the blockwise exact-length EQ and match the single-shot exact
+        pipeline within the fast_air envelope."""
         rate = 16000
-        x = clip(rng, 0.5, rate)
-        p = RenderParams(target_layout="Stereo", bass_gain=2.0)
-        with pytest.raises(ValueError, match="unity bass/treble"):
-            streaming.render_streaming(x, rate, p)
+        x = clip(rng, 0.9, rate)
+        p = RenderParams(target_layout="Stereo", bass_gain=2.0, treble_gain=0.6)
+        out = streaming.render_streaming(x, rate, p, seed=3, chunk_seconds=0.21)
+        single = pipeline.render(x, rate, p, seed=3)
+        assert out.shape == single.shape
+        assert np.max(np.abs(out - single)) < 1e-3
+
+    def test_eq_streaming_chunk_invariance(self, rng):
+        rate = 16000
+        x = clip(rng, 0.8, rate)
+        p = RenderParams(target_layout="5.1 (Standard)", bass_gain=1.6,
+                         treble_gain=0.7)
+        a = streaming.render_streaming(x, rate, p, seed=5, chunk_seconds=0.2)
+        b = streaming.render_streaming(x, rate, p, seed=5, chunk_seconds=0.45)
+        assert np.max(np.abs(a - b)) < 1e-5
+
+    def test_eq_streaming_with_metrics(self, rng):
+        from audio_raytracing_studio_tpu.metering import loudness
+
+        rate = 16000
+        x = clip(rng, 1.1, rate)
+        p = RenderParams(target_layout="Stereo", bass_gain=1.8)
+        out, metrics = streaming.render_streaming(
+            x, rate, p, seed=2, chunk_seconds=0.4, with_metrics=True
+        )
+        ref = loudness.audio_metrics(jnp.asarray(out.T), rate)
+        assert metrics["lufs"] == pytest.approx(float(ref["lufs"]), abs=0.02)
 
     def test_metrics_match_single_device_meter(self, rng):
         import jax.numpy as jnp
