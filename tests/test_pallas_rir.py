@@ -9,6 +9,7 @@ given explicit draws (the oracle-parity strategy of the main pipeline).
 """
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -281,3 +282,117 @@ def test_backends_agree_for_same_seed(rng):
         out_pal = sharding.render_batch(clips, rate, p, seeds=[7, 8], ir_backend="pallas")
 
     np.testing.assert_allclose(out_pal, out_jnp, atol=2e-5)
+
+
+class TestFinalizeVarianceRobustness:
+    """Round-3 VERDICT item 7: the bank's variance restore must survive a
+    large-mean signal.  The per-block stats are now (sum, centered-M2, n)
+    combined with Chan's formula; the old sumsq/n − mean² form loses the
+    variance entirely in float32 when mean² ≫ var."""
+
+    @staticmethod
+    def _case(mean, std, n_blocks=8, block=32768, seed=0):
+        rng_local = np.random.default_rng(seed)
+        data = (mean + std * rng_local.standard_normal(n_blocks * block)).astype(
+            np.float32
+        )
+        blocks = data.reshape(n_blocks, block)
+        return data, blocks
+
+    def test_chan_combination_matches_float64(self):
+        from audio_raytracing_studio_tpu.ops.ir_synth_pallas import (
+            _N_STATS,
+            _finalize_bank,
+        )
+        from audio_raytracing_studio_tpu.ops.ir_synth import IRShape
+
+        mean, std = 100.0, 0.01  # mean² / var = 1e8 — f32 sumsq is hopeless
+        data, blocks = self._case(mean, std)
+        n_blocks, block = blocks.shape
+        n = data.size
+
+        # per-block stats exactly as the production kernel computes them
+        stats = np.zeros((1, n_blocks, _N_STATS), np.float32)
+        for i, b in enumerate(blocks):
+            b32 = b.astype(np.float32)
+            s = np.float32(b32.sum(dtype=np.float32))
+            m = s / np.float32(block)
+            stats[0, i, 0] = s
+            stats[0, i, 1] = np.square(b32 - m, dtype=np.float32).sum(
+                dtype=np.float32
+            )
+            # slots 2/3: "smoothed" = data scaled by 0.5 → std ratio must be 2
+            h = (0.5 * b32).astype(np.float32)
+            hs = np.float32(h.sum(dtype=np.float32))
+            stats[0, i, 2] = hs
+            stats[0, i, 3] = np.square(h - hs / np.float32(block),
+                                       dtype=np.float32).sum(dtype=np.float32)
+            stats[0, i, 5] = np.abs(h).max()
+            stats[0, i, 6] = block
+
+        shape = IRShape(
+            length=n + 1, split_point=1, actual_max_early_delay=1,
+            reflection_count=0, late_length=n, noise_smooth_width=5,
+            early_taps_active=False,
+        )
+        late_raw = jnp.asarray(np.ones((1, 1, 1), np.float32))
+        early_raw = jnp.asarray(np.zeros((1, 1, 1), np.float32))
+        _early, late = _finalize_bank(early_raw, late_raw, jnp.asarray(stats), shape)
+
+        # float64 truth: c = std(data)/std(0.5·data) = 2; late peak = mean/2·…
+        c_true = np.std(data.astype(np.float64)) / np.std(0.5 * data.astype(np.float64))
+        max_t = float(stats[0, :, 5].max())
+        expected = c_true * (0.7 / (max_t * c_true))  # LATE_NORM_PEAK fold
+        got = float(late[0, 0, 0])
+        assert got == pytest.approx(expected, rel=1e-3)
+
+        # the old raw-sumsq formula demonstrably fails on the same data:
+        # f32 sumsq/n − mean² collapses to garbage (or 0) at mean=100, std=0.01
+        sumsq_raw = np.square(blocks.astype(np.float32)).sum(axis=1, dtype=np.float32)
+        var_old = float(sumsq_raw.sum(dtype=np.float32) / n
+                        - (float(stats[0, :, 0].sum()) / n) ** 2)
+        var_true = float(np.var(data.astype(np.float64)))
+        assert not np.isclose(var_old, var_true, rtol=0.5)  # old form is broken
+
+    def test_zero_mean_unchanged(self):
+        """The production regime (zero-mean noise) keeps the same numbers."""
+        from audio_raytracing_studio_tpu.ops.ir_synth_pallas import (
+            _N_STATS,
+            _finalize_bank,
+        )
+        from audio_raytracing_studio_tpu.ops.ir_synth import IRShape
+
+        data, blocks = self._case(0.0, 1.0, n_blocks=4, block=4096, seed=7)
+        n_blocks, block = blocks.shape
+        n = data.size
+        stats = np.zeros((1, n_blocks, _N_STATS), np.float32)
+        for i, b in enumerate(blocks):
+            s = np.float32(b.sum(dtype=np.float32))
+            stats[0, i, 0] = s
+            stats[0, i, 1] = np.square(b - s / block, dtype=np.float32).sum(
+                dtype=np.float32
+            )
+            h = (0.25 * b).astype(np.float32)
+            hs = np.float32(h.sum(dtype=np.float32))
+            stats[0, i, 2] = hs
+            stats[0, i, 3] = np.square(h - hs / block, dtype=np.float32).sum(
+                dtype=np.float32
+            )
+            stats[0, i, 5] = np.abs(h).max()
+            stats[0, i, 6] = block
+        shape = IRShape(
+            length=n + 1, split_point=1, actual_max_early_delay=1,
+            reflection_count=0, late_length=n, noise_smooth_width=5,
+            early_taps_active=False,
+        )
+        _early, late = _finalize_bank(
+            jnp.zeros((1, 1, 1), jnp.float32),
+            jnp.ones((1, 1, 1), jnp.float32),
+            jnp.asarray(stats), shape,
+        )
+        c_true = np.std(data.astype(np.float64)) / np.std(
+            0.25 * data.astype(np.float64)
+        )
+        max_t = float(stats[0, :, 5].max())
+        expected = c_true * (0.7 / (max_t * c_true))
+        assert float(late[0, 0, 0]) == pytest.approx(expected, rel=1e-4)

@@ -40,14 +40,15 @@ def _make_long_clip(minutes: float, rate: int):
     return x
 
 
-def bench_long(minutes: float) -> dict:
+def bench_long(minutes: float, bass: float = 1.0, treble: float = 1.0) -> dict:
     from audio_raytracing_studio_tpu.parallel.streaming import render_streaming
     from audio_raytracing_studio_tpu.params import RenderParams
 
     rate = 48000
     seconds = minutes * 60.0
     x = _make_long_clip(minutes, rate)
-    p = RenderParams(target_layout="5.1 (Standard)", room_size=200.0)
+    p = RenderParams(target_layout="5.1 (Standard)", room_size=200.0,
+                     bass_gain=bass, treble_gain=treble)
 
     # warm at FULL shape: finish/meter executables depend on the total
     # buffer length, so a short warm run would leave compiles in the timing
@@ -140,6 +141,8 @@ def main() -> int:
     ap.add_argument("which", nargs="?", default="all", choices=["long", "pallas", "all"])
     ap.add_argument("--minutes", type=float, default=30.0)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--bass", type=float, default=1.0)
+    ap.add_argument("--treble", type=float, default=1.0)
     args = ap.parse_args()
 
     from audio_raytracing_studio_tpu.utils.profiling import enable_compilation_cache
@@ -151,7 +154,7 @@ def main() -> int:
         pass
     print(json.dumps({"backend": ensure_backend()}), flush=True)
     if args.which in ("long", "all"):
-        print(json.dumps(bench_long(args.minutes)), flush=True)
+        print(json.dumps(bench_long(args.minutes, args.bass, args.treble)), flush=True)
     if args.which in ("pallas", "all"):
         print(json.dumps(bench_pallas(args.batch)), flush=True)
     return 0
