@@ -254,6 +254,16 @@ def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndar
             if "unsupported AIFC compression" not in str(e):
                 raise
             # compressed AIFC → fall through to soundfile/ffmpeg below
+    if container == "OGG/Vorbis":
+        from . import vorbisio
+
+        try:
+            data, rate = vorbisio.decode(path)
+            return np.asarray(data, dtype=np.float32), int(rate)
+        except ValueError as e:
+            if "Opus" not in str(e) and "floor type 0" not in str(e):
+                raise ValueError(f"OGG-Datei beschädigt oder abgeschnitten: {e}")
+            # Opus-in-Ogg / floor0 → fall through to soundfile/ffmpeg below
     try:  # optional, not in the base image
         import soundfile as sf  # type: ignore
 
@@ -508,6 +518,12 @@ def probe(path: Union[str, os.PathLike]) -> dict:
             return flacio.probe(path)
         if header[:4] == b"FORM" and header[8:12] in (b"AIFF", b"AIFC"):
             return _probe_aiff(path)
+        if header[:4] == b"OggS":
+            from . import vorbisio
+
+            meta = vorbisio.probe(path)
+            meta.setdefault("bits", 0)  # lossy: no PCM bit depth
+            return meta
         if len(header) < 12 or header[:4] != b"RIFF" or header[8:12] != b"WAVE":
             raise ValueError("not a RIFF/WAVE file")
         fmt = None
