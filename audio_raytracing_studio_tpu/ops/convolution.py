@@ -10,8 +10,10 @@ equals the reference's ``mode='full'`` result to float32 round-off.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
+from . import fftops
 from .fftops import next_power_of_two
 
 
@@ -78,7 +80,16 @@ def convolve_full(
                 f"kernel_gains imply nfft={nfft} < required {need}"
             )
     else:
-        nfft = next_power_of_two(need) if pow2 else fast_fft_length(need)
+        p2 = next_power_of_two(need)
+        fast = fast_fft_length(need)
+        if pow2 and fast < p2 and signal.shape[-2] == 2:
+            # Batched context, but the 3·2^k grid is still reachable: pack
+            # the stereo pair into one complex stream and run the transform
+            # through the explicit radix-3 decimation (fftops.fft_fast) —
+            # only pow2 device FFTs are issued, so the rank-4 3·2^k layout
+            # hazard above never arises, and the grid is 25% shorter.
+            return _convolve_full_packed_stereo(signal, kernels, out_length, fast)
+        nfft = p2 if pow2 else fast
 
     sig_f = jnp.fft.rfft(signal, n=nfft, axis=-1)  # (..., C, F)
     ker_f = jnp.fft.rfft(kernels, n=nfft, axis=-1)  # (K, F)
@@ -87,6 +98,30 @@ def convolve_full(
     prod = sig_f[..., None, :, :] * ker_f[..., :, None, :]  # (..., K, C, F)
     full = jnp.fft.irfft(prod, n=nfft, axis=-1)
     return full[..., :out_length].astype(jnp.float32)
+
+
+def _convolve_full_packed_stereo(
+    signal: jnp.ndarray,
+    kernels: jnp.ndarray,
+    out_length: int,
+    nfft: int,
+) -> jnp.ndarray:
+    """convolve_full for C=2 via one pair-packed complex transform per pass.
+
+    Convolution with a *real* kernel is ℝ-linear, so z = x_L + i·x_R stays
+    separated: z ⊛ h = (x_L ⊛ h) + i·(x_R ⊛ h) — real/imag of the complex
+    product transform ARE the two channel streams (no Hermitian splitting
+    needed).  Transform count matches the rfft form (a complex FFT does the
+    work of two real ones), but every FFT goes through fftops.fft_fast, so
+    a 3·2^k grid is usable under a vmap batch.
+    """
+    z = jax.lax.complex(signal[..., 0, :], signal[..., 1, :])  # (..., N)
+    zf = fftops.fft_fast(z, nfft)  # (..., nfft)
+    ker_f = fftops.fft_fast(kernels, nfft)  # (K, nfft) — real in, Hermitian out
+    prod = zf[..., None, :] * ker_f  # (..., K, nfft)
+    conv = fftops.ifft_fast(prod)
+    out = jnp.stack([jnp.real(conv), jnp.imag(conv)], axis=-2)  # (..., K, 2, nfft)
+    return out[..., :out_length].astype(jnp.float32)
 
 
 def convolve_combined(

@@ -32,6 +32,91 @@ def next_power_of_two(n: int) -> int:
     return 1 << max(0, int(np.ceil(np.log2(max(1, n)))))
 
 
+def _bluestein_length(n: int) -> int:
+    """Smallest supported convolution length m ≥ 2n−1.
+
+    Preferred: m = 3·2^k (25% shorter than the next power of two when it
+    fits) — NOT via the backend's native 3·2^k paths (the complex FFT hangs
+    there, and batched 3·2^k rffts mis-tile under vmap) but via the explicit
+    radix-3 decimation in ``_fft_radix3``, which only ever issues
+    power-of-two device FFTs and is therefore layout-safe at any batch.
+    """
+    m2 = next_power_of_two(2 * n - 1)
+    m3 = 3 * (m2 // 4)
+    if m2 >= 64 and m3 >= 2 * n - 1:
+        return m3
+    return m2
+
+
+@functools.lru_cache(maxsize=8)
+def _radix3_twiddles(m: int):
+    """Host float64 twiddles for the length-m = 3M DIT combine → complex64.
+
+    Returns (t1, t2): t1[r] = exp(−2πi·r/m), t2[r] = t1[r]², r < M.  The
+    three DFT output blocks are F0 + ω^q·t1·F1 + ω^{2q}·t2·F2 with
+    ω = exp(−2πi/3).
+    """
+    M = m // 3
+    r = np.arange(M, dtype=np.float64)
+    t1 = np.exp(-2j * np.pi * r / m)
+    return t1.astype(np.complex64), (t1 * t1).astype(np.complex64)
+
+
+def _fft_radix3(z: jnp.ndarray) -> jnp.ndarray:
+    """Forward complex FFT at length m = 3·2^k via three pow2 FFTs.
+
+    One decimation-in-time step done by hand: the backend's native complex
+    FFT hangs at 3·2^k lengths and its batched 3·2^k real paths pick a
+    pathologically padded layout, but the three stride-3 subsequences are
+    power-of-two FFTs (safe under any vmap batch) and the twiddle combine is
+    pure elementwise work that XLA fuses.
+    """
+    m = z.shape[-1]
+    t1_np, t2_np = _radix3_twiddles(m)
+    f0 = jnp.fft.fft(z[..., 0::3], axis=-1)
+    f1 = jnp.fft.fft(z[..., 1::3], axis=-1) * jnp.asarray(t1_np)
+    f2 = jnp.fft.fft(z[..., 2::3], axis=-1) * jnp.asarray(t2_np)
+    w3 = np.complex64(np.exp(-2j * np.pi / 3.0))
+    w3c = np.conj(w3)
+    return jnp.concatenate(
+        [f0 + f1 + f2, f0 + w3 * f1 + w3c * f2, f0 + w3c * f1 + w3 * f2],
+        axis=-1,
+    )
+
+
+def _ifft_radix3(z: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of ``_fft_radix3`` (normalized): conj∘fft∘conj / m."""
+    m = z.shape[-1]
+    return jnp.conj(_fft_radix3(jnp.conj(z))) / m
+
+
+def fft_fast(z: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Complex FFT at length m ∈ {2^k, 3·2^k}, zero-padding the last axis.
+
+    The 3·2^k case goes through the explicit radix-3 decimation — safe at any
+    batch (only pow2 device FFTs are issued), unlike the backend's native
+    3·2^k paths (complex hangs; batched real mis-tiles at rank 4).
+    """
+    if is_power_of_two(m):
+        return jnp.fft.fft(z, n=m, axis=-1)
+    if m % 3 != 0 or not is_power_of_two(m // 3):
+        raise ValueError(f"fft_fast supports 2^k and 3·2^k lengths, got {m}")
+    n = z.shape[-1]
+    if n < m:
+        z = jnp.pad(z.astype(jnp.complex64), [(0, 0)] * (z.ndim - 1) + [(0, m - n)])
+    return _fft_radix3(z[..., :m].astype(jnp.complex64))
+
+
+def ifft_fast(z: jnp.ndarray) -> jnp.ndarray:
+    """Normalized inverse of ``fft_fast`` at m = z.shape[-1]."""
+    m = z.shape[-1]
+    if is_power_of_two(m):
+        return jnp.fft.ifft(z, axis=-1)
+    if m % 3 != 0 or not is_power_of_two(m // 3):
+        raise ValueError(f"ifft_fast supports 2^k and 3·2^k lengths, got {m}")
+    return _ifft_radix3(z)
+
+
 @functools.lru_cache(maxsize=8)  # ~0.34 GB/entry at n~1e7 — keep the host
 def _bluestein_constants(n: int, inverse: bool):  # cache bounded
     """Host-precomputed (w, B, m) for a length-n (i)DFT, float64 → complex64.
@@ -40,10 +125,10 @@ def _bluestein_constants(n: int, inverse: bool):  # cache bounded
     the calling trace (caching jnp arrays here would leak tracers between
     jit traces).
     """
-    # MUST stay a power of two: this backend's *complex* FFT path hangs at
-    # 3·2^k sizes (the real rfft path handles them fine — see
-    # convolution.fast_fft_length).
-    m = next_power_of_two(2 * n - 1)
+    # Power of two, or 3·2^k through the explicit radix-3 decimation — the
+    # backend's native *complex* FFT path hangs at 3·2^k sizes (the real
+    # rfft path handles them fine — see convolution.fast_fft_length).
+    m = _bluestein_length(n)
     k = np.arange(n, dtype=np.int64)
     q = (k * k) % (2 * n)  # exact phase: k² mod 2n keeps |angle| < 2π
     sign = 1.0 if inverse else -1.0
@@ -67,7 +152,11 @@ def _bluestein_dft(x: jnp.ndarray, n: int, inverse: bool) -> jnp.ndarray:
     w = jnp.asarray(w_np)
     B = jnp.asarray(B_np)
     a = x.astype(jnp.complex64) * w
-    conv = jnp.fft.ifft(jnp.fft.fft(a, n=m, axis=-1) * B, axis=-1)[..., :n]
+    if is_power_of_two(m):
+        conv = jnp.fft.ifft(jnp.fft.fft(a, n=m, axis=-1) * B, axis=-1)[..., :n]
+    else:  # m = 3·2^k via the explicit radix-3 decimation
+        pad = [(0, 0)] * (a.ndim - 1) + [(0, m - n)]
+        conv = _ifft_radix3(_fft_radix3(jnp.pad(a, pad)) * B)[..., :n]
     return conv * w
 
 

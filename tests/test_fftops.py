@@ -38,3 +38,79 @@ def test_pow2_uses_direct_path(rng):
     ours = np.asarray(fftops.rfft_exact(jnp.asarray(x), n))
     ref = np.fft.rfft(x, axis=-1)
     assert np.max(np.abs(ours - ref)) / np.max(np.abs(ref)) < 1e-6
+
+
+def test_bluestein_length_prefers_radix3():
+    # 3·2^k fits whenever 2n−1 ≤ 3/4·next_pow2(2n−1); one-off boundary: at
+    # n=12289, 2n−1 = 24577 just exceeds 3·2^13 = 24576 → power of two.
+    assert fftops._bluestein_length(12288) == 3 * 2**13
+    assert fftops._bluestein_length(12289) == 2**15
+    assert fftops._bluestein_length(2951999) == 3 * 2**21  # bench air length
+    assert fftops._bluestein_length(5) == 16  # tiny n stays pow2
+
+
+@pytest.mark.parametrize("n", [48001, 12288, 90001])
+def test_radix3_lengths_match_numpy(rng, n):
+    # all three land on the m = 3·2^k Bluestein path
+    assert fftops._bluestein_length(n) % 3 == 0
+    x = rng.standard_normal((2, n)).astype(np.float32)
+    ours = np.asarray(fftops.rfft_exact(jnp.asarray(x), n))
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    scale = max(1.0, np.max(np.abs(ref)))
+    assert np.max(np.abs(ours - ref)) / scale < 5e-6
+    back = np.asarray(fftops.irfft_exact(jnp.asarray(ours), n))
+    assert np.max(np.abs(back - x)) < 2e-5
+
+
+def test_packed_stereo_conv_radix3_grid(rng):
+    # batched-context convolve_full (pow2=True) must reach the 3·2^k grid
+    # through the pair-packed complex radix-3 path and stay exact
+    import jax
+
+    from audio_raytracing_studio_tpu.ops import convolution
+
+    n, l = 3000, 1100  # need=4099 → pow2 8192, fast 3·2^11=6144 → packed path
+    assert convolution.fast_fft_length(n + l - 1) == 3 * 2**11
+    sig = rng.standard_normal((4, 2, n)).astype(np.float32)
+    ker = rng.standard_normal((2, l)).astype(np.float32)
+    out_len = n + l - 1
+    f = jax.jit(
+        jax.vmap(
+            lambda s: convolution.convolve_full(s, jnp.asarray(ker), out_len, pow2=True)
+        )
+    )
+    got = np.asarray(f(jnp.asarray(sig)))
+    assert got.shape == (4, 2, 2, out_len)
+    ref = np.stack(
+        [
+            np.stack(
+                [
+                    np.stack(
+                        [
+                            np.convolve(sig[b, c].astype(np.float64), ker[k])
+                            for c in range(2)
+                        ]
+                    )
+                    for k in range(2)
+                ]
+            )
+            for b in range(4)
+        ]
+    )
+    scale = np.max(np.abs(ref))
+    assert np.max(np.abs(got - ref)) / scale < 1e-5
+
+
+def test_radix3_pair_packed_under_vmap(rng):
+    # the batched exact render hits apply_circular_gain through vmap — the
+    # radix-3 decimation must only issue pow2 device FFTs there (the native
+    # batched 3·2^k layouts are the known pathological case)
+    import jax
+
+    n = 12288
+    gain = rng.uniform(0.3, 1.8, size=n // 2 + 1).astype(np.float32)
+    sigs = rng.standard_normal((6, 2, n)).astype(np.float32)
+    f = jax.jit(jax.vmap(lambda s: fftops.apply_circular_gain(s, jnp.asarray(gain))))
+    got = np.asarray(f(jnp.asarray(sigs)))
+    ref = np.fft.irfft(np.fft.rfft(sigs.astype(np.float64), axis=-1) * gain, n, axis=-1)
+    assert np.max(np.abs(got - ref)) < 5e-5
