@@ -78,11 +78,13 @@ def normalize_to_lufs(
 
 def convert(input_path: str, output_path: str, bitrate: str = "256",
             samplerate: int | None = None) -> str:
-    """Format conversion (analyser.py:73-83).  WAV and FLAC natively (both
-    directions, via utils.wavio / utils.flacio); other codecs require
-    ffmpeg on PATH.  ``samplerate`` additionally rate-converts through the
-    on-device polyphase resampler (ops.resample) — a rebuild extension; the
-    reference's converter can only change containers, not rates."""
+    """Format conversion (analyser.py:73-83).  WAV, FLAC and Ogg/Vorbis
+    natively (both directions, via utils.wavio / flacio / vorbisio +
+    vorbisenc); mp3/aac require ffmpeg on PATH (the reference needs ffmpeg
+    via pydub for ALL lossy targets).  ``samplerate`` additionally
+    rate-converts through the on-device polyphase resampler (ops.resample)
+    — a rebuild extension; the reference's converter can only change
+    containers, not rates."""
 
     def _maybe_resample(data: np.ndarray, rate: int) -> tuple[np.ndarray, int]:
         if samplerate is None or int(samplerate) == rate:
@@ -102,6 +104,13 @@ def convert(input_path: str, output_path: str, bitrate: str = "256",
         data, rate = wavio.read(input_path)
         data, rate = _maybe_resample(data, rate)
         flacio.write(output_path, data, rate, bits_per_sample=16)
+        return output_path
+    if output_path.lower().endswith(".ogg"):
+        from ..utils import vorbisenc
+
+        data, rate = wavio.read(input_path)
+        data, rate = _maybe_resample(data, rate)
+        vorbisenc.write(output_path, data, rate)
         return output_path
     if shutil.which("ffmpeg") is None:
         raise RuntimeError(

@@ -73,11 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="ars-render", description="Audio Raytracing Studio TPU — headless renderer"
     )
-    ap.add_argument("input", help="input audio file (WAV or FLAC)")
+    ap.add_argument("input", help="input audio file (WAV/FLAC/AIFF/OGG)")
     ap.add_argument(
         "output",
-        help="output file; .flac targets the native encoder, anything else "
-        "writes WAV; use {i} for sweep index",
+        help="output file; .flac/.ogg target the native encoders, anything "
+        "else writes WAV; use {i} for sweep index",
     )
     add_param_flags(ap)
     ap.add_argument(

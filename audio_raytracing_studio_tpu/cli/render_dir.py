@@ -115,9 +115,11 @@ def main(argv=None) -> int:
         chunk_results = []
         for i, (name, frames) in enumerate(chunk):
             base, ext = os.path.splitext(name)
-            # keep .wav/.flac (write_audio dispatches on extension); other
-            # input formats (AIFF…) come back as WAV
-            out_name = name if ext.lower() in (".wav", ".flac") else base + ".wav"
+            # keep .wav/.flac/.ogg (write_audio dispatches on extension);
+            # other input formats (AIFF…) come back as WAV
+            out_name = (
+                name if ext.lower() in (".wav", ".flac", ".ogg") else base + ".wav"
+            )
             out_path = os.path.join(args.output, out_name)
             # trim the bucket padding: real output = clip len + IR − 1
             real_len = frames + (outs.shape[1] - n_bucket)

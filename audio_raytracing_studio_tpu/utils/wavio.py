@@ -385,16 +385,24 @@ def write_audio(
     subtype: str = "PCM_16",
 ) -> None:
     """Extension-dispatching writer: ``.flac`` → the native FLAC encoder,
-    anything else → WAV.  Lets every CLI accept FLAC output targets (the
-    reference can only write WAV, raytracer_studio.py:1084; FLAC halves the
-    file at bit-identical 16-bit fidelity).  ``subtype`` applies to both
-    containers ("PCM_16" → 16-bit, "FLOAT"/"PCM_24" → 24-bit FLAC).
+    ``.ogg`` → the native Vorbis encoder, anything else → WAV.  Lets every
+    CLI accept compressed output targets (the reference can only write WAV,
+    raytracer_studio.py:1084; FLAC halves the file at bit-identical 16-bit
+    fidelity, Ogg/Vorbis compresses further, lossily).  ``subtype`` applies
+    to the PCM containers ("PCM_16" → 16-bit, "FLOAT"/"PCM_24" → 24-bit
+    FLAC); Vorbis is float end to end.
     """
-    if str(path).lower().endswith(".flac"):
+    lower = str(path).lower()
+    if lower.endswith(".flac"):
         from . import flacio
 
         bits = 16 if subtype == "PCM_16" else 24
         flacio.write(path, data, rate, bits_per_sample=bits)
+        return
+    if lower.endswith(".ogg"):
+        from . import vorbisenc
+
+        vorbisenc.write(path, data, rate)
         return
     write(path, data, rate, subtype=subtype)
 

@@ -172,12 +172,35 @@ class TestNonWavFallback:
         with pytest.raises(ValueError, match="WAV"):
             wavio.read(p)
 
-    def test_ogg_without_ffmpeg_clear_error(self, tmp_path, monkeypatch):
+    def test_corrupt_ogg_clear_error(self, tmp_path, monkeypatch):
+        """OGG decodes natively now — corrupt streams get a clean corruption
+        error (no ffmpeg hint, no ffmpeg invocation)."""
         monkeypatch.setenv("PATH", str(tmp_path))  # hide any ffmpeg
         ogg = tmp_path / "x.ogg"
         ogg.write_bytes(b"OggS" + b"\x00" * 64)
+        with pytest.raises(ValueError, match="OGG-Datei beschädigt"):
+            wavio.read(ogg)
+
+    def test_opus_in_ogg_falls_to_ffmpeg_hint(self, tmp_path, monkeypatch):
+        """Opus in an Ogg container is NOT Vorbis: the native layer rejects
+        it and the chain ends at the install-ffmpeg contract."""
+        from audio_raytracing_studio_tpu.utils import vorbisenc
+
+        monkeypatch.setenv("PATH", str(tmp_path))
+        page = vorbisenc._ogg_page(
+            0x02, 0, 1, 0, [b"OpusHead" + b"\x01\x02\x00\x00" + b"\x00" * 7]
+        )
+        ogg = tmp_path / "o.ogg"
+        ogg.write_bytes(page)
         with pytest.raises(ValueError, match="ffmpeg"):
             wavio.read(ogg)
+
+    def test_mp3_without_ffmpeg_clear_error(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("PATH", str(tmp_path))  # hide any ffmpeg
+        mp3 = tmp_path / "x.mp3"
+        mp3.write_bytes(b"ID3\x04" + b"\x00" * 64)
+        with pytest.raises(ValueError, match="ffmpeg"):
+            wavio.read(mp3)
 
     def test_corrupt_flac_clear_error(self, tmp_path):
         """FLAC decodes natively now — corrupt streams get a clean error,
@@ -211,13 +234,13 @@ class TestNonWavFallback:
         )
         stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
         monkeypatch.setenv("PATH", str(tmp_path))
-        ogg = tmp_path / "y.ogg"
-        ogg.write_bytes(b"OggS" + b"\x00" * 64)
-        data, rate = wavio.read(ogg)
+        mp3 = tmp_path / "y.mp3"
+        mp3.write_bytes(b"ID3\x04" + b"\x00" * 64)
+        data, rate = wavio.read(mp3)
         assert rate == 24000 and data.shape == (480, 2)
         assert np.isclose(data[0, 0], -0.5)
         # info() rides the same path
-        meta = wavio.info(ogg)
+        meta = wavio.info(mp3)
         assert meta["samplerate"] == 24000 and meta["channels"] == 2
 
     def test_ffmpeg_failure_surfaces(self, tmp_path, monkeypatch):
@@ -231,13 +254,14 @@ class TestNonWavFallback:
         )
         stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
         monkeypatch.setenv("PATH", str(tmp_path))
-        ogg = tmp_path / "z.ogg"
-        ogg.write_bytes(b"OggS" + b"\x00" * 64)
+        mp3 = tmp_path / "z.mp3"
+        mp3.write_bytes(b"ID3\x04" + b"\x00" * 64)
         with pytest.raises(ValueError, match="kaputt"):
-            wavio.read(ogg)
+            wavio.read(mp3)
 
-    def test_ui_error_contract_for_ogg(self, tmp_path, monkeypatch):
-        """The app surfaces the install-ffmpeg message via 'Fehler beim Laden'."""
+    def test_ui_error_contract_for_corrupt_ogg(self, tmp_path, monkeypatch):
+        """The app surfaces the native corruption message via 'Fehler beim
+        Laden' (ogg decodes natively; no ffmpeg hint for Vorbis anymore)."""
         monkeypatch.setenv("PATH", str(tmp_path))
         from audio_raytracing_studio_tpu.app import api
         from tests.test_app_api import DEFAULT_ARGS
@@ -246,6 +270,21 @@ class TestNonWavFallback:
         ogg.write_bytes(b"OggS" + b"\x00" * 64)
         player, download, msg = api.apply_raytrace_convolution_3d(
             str(ogg), **DEFAULT_ARGS
+        )
+        assert player is None and download is None
+        assert msg.startswith("Fehler beim Laden:") and "beschädigt" in msg
+
+    def test_ui_error_contract_for_mp3(self, tmp_path, monkeypatch):
+        """The install-ffmpeg contract still surfaces for true ffmpeg-only
+        formats."""
+        monkeypatch.setenv("PATH", str(tmp_path))
+        from audio_raytracing_studio_tpu.app import api
+        from tests.test_app_api import DEFAULT_ARGS
+
+        mp3 = tmp_path / "u.mp3"
+        mp3.write_bytes(b"ID3\x04" + b"\x00" * 64)
+        player, download, msg = api.apply_raytrace_convolution_3d(
+            str(mp3), **DEFAULT_ARGS
         )
         assert player is None and download is None
         assert msg.startswith("Fehler beim Laden:") and "ffmpeg" in msg
