@@ -10,14 +10,20 @@ the exact single-shot path here (models.pipeline.render) holds the whole
 conv grid and tops out around ~10 minutes on a 16 GB chip.
 
 Stage plan (mirrors the single-device graph, pipeline._mix_eq_spatial).
-Every chunked stage is ONE executable — a ``lax.scan`` over chunk indices
-slicing a device-resident buffer — so the whole render costs a handful of
-dispatches regardless of clip length (round-3: previously one tunnel
-round-trip per chunk):
-  1. conv scan: wet = overlap-add conv (air gain on the chunk's conv grid,
-     StaticSpec.fast_air semantics) → dry/wet mix; the global |max| for the
-     post-mix conditional normalization accumulates in the scan carry; the
-     bulk input upload is donated into the output accumulator.
+Every chunked stage is a ``lax.scan`` executable over chunk indices
+slicing a device-resident buffer — a handful of dispatches regardless of
+clip length (round-3: previously one tunnel round-trip per chunk):
+  1. conv pass, SLAB-PIPELINED: chunks are grouped into fixed-size slabs
+     (one compiled scan per slab shape, reused for ANY clip length); all
+     slab host→device transfers are initiated asynchronously up front, so
+     slab i+1's upload rides under slab i's device work instead of one
+     bulk upload serializing ahead of the first dispatch (measured: the
+     monolithic-scan version was upload-bound through the dev tunnel).
+     Mono sources upload ONE channel and broadcast on device (halves the
+     dominant transfer).  Each slab scan does overlap-add conv (air gain
+     on the chunk's conv grid, StaticSpec.fast_air semantics) → dry/wet
+     mix, with the conv tail, running |max|, and chunk offset carried
+     across slabs.
   2. whole-buffer elementwise (one jit): normalize → pan → normalize →
      layout map (the 12/18 ms delays are plain shifts) → normalize.
   3. optional BS.1770 meter scan: K-weighting FIR with a carried tail;
@@ -112,6 +118,8 @@ def render_streaming(
     """
     if not return_output and not with_metrics:
         raise ValueError("return_output=False requires with_metrics=True")
+    audio_np = np.asarray(audio, dtype=np.float32)
+    mono_in = audio_np.ndim == 1 or audio_np.shape[1] == 1
     audio_nc = pipeline._ensure_stereo_host(audio)
     n_in = audio_nc.shape[0]
     kers, kernel_is_late, pairwise, spec, scal = _build_kernels(
@@ -129,10 +137,17 @@ def render_streaming(
 
         chunk = max(chunk, K_FIR_LENGTH)
     n_chunks = math.ceil(len_out / chunk)
-    n_total = n_chunks * chunk
+    # slab pipelining: fixed chunks-per-slab so ONE slab executable serves
+    # any clip length; n_chunks rounds up to a slab multiple (zero chunks)
+    slab_chunks = min(n_chunks, 8)
+    n_slabs = math.ceil(n_chunks / slab_chunks)
+    n_chunks_padded = n_slabs * slab_chunks
+    n_total = n_chunks_padded * chunk
+    slab_len = slab_chunks * chunk
 
-    audio_cn = np.zeros((2, n_total), dtype=np.float32)
-    audio_cn[:, :n_in] = audio_nc.T
+    c_in = 1 if mono_in else 2
+    audio_cn = np.zeros((c_in, n_total), dtype=np.float32)
+    audio_cn[:, :n_in] = audio_nc.T[:c_in]
 
     out_len_local = chunk + l - 1
     if not pairwise:
@@ -146,19 +161,21 @@ def render_streaming(
             )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def conv_pass(audio_all):
-        """ALL overlap-add hops in one executable: a lax.scan over chunk
-        indices slicing the device-resident input — one bulk host→device
-        transfer and ONE dispatch for the whole pass, instead of a
-        tunnel-latency round-trip per chunk (round-3 VERDICT item 4).  The
-        donated input buffer is recycled into the output accumulator."""
+    def conv_pass_slab(audio_slab, carry_tail, gmax):
+        """One slab's overlap-add hops in one executable: a lax.scan over
+        the slab's chunks (round-3 VERDICT item 4 — no tunnel round-trip
+        per chunk).  The donated slab input is recycled into the slab
+        output where shapes allow; conv tail and running |max| carry
+        across slabs on device."""
 
         def step(carry, i):
-            buf, carry_tail, gmax = carry
+            buf, tail_c, gmax_c = carry
             start = i * chunk
             audio_chunk = jax.lax.dynamic_slice(
-                audio_all, (0, start), (2, chunk)
+                audio_slab, (0, start), (c_in, chunk)
             )
+            if c_in == 1:  # mono source: broadcast on device, not on host
+                audio_chunk = jnp.broadcast_to(audio_chunk, (2, chunk))
             if pairwise:
                 conv = convolution.convolve_pairwise(
                     audio_chunk, kers, out_len_local
@@ -179,26 +196,42 @@ def render_streaming(
                     wet_full = jnp.zeros((2, out_len_local), jnp.float32)
                 wet = wet_full[..., :chunk]
                 tail = wet_full[..., chunk:]
-            wet = wet.at[..., : l - 1].add(carry_tail)
+            wet = wet.at[..., : l - 1].add(tail_c)
             mixed = (
                 scal.dry_factor * (1.0 - scal.dry_wet) * audio_chunk
                 + scal.dry_wet * wet
             )
             buf = jax.lax.dynamic_update_slice(buf, mixed, (0, start))
-            return (buf, tail, jnp.maximum(gmax, jnp.max(jnp.abs(mixed)))), None
+            return (buf, tail, jnp.maximum(gmax_c, jnp.max(jnp.abs(mixed)))), None
 
         init = (
-            jnp.zeros((2, n_total), dtype=jnp.float32),
-            jnp.zeros((2, l - 1), dtype=jnp.float32),
-            jnp.float32(0.0),
+            jnp.zeros((2, slab_len), dtype=jnp.float32),
+            carry_tail,
+            gmax,
         )
-        (buf, _tail, gmax), _ = jax.lax.scan(
-            step, init, jnp.arange(n_chunks, dtype=jnp.int32)
+        (buf, tail, gmax), _ = jax.lax.scan(
+            step, init, jnp.arange(slab_chunks, dtype=jnp.int32)
         )
-        return buf, gmax
+        return buf, tail, gmax
 
-    # --- pass 1: one bulk upload + one scan dispatch ---
-    mixed_buf, global_max = conv_pass(jnp.asarray(audio_cn))
+    # --- pass 1: initiate ALL slab uploads asynchronously, then dispatch
+    # slab scans in order — slab i+1's host→device transfer overlaps slab
+    # i's device work (the dominant cost through a remote tunnel) ---
+    slabs = [
+        jax.device_put(audio_cn[:, s * slab_len : (s + 1) * slab_len])
+        for s in range(n_slabs)
+    ]
+    carry_tail = jnp.zeros((2, l - 1), dtype=jnp.float32)
+    global_max = jnp.float32(0.0)
+    mixed_slabs = []
+    for s in range(n_slabs):
+        mixed_s, carry_tail, global_max = conv_pass_slab(
+            slabs[s], carry_tail, global_max
+        )
+        mixed_slabs.append(mixed_s)
+    mixed_buf = (
+        jnp.concatenate(mixed_slabs, axis=1) if n_slabs > 1 else mixed_slabs[0]
+    )
     # the conv tail past len_out is zero by construction (input zero-padded)
 
     # --- pass 2: normalize → pan → map, whole buffer, one executable ---
