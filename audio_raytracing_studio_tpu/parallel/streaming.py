@@ -268,14 +268,22 @@ def render_streaming(
     if not with_metrics:
         return np.asarray(out_cn[:, :len_out]).T
 
-    metrics = _streaming_metrics(out_cn, rate, len_out, chunk, n_chunks)
+    metrics = _streaming_metrics(
+        out_cn, rate, len_out, chunk, n_chunks, slab_chunks
+    )
     if not return_output:
         return None, metrics
     return np.asarray(out_cn[:, :len_out]).T, metrics
 
 
-def _streaming_metrics(out_cn, rate: int, len_out: int, chunk: int, n_chunks: int):
-    """Chunked on-device BS.1770 meter over the (C, n_total) output buffer."""
+def _streaming_metrics(
+    out_cn, rate: int, len_out: int, chunk: int, n_chunks: int, slab_chunks: int = 8
+):
+    """Chunked on-device BS.1770 meter over the (C, n_total) output buffer.
+
+    Like the conv pass, the scan is dispatched per fixed-size slab of
+    chunks (meter state carried across dispatches) so the executable's
+    shape — and its compile — is independent of the clip length."""
     fir = jnp.asarray(k_weighting_fir(rate).astype(np.float32))
     fir_len = int(fir.shape[0])
 
@@ -306,56 +314,95 @@ def _streaming_metrics(out_cn, rate: int, len_out: int, chunk: int, n_chunks: in
         bvalid_all[i, : idx.size] = True
         # positions past len_out are zero in the buffer → contribute nothing
 
+    slab_chunks = min(slab_chunks, n_chunks)
+    n_slabs = math.ceil(n_chunks / slab_chunks)
+    slab_len = slab_chunks * chunk
+    # pad the per-chunk boundary tables to a slab multiple (invalid rows)
+    pad_rows = n_slabs * slab_chunks - n_chunks
+    if pad_rows:
+        bpos_all = np.concatenate(
+            [bpos_all, np.zeros((pad_rows, max_per_chunk), np.int32)]
+        )
+        bvalid_all = np.concatenate(
+            [bvalid_all, np.zeros((pad_rows, max_per_chunk), bool)]
+        )
+
+    slab_slice = jax.jit(
+        lambda buf, s: jax.lax.dynamic_slice(
+            buf, (0, s * slab_len), (n_ch, slab_len)
+        )
+    )
+
     @jax.jit
-    def meter_pass(out_buf, bpos_scan, bvalid_scan):
-        """ALL meter hops in one lax.scan executable (round-3 VERDICT item
-        4): K-weighting FIR with a carried tail, per-chunk boundary
-        energies RELATIVE to the chunk start, device-side scalar
-        accumulators — one dispatch total, host sync only at the end.
+    def meter_slab(out_slab, bpos_scan, bvalid_scan, kw_carry, peak_c, sq_c, mpk_c):
+        """One slab of meter hops in one lax.scan executable (round-3
+        VERDICT item 4 — no tunnel round-trip per chunk): K-weighting FIR
+        with a carried tail, per-chunk boundary energies RELATIVE to the
+        chunk start, device-side scalar accumulators carried across slab
+        dispatches.  Slab-shaped like the conv pass, so the compile is
+        independent of the clip length.
 
         The unbounded running energy carry stays on host in float64 (a
         float32 carry loses ~ulp-of-total per block at hour scale,
         drifting the gated LUFS — cf. the CLAUDE.md cumsum note)."""
 
         def step(carry, xs):
-            kw_carry, peak_c, sq_c, mpk_c, i = carry
-            bpos, bvalid = xs
+            kw_c, pk, sq, mpk = carry
+            bpos, bvalid, i = xs
             out_chunk = jax.lax.dynamic_slice(
-                out_buf, (0, i * chunk), (n_ch, chunk)
+                out_slab, (0, i * chunk), (n_ch, chunk)
             )
             mono = 0.5 * (out_chunk[0] + out_chunk[1])
             conv = convolution.convolve_pairwise(
                 mono[None, :], fir[None, :], chunk + fir_len - 1
             )[0]
-            kw = conv[:chunk].at[: fir_len - 1].add(kw_carry)
+            kw = conv[:chunk].at[: fir_len - 1].add(kw_c)
             new_carry = conv[chunk:]
             cums = jnp.concatenate(
                 [jnp.zeros(1, jnp.float32), jnp.cumsum(jnp.square(kw))]
             )
             vals = jnp.where(bvalid, cums[bpos], 0.0)
-            peak_c = jnp.maximum(peak_c, jnp.max(jnp.abs(out_chunk)))
-            sq_c = sq_c + jnp.sum(jnp.square(out_chunk))
-            mpk_c = jnp.maximum(mpk_c, jnp.max(jnp.abs(mono)))
-            return (new_carry, peak_c, sq_c, mpk_c, i + 1), (vals, cums[-1])
+            pk = jnp.maximum(pk, jnp.max(jnp.abs(out_chunk)))
+            sq = sq + jnp.sum(jnp.square(out_chunk))
+            mpk = jnp.maximum(mpk, jnp.max(jnp.abs(mono)))
+            return (new_carry, pk, sq, mpk), (vals, cums[-1])
 
-        init = (
-            jnp.zeros(fir_len - 1, dtype=jnp.float32),
-            jnp.float32(0.0),
-            jnp.float32(0.0),
-            jnp.float32(0.0),
-            jnp.int32(0),
+        xs = (
+            bpos_scan,
+            bvalid_scan,
+            jnp.arange(slab_chunks, dtype=jnp.int32),
         )
-        (_kw, peak_c, sq_c, mpk_c, _i), (vals_all, totals) = jax.lax.scan(
-            step, init, (bpos_scan, bvalid_scan)
+        (kw_carry, peak_c, sq_c, mpk_c), (vals_all, totals) = jax.lax.scan(
+            step, (kw_carry, peak_c, sq_c, mpk_c), xs
         )
-        return peak_c, sq_c, mpk_c, vals_all, totals
+        return kw_carry, peak_c, sq_c, mpk_c, vals_all, totals
 
-    peak_c, sq_c, mpk_c, vals_all, totals = meter_pass(
-        out_cn, jnp.asarray(bpos_all), jnp.asarray(bvalid_all)
-    )
+    kw_carry = jnp.zeros(fir_len - 1, dtype=jnp.float32)
+    peak_c = sq_c = mpk_c = jnp.float32(0.0)
+    vals_slabs, totals_slabs = [], []
+    bpos_dev = jnp.asarray(bpos_all)
+    bvalid_dev = jnp.asarray(bvalid_all)
+    for s in range(n_slabs):
+        r0, r1 = s * slab_chunks, (s + 1) * slab_chunks
+        kw_carry, peak_c, sq_c, mpk_c, vals_s, totals_s = meter_slab(
+            slab_slice(out_cn, jnp.int32(s)),
+            bpos_dev[r0:r1],
+            bvalid_dev[r0:r1],
+            kw_carry,
+            peak_c,
+            sq_c,
+            mpk_c,
+        )
+        vals_slabs.append(vals_s)
+        totals_slabs.append(totals_s)
+
     energies = np.zeros(bounds.shape[0], dtype=np.float64)
-    vals_np = np.asarray(vals_all, dtype=np.float64)
-    totals_np = np.asarray(totals, dtype=np.float64)
+    vals_np = np.concatenate(
+        [np.asarray(v, dtype=np.float64) for v in vals_slabs]
+    )[: n_chunks]
+    totals_np = np.concatenate(
+        [np.asarray(t, dtype=np.float64) for t in totals_slabs]
+    )[: n_chunks]
     prefix = np.concatenate([[0.0], np.cumsum(totals_np)[:-1]])
     for i, idx in enumerate(idx_per_chunk):
         if idx.size:
