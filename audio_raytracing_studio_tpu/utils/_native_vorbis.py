@@ -1,0 +1,57 @@
+"""ctypes loader for the native Vorbis hot loops (_native/vorbis_core.cc).
+
+Builds the shared library on first import if missing or stale (g++ is part
+of the image toolchain).  vorbisenc/vorbisio import this module optionally
+and fall back to their pure-NumPy paths when unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_native")
+_SRC = os.path.join(_HERE, "vorbis_core.cc")
+_LIB = os.path.join(_HERE, "libvorbis_core.so")
+
+
+def _build() -> None:
+    subprocess.run(
+        ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
+        check=True,
+        capture_output=True,
+    )
+
+
+if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+    _build()
+
+_lib = ctypes.CDLL(_LIB)
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_lib.vorbis_pack_lsb.restype = ctypes.c_int64
+_lib.vorbis_pack_lsb.argtypes = [_i32p, _u8p, ctypes.c_int64, _u8p]
+_lib.vorbis_ogg_crc.restype = ctypes.c_uint32
+_lib.vorbis_ogg_crc.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+
+
+def pack_lsb(values: np.ndarray, nbits: np.ndarray) -> bytes:
+    """LSB-first pack: values[i]'s low nbits[i] bits, in order → bytes."""
+    v = np.ascontiguousarray(values, dtype=np.int32)
+    b = np.ascontiguousarray(nbits, dtype=np.uint8)
+    total = int(b.sum(dtype=np.int64))
+    out = np.zeros((total + 7) // 8, dtype=np.uint8)
+    _lib.vorbis_pack_lsb(
+        v.ctypes.data_as(_i32p),
+        b.ctypes.data_as(_u8p),
+        len(v),
+        out.ctypes.data_as(_u8p),
+    )
+    return out.tobytes()
+
+
+def ogg_crc(data: bytes) -> int:
+    return int(_lib.vorbis_ogg_crc(data, len(data)))

@@ -141,23 +141,27 @@ class BitWriter:
         return out
 
 
+try:  # native C packer (utils/_native/vorbis_core.cc) — ~100× the numpy path
+    from . import _native_vorbis
+except Exception:  # pragma: no cover — g++ absent; numpy fallback below
+    _native_vorbis = None
+
+
 def _pack_lsb(values: np.ndarray, nbits: np.ndarray) -> bytes:
-    """Vectorized LSB-first packer: values[i]'s low nbits[i] bits in order."""
-    nbits = nbits.astype(np.int64)
-    total = int(nbits.sum())
-    if total == 0:
+    """LSB-first packer: values[i]'s low nbits[i] bits in order."""
+    if _native_vorbis is not None:
+        return _native_vorbis.pack_lsb(values, nbits)
+    # numpy fallback: row-major mask selection yields the bit stream already
+    # in order, so packing is one np.packbits(..., bitorder="little")
+    nbits = np.asarray(nbits, dtype=np.int64)
+    if len(nbits) == 0 or int(nbits.max(initial=0)) == 0:
         return b""
-    starts = np.zeros(len(nbits), dtype=np.int64)
-    np.cumsum(nbits[:-1], out=starts[1:])
     maxb = int(nbits.max())
-    bidx = np.arange(maxb, dtype=np.int64)
-    bits = (values.astype(np.int64)[:, None] >> bidx) & 1
-    mask = bidx < nbits[:, None]
-    pos = (starts[:, None] + bidx)[mask]
-    bit = bits[mask]
-    out = np.zeros((total + 7) // 8, dtype=np.uint8)
-    np.bitwise_or.at(out, pos >> 3, (bit << (pos & 7)).astype(np.uint8))
-    return out.tobytes()
+    bidx = np.arange(maxb, dtype=np.int32)
+    bits = ((values.astype(np.int32)[:, None] >> bidx) & 1).astype(np.uint8)
+    mask = bidx < nbits[:, None].astype(np.int32)
+    flat = bits[mask]
+    return np.packbits(flat, bitorder="little").tobytes()
 
 
 def _bit_reverse_table(nbits: int) -> np.ndarray:
@@ -527,53 +531,97 @@ def _audio_packets(spec: np.ndarray, specs: dict) -> List[bytes]:
 
     ent = {b: entries(b) for b in ("C", "B", "A")}
     book_bits = {b: 2 * int(np.log2(specs[b][0])) for b in ("C", "B", "A")}
-    # pass p emits book (by class) at partition: class 1:[A], 2:[B,A], 3:[C,B,A]
-    pass_book = {  # pass index → per-class book key (None = nothing)
-        0: {1: "A", 2: "B", 3: "C"},
-        1: {2: "A", 3: "B"},
-        2: {3: "A"},
-    }
-
-    # Emission order (decoder _decode_core): pass-major; within pass 0,
-    # groups of cpc partitions: classwords for all channels, then partition
-    # blocks interleaved i-major then channel.
-    packets = []
     epp = _PART_SIZE // 2  # entries per partition
-    npass0 = _N_GROUPS * (ch + _CPC * ch * epp)
-    npassN = _N_GROUPS * _CPC * ch * epp
+    G = _N_GROUPS
+    cls4 = classes[..., None]  # (F, ch, parts, 1) for broadcasting
 
-    for f in range(F):
-        seq: List[np.ndarray] = [np.zeros(1, dtype=np.int64)]  # audio-type bit
-        bits: List[np.ndarray] = [np.ones(1, dtype=np.int64)]
-        seq.append(floor_vals[f].reshape(-1))
-        bits.append(floor_bits.reshape(-1))
-        for p in (0, 1, 2):
-            vals_p = np.zeros(npass0 if p == 0 else npassN, dtype=np.int64)
-            bits_p = np.zeros(vals_p.shape, dtype=np.int64)
-            mask_p = np.zeros(vals_p.shape, dtype=bool)
-            pos = 0
-            for g in range(_N_GROUPS):
-                if p == 0:
-                    vals_p[pos : pos + ch] = cw[f, :, g]
-                    bits_p[pos : pos + ch] = 4
-                    mask_p[pos : pos + ch] = True
-                    pos += ch
-                for i in range(_CPC):
-                    part = g * _CPC + i
-                    for j in range(ch):
-                        cls = classes[f, j, part]
-                        book = pass_book[p].get(int(cls))
-                        if book is not None:
-                            vals_p[pos : pos + epp] = ent[book][f, j, part]
-                            bits_p[pos : pos + epp] = book_bits[book]
-                            mask_p[pos : pos + epp] = True
-                        pos += epp
-            seq.append(vals_p[mask_p])
-            bits.append(bits_p[mask_p])
-        packets.append(
-            _pack_lsb(np.concatenate(seq), np.concatenate(bits))
-        )
-    return packets
+    def _entry_slots(val, bits, mask):
+        """(F, ch, parts, epp) arrays → decoder slot order
+        (F, groups, i, ch, epp) flattened to (F, G·cpc·ch·epp)."""
+
+        def rearrange(x):
+            x = x.reshape(F, ch, G, _CPC, epp)
+            return np.transpose(x, (0, 2, 3, 1, 4)).reshape(F, -1)
+
+        return rearrange(val), rearrange(bits), rearrange(mask)
+
+    # pass p emits book (by class): class 1:[A], 2:[B,A], 3:[C,B,A]
+    passes = []
+    # pass 0: A for class 1, B for class 2, C for class 3
+    v0 = np.where(cls4 == 1, ent["A"], np.where(cls4 == 2, ent["B"], ent["C"]))
+    b0 = np.broadcast_to(
+        np.where(
+            cls4 == 1,
+            book_bits["A"],
+            np.where(cls4 == 2, book_bits["B"], book_bits["C"]),
+        ),
+        v0.shape,
+    )
+    m0 = np.broadcast_to(cls4 >= 1, v0.shape)
+    passes.append(_entry_slots(v0, b0, m0))
+    # pass 1: A for class 2, B for class 3
+    v1 = np.where(cls4 == 2, ent["A"], ent["B"])
+    b1 = np.broadcast_to(
+        np.where(cls4 == 2, book_bits["A"], book_bits["B"]), v1.shape
+    )
+    m1 = np.broadcast_to(cls4 >= 2, v1.shape)
+    passes.append(_entry_slots(v1, b1, m1))
+    # pass 2: A for class 3
+    m2 = np.broadcast_to(cls4 == 3, v1.shape)
+    passes.append(
+        _entry_slots(ent["A"], np.full(v1.shape, book_bits["A"], np.int64), m2)
+    )
+
+    # classword slots lead each pass-0 group: (F, groups, ch)
+    cw_slots = np.transpose(cw, (0, 2, 1)).reshape(F, -1)
+
+    # Assemble the per-frame slot matrix in decoder emission order
+    # (_decode_core): header bit, per-channel floor, then pass-major groups
+    # — pass 0 interleaves classwords with its cpc-partition blocks.
+    def _interleave_pass0(cw_v, p0_v):
+        """(F, G·ch) classwords + (F, G·cpc·ch·epp) entries → grouped."""
+        block = _CPC * ch * epp
+        cw3 = cw_v.reshape(F, G, ch)
+        p03 = p0_v.reshape(F, G, block)
+        return np.concatenate([cw3, p03], axis=2).reshape(F, -1)
+
+    vals_list = [
+        np.zeros((F, 1), np.int64),  # audio-packet type bit
+        floor_vals.reshape(F, -1),
+        _interleave_pass0(cw_slots, passes[0][0]),
+        passes[1][0].astype(np.int64),
+        passes[2][0].astype(np.int64),
+    ]
+    bits_list = [
+        np.ones((F, 1), np.int64),
+        np.broadcast_to(floor_bits.reshape(-1), (F, floor_bits.size)),
+        _interleave_pass0(np.full((F, G * ch), 4, np.int64), passes[0][1]),
+        passes[1][1],
+        passes[2][1],
+    ]
+    mask_list = [
+        np.ones((F, 1), bool),
+        np.ones((F, floor_bits.size), bool),
+        _interleave_pass0(np.ones((F, G * ch), bool), passes[0][2]),
+        passes[1][2],
+        passes[2][2],
+    ]
+    all_vals = np.concatenate(vals_list, axis=1)
+    all_bits = np.concatenate(bits_list, axis=1)
+    all_mask = np.concatenate(mask_list, axis=1)
+    all_bits = np.where(all_mask, all_bits, 0)
+
+    # byte-align each packet with a zero pad slot, pack the whole chunk in
+    # one ordered-bit pass, then split at the per-frame byte offsets
+    frame_bits = all_bits.sum(axis=1)
+    pad = (-frame_bits) % 8
+    all_vals = np.concatenate([all_vals, np.zeros((F, 1), np.int64)], axis=1)
+    all_bits = np.concatenate([all_bits, pad[:, None]], axis=1)
+    blob = _pack_lsb(all_vals.reshape(-1), all_bits.reshape(-1))
+    nbytes = (frame_bits + pad) // 8
+    offs = np.zeros(F + 1, dtype=np.int64)
+    np.cumsum(nbytes, out=offs[1:])
+    return [blob[offs[f] : offs[f + 1]] for f in range(F)]
 
 
 # ---------------------------------------------------------------------------
@@ -645,7 +693,7 @@ def encode(
     # only couple through xp's 50% overlap, handled by indexing into xp)
     specs = _book_specs(quality)
     packets: List[bytes] = []
-    chunk = 4096
+    chunk = 1024
     for f0 in range(0, n_frames, chunk):
         fn = min(chunk, n_frames - f0)
         spec = _mdct_frames(xp[:, f0 * _M :], fn)

@@ -59,6 +59,12 @@ def _ogg_crc_table() -> np.ndarray:
 
 
 def ogg_crc(data: bytes) -> int:
+    try:  # native table loop (utils/_native/vorbis_core.cc)
+        from . import _native_vorbis
+
+        return _native_vorbis.ogg_crc(data)
+    except Exception:  # pragma: no cover — g++ absent; python fallback
+        pass
     tab = _ogg_crc_table()
     crc = 0
     for b in data:
