@@ -50,52 +50,82 @@ def _bluestein_length(n: int) -> int:
 
 @functools.lru_cache(maxsize=8)
 def _radix3_twiddles(m: int):
-    """Host float64 twiddles for the length-m = 3M DIT combine → complex64.
+    """Host float64 twiddles for the length-m = 3M DIF split -> complex64.
 
-    Returns (t1, t2): t1[r] = exp(−2πi·r/m), t2[r] = t1[r]², r < M.  The
-    three DFT output blocks are F0 + ω^q·t1·F1 + ω^{2q}·t2·F2 with
-    ω = exp(−2πi/3).
-    """
+    Returns (t1, t2): t1[j] = exp(-2pi i j/m), t2[j] = t1[j]^2, j < M."""
     M = m // 3
     r = np.arange(M, dtype=np.float64)
     t1 = np.exp(-2j * np.pi * r / m)
     return t1.astype(np.complex64), (t1 * t1).astype(np.complex64)
 
 
-def _fft_radix3(z: jnp.ndarray) -> jnp.ndarray:
-    """Forward complex FFT at length m = 3·2^k via three pow2 FFTs.
+def radix3_permute(x: np.ndarray) -> np.ndarray:
+    """Host-side reorder into ``_fft_radix3``'s PERMUTED spectrum order:
+    [X[0::3], X[1::3], X[2::3]] as three contiguous blocks."""
+    return np.concatenate([x[..., 0::3], x[..., 1::3], x[..., 2::3]], axis=-1)
 
-    One decimation-in-time step done by hand: the backend's native complex
-    FFT hangs at 3·2^k lengths and its batched 3·2^k real paths pick a
-    pathologically padded layout, but the three stride-3 subsequences are
-    power-of-two FFTs (safe under any vmap batch) and the twiddle combine is
-    pure elementwise work that XLA fuses.
+
+def _fft_radix3(z: jnp.ndarray) -> jnp.ndarray:
+    """Complex FFT at m = 3*2^k via three pow2 FFTs - PERMUTED output.
+
+    One decimation-in-FREQUENCY step done by hand: the backend's native
+    complex FFT hangs at 3*2^k lengths, its batched 3*2^k real paths pick
+    a pathologically padded layout, and stride-3 device slices cost more
+    than the whole transform (measured 458 ms vs 88 ms at m = 6.29M) - so
+    the split reads the CONTIGUOUS thirds of the input, combines them
+    elementwise with host twiddles, and emits the spectrum in the permuted
+    block order [X[0::3], X[1::3], X[2::3]].  Pair with ``_ifft_radix3``
+    (which consumes that order and returns natural-order time samples) and
+    keep everything in between elementwise; host constants multiply in via
+    ``radix3_permute``.
     """
     m = z.shape[-1]
+    M = m // 3
     t1_np, t2_np = _radix3_twiddles(m)
-    f0 = jnp.fft.fft(z[..., 0::3], axis=-1)
-    f1 = jnp.fft.fft(z[..., 1::3], axis=-1) * jnp.asarray(t1_np)
-    f2 = jnp.fft.fft(z[..., 2::3], axis=-1) * jnp.asarray(t2_np)
+    a = z[..., :M]
+    b = z[..., M : 2 * M]
+    c = z[..., 2 * M :]
     w3 = np.complex64(np.exp(-2j * np.pi / 3.0))
     w3c = np.conj(w3)
+    u0 = a + b + c
+    u1 = (a + w3 * b + w3c * c) * jnp.asarray(t1_np)
+    u2 = (a + w3c * b + w3 * c) * jnp.asarray(t2_np)
     return jnp.concatenate(
-        [f0 + f1 + f2, f0 + w3 * f1 + w3c * f2, f0 + w3c * f1 + w3 * f2],
-        axis=-1,
+        [jnp.fft.fft(u, axis=-1) for u in (u0, u1, u2)], axis=-1
     )
 
 
 def _ifft_radix3(z: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of ``_fft_radix3`` (normalized): conj∘fft∘conj / m."""
+    """Normalized inverse of ``_fft_radix3``: permuted spectrum blocks in,
+    natural-order samples out.  Contiguous reads/writes only (see above)."""
     m = z.shape[-1]
-    return jnp.conj(_fft_radix3(jnp.conj(z))) / m
+    M = m // 3
+    t1_np, t2_np = _radix3_twiddles(m)
+    v0 = jnp.fft.ifft(z[..., :M], axis=-1)
+    v1 = jnp.fft.ifft(z[..., M : 2 * M], axis=-1) * jnp.conj(jnp.asarray(t1_np))
+    v2 = jnp.fft.ifft(z[..., 2 * M :], axis=-1) * jnp.conj(jnp.asarray(t2_np))
+    w3i = np.complex64(np.exp(2j * np.pi / 3.0))  # conj(omega)
+    w3ic = np.conj(w3i)
+    third = np.float32(1.0 / 3.0)
+    return jnp.concatenate(
+        [
+            (v0 + v1 + v2) * third,
+            (v0 + w3i * v1 + w3ic * v2) * third,
+            (v0 + w3ic * v1 + w3i * v2) * third,
+        ],
+        axis=-1,
+    )
 
 
 def fft_fast(z: jnp.ndarray, m: int) -> jnp.ndarray:
-    """Complex FFT at length m ∈ {2^k, 3·2^k}, zero-padding the last axis.
+    """Convolution-domain complex FFT at m ∈ {2^k, 3·2^k}, zero-padded.
 
-    The 3·2^k case goes through the explicit radix-3 decimation — safe at any
-    batch (only pow2 device FFTs are issued), unlike the backend's native
-    3·2^k paths (complex hangs; batched real mis-tiles at rank 4).
+    The 3·2^k case goes through the explicit radix-3 decimation — safe at
+    any batch (only pow2 device FFTs are issued), unlike the backend's
+    native 3·2^k paths (complex hangs; batched real mis-tiles at rank 4).
+    CONVENTION: at 3·2^k the spectrum comes back PERMUTED (see
+    ``_fft_radix3``); pair with ``ifft_fast`` and keep everything between
+    the two elementwise (host constants reorder via ``radix3_permute``).
     """
     if is_power_of_two(m):
         return jnp.fft.fft(z, n=m, axis=-1)
@@ -108,7 +138,8 @@ def fft_fast(z: jnp.ndarray, m: int) -> jnp.ndarray:
 
 
 def ifft_fast(z: jnp.ndarray) -> jnp.ndarray:
-    """Normalized inverse of ``fft_fast`` at m = z.shape[-1]."""
+    """Normalized inverse of ``fft_fast`` at m = z.shape[-1] (consumes the
+    permuted spectrum order at 3·2^k; emits natural-order samples)."""
     m = z.shape[-1]
     if is_power_of_two(m):
         return jnp.fft.ifft(z, axis=-1)
@@ -139,6 +170,10 @@ def _bluestein_constants(n: int, inverse: bool):  # cache bounded
     kernel[:n] = wc
     kernel[m - (n - 1) :] = wc[1:][::-1]
     B = np.fft.fft(kernel)
+    if not is_power_of_two(m):
+        # the radix-3 device transforms work in permuted spectrum order —
+        # reorder the host constant once instead of the device data
+        B = radix3_permute(B)
 
     return w.astype(np.complex64), B.astype(np.complex64), m
 

@@ -32,10 +32,46 @@ if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
 _lib = ctypes.CDLL(_LIB)
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 _i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+_f32p = ctypes.POINTER(ctypes.c_float)
 _lib.vorbis_pack_lsb.restype = ctypes.c_int64
 _lib.vorbis_pack_lsb.argtypes = [_i32p, _u8p, ctypes.c_int64, _u8p]
 _lib.vorbis_ogg_crc.restype = ctypes.c_uint32
 _lib.vorbis_ogg_crc.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+_lib.vorbis_vq_run.restype = ctypes.c_int64
+_lib.vorbis_vq_run.argtypes = [
+    ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+    _i64p, ctypes.c_int32, _f32p, ctypes.c_int32, ctypes.c_int64, _f32p,
+]
+
+
+class BookHandle:
+    """Prepped ctypes pointers for one codebook (ctypes marshalling per
+    call was the dominant decode cost once the loop itself went native)."""
+
+    __slots__ = ("fast_ptr", "vec_ptr", "dims", "scratch", "scratch_ptr")
+
+    def __init__(self, fast: np.ndarray, vectors: np.ndarray, max_count: int):
+        self.fast_ptr = fast.ctypes.data_as(_i64p)
+        self.vec_ptr = vectors.ctypes.data_as(_f32p)
+        self.dims = int(vectors.shape[1])
+        self.scratch = np.empty(max_count * self.dims, dtype=np.float32)
+        self.scratch_ptr = self.scratch.ctypes.data_as(_f32p)
+
+
+def vq_run(data: bytes, bitpos: int, handle: BookHandle, count: int) -> int:
+    """Decode `count` VQ entries into handle.scratch (count·dims float32).
+
+    Returns the new absolute bit position, or -1 (fast-table miss or
+    packet exhaustion — caller falls back to the Python path)."""
+    return int(
+        _lib.vorbis_vq_run(
+            data, len(data), bitpos,
+            handle.fast_ptr, 10,
+            handle.vec_ptr, handle.dims, count,
+            handle.scratch_ptr,
+        )
+    )
 
 
 def pack_lsb(values: np.ndarray, nbits: np.ndarray) -> bytes:

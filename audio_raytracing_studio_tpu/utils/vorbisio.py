@@ -38,6 +38,11 @@ import numpy as np
 # Ogg container layer
 # ---------------------------------------------------------------------------
 
+try:  # native hot loops (utils/_native/vorbis_core.cc) — optional
+    from . import _native_vorbis as _native
+except Exception:  # pragma: no cover — g++ absent; pure-Python fallbacks
+    _native = None
+
 _CRC_TABLE = None
 
 
@@ -59,12 +64,8 @@ def _ogg_crc_table() -> np.ndarray:
 
 
 def ogg_crc(data: bytes) -> int:
-    try:  # native table loop (utils/_native/vorbis_core.cc)
-        from . import _native_vorbis
-
-        return _native_vorbis.ogg_crc(data)
-    except Exception:  # pragma: no cover — g++ absent; python fallback
-        pass
+    if _native is not None:
+        return _native.ogg_crc(data)
     tab = _ogg_crc_table()
     crc = 0
     for b in data:
@@ -201,6 +202,18 @@ class BitReader:
     def bits_consumed(self) -> int:
         return self.pos * 8 - self.nbits
 
+    def seek_bits(self, bitpos: int):
+        """Reposition to an absolute bit offset (native-decode resync)."""
+        self.pos = bitpos >> 3
+        rem = bitpos & 7
+        if rem:
+            self.acc = self.data[self.pos] >> rem
+            self.nbits = 8 - rem
+            self.pos += 1
+        else:
+            self.acc = 0
+            self.nbits = 0
+
     def eof_ok(self) -> bool:
         """End-of-packet is a graceful frame end in Vorbis audio decode."""
         return self.bits_consumed() >= self.length
@@ -328,6 +341,7 @@ class Codebook:
                     fast[fill] = packed
         self.fast = fast
         self.max_len = max((l for l in lengths if l > 0), default=0)
+        self._native_handle = None  # lazy ctypes pointers (_native_vorbis)
 
         # VQ lookup table
         self.lookup_type = r.read(4)
@@ -668,6 +682,22 @@ class Residue:
                 e = book.decode_vq(r)
                 v[off + k : off + k + step * dims : step] += e
         else:  # types 1 and 2 (2 runs on the interleaved vector)
+            if _native is not None and book.vectors is not None:
+                count = psize // dims
+                handle = book._native_handle
+                if handle is None or len(handle.scratch) < count * dims:
+                    handle = _native.BookHandle(book.fast, book.vectors, count)
+                    book._native_handle = handle
+                newpos = _native.vq_run(r.data, r.bits_consumed(), handle, count)
+                if newpos >= 0:
+                    v[off : off + count * dims] += handle.scratch[: count * dims]
+                    r.seek_bits(newpos)
+                    if psize % dims:  # ragged tail: finish in Python
+                        for k in range(count * dims, psize, dims):
+                            e = book.decode_vq(r)
+                            v[off + k : off + k + dims] += e
+                    return
+                # fast-table miss / packet end → Python path from where we were
             k = 0
             while k < psize:
                 e = book.decode_vq(r)
