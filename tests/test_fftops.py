@@ -101,6 +101,53 @@ def test_packed_stereo_conv_radix3_grid(rng):
     assert np.max(np.abs(got - ref)) / scale < 1e-5
 
 
+def test_affine_circular_filters_match_bluestein(rng):
+    # the affine fast path (one real wrap-conv roundtrip) must equal the
+    # generic Bluestein circular gain above the size threshold, for both
+    # filters, including under vmap (rank-3 real transforms)
+    import jax
+
+    from audio_raytracing_studio_tpu.ops import filters
+
+    n = 150001  # > _AFFINE_MIN_N, odd, non-pow2
+    assert n >= filters._AFFINE_MIN_N
+    rate = 48000
+    x = rng.standard_normal((2, n)).astype(np.float32) * 0.3
+
+    for fname, args in [
+        ("apply_air_absorption", (rate, jnp.float32(0.7))),
+        ("apply_shelf_eq", (rate, jnp.float32(1.6), jnp.float32(0.7))),
+    ]:
+        fn = getattr(filters, fname)
+        fast = np.asarray(fn(jnp.asarray(x), *args))
+        if fname == "apply_air_absorption":
+            gain = filters.air_absorption_gain(n, rate, args[1])
+        else:
+            gain = filters.shelf_eq_gain(n, rate, args[1], args[2])
+        exact = np.asarray(
+            fftops.apply_circular_gain(jnp.asarray(x), gain)
+        )
+        assert np.max(np.abs(fast - exact)) < 5e-5, fname
+
+    # vmapped (batched exact render shape)
+    xs = rng.standard_normal((3, 2, n)).astype(np.float32) * 0.3
+    f = jax.jit(
+        jax.vmap(lambda s: filters.apply_shelf_eq(s, rate, 1.6, 0.7))
+    )
+    got = np.asarray(f(jnp.asarray(xs)))
+    ref = np.stack(
+        [
+            np.asarray(
+                fftops.apply_circular_gain(
+                    jnp.asarray(xs[i]), filters.shelf_eq_gain(n, rate, 1.6, 0.7)
+                )
+            )
+            for i in range(3)
+        ]
+    )
+    assert np.max(np.abs(got - ref)) < 5e-5
+
+
 def test_radix3_pair_packed_under_vmap(rng):
     # the batched exact render hits apply_circular_gain through vmap — the
     # radix-3 decimation must only issue pow2 device FFTs there (the native
