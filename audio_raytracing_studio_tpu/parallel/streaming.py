@@ -160,7 +160,12 @@ def render_streaming(
                  for is_late in kernel_is_late]
             )
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    # donation only helps when the slab input can alias the (2, slab_len)
+    # output — i.e. stereo input; mono slabs are half the size (and would
+    # just warn)
+    _jit = jax.jit if c_in == 1 else functools.partial(jax.jit, donate_argnums=(0,))
+
+    @_jit
     def conv_pass_slab(audio_slab, carry_tail, gmax):
         """One slab's overlap-add hops in one executable: a lax.scan over
         the slab's chunks (round-3 VERDICT item 4 — no tunnel round-trip
