@@ -77,9 +77,10 @@ class StaticSpec(NamedTuple):
     early_on: bool
     late_on: bool
     fast_air: bool = False
-    # Batched renderers set this: the exact-air conv must use power-of-two
-    # FFT grids under a large vmap batch (3·2^k grids hit a pathological
-    # 8-16×-padded layout on this backend — see ops.convolution).
+    # Batched renderers set this: the exact-air conv AND the exact-length
+    # affine filters (air/EQ) must use power-of-two FFT grids under a
+    # large vmap batch (3·2^k grids hit a pathological 8-16×-padded
+    # layout on this backend — see ops.convolution / ops.filters).
     pow2_conv: bool = False
 
     @property
@@ -96,7 +97,9 @@ def _mix_eq_spatial(
     """Shared back half: dry/wet mix → EQ → normalize → pan → map (C-leading)."""
     mixed = scal.dry_factor * (1.0 - scal.dry_wet) * dry_cn + scal.dry_wet * wet_cn
     if spec.eq_on:
-        mixed = filters.apply_shelf_eq(mixed, spec.rate, scal.bass_gain, scal.treble_gain)
+        mixed = filters.apply_shelf_eq(
+            mixed, spec.rate, scal.bass_gain, scal.treble_gain, pow2=spec.pow2_conv
+        )
     mixed = filters.conditional_peak_normalize(mixed)
 
     six = spatial.apply_pan(mixed, spatial.pan_matrix(scal.x_pos, scal.y_pos, scal.z_pos))
@@ -163,7 +166,9 @@ def internal_graph_with_irs(
             idx += 1
         if spec.late_on:
             late_wet = conv[idx]
-        late_wet = filters.apply_air_absorption(late_wet, spec.rate, scal.air_absorption)
+        late_wet = filters.apply_air_absorption(
+            late_wet, spec.rate, scal.air_absorption, pow2=spec.pow2_conv
+        )
         wet = early_wet * scal.early_level + late_wet * scal.late_level
     else:
         wet = jnp.zeros((audio_cn.shape[0], len_out), dtype=jnp.float32)

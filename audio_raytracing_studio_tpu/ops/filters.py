@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -20,21 +21,22 @@ from . import convolution, fftops
 # The exact-length circular filters below are affine in their traced
 # scalars over STATIC per-bin curves: air gain = 1 − c·ramp, shelf EQ
 # gain = 1 + (b−1)·bass_mask + (t−1)·treble_mask.  A circular filter with
-# a static curve g reduces to positions [n, 2n) of ONE fast-grid linear
-# convolution with the doubled time kernel h2 = [h, h], h = irfft_n(g)
-# (y_circ[k] = Σ_j x[j]·h[(k−j) mod n] — every wrap term is present in
-# the linear convolution of x with the 2n-periodic extension).  So the
-# whole exact filter costs one real rfft/irfft roundtrip at
-# m = fast_fft_length(3n−1) with host-precomputed kernel spectra —
-# replacing two exact-length Bluestein DFTs (four complex m'-transforms).
-# Threshold: below ~2^17 samples the Bluestein path is cheap anyway and
-# avoids the 3× grid.
+# a static curve g reduces to positions [n, 2n) of ONE fast-grid m-point
+# circular convolution with the doubled time kernel h2 = [h, h],
+# h = irfft_n(g): y_circ[k] = Σ_j x[j]·h[(k−j) mod n] = c[k+n] where
+# c = x ∗ h2 (every wrap term is present in the linear convolution with
+# the 2n-periodic extension).  Any m ≥ 2n suffices — c is supported on
+# [0, 3n−2], and the k=1 alias c[q+m] into the read window q ∈ [n, 2n)
+# would need q ≤ 3n−2−m ≤ n−2 < n.  So the whole exact filter costs one
+# real rfft/irfft roundtrip at m = fast grid ≥ 2n with host-precomputed
+# kernel spectra — replacing two exact-length Bluestein DFTs (four
+# complex m'-transforms).  Threshold: below ~2^17 samples the Bluestein
+# path is cheap anyway and avoids the 2× grid.
 _AFFINE_MIN_N = 1 << 17
 
 
-@functools.lru_cache(maxsize=8)
-def _wrap_spectrum(curve_key, n: int, rate: int):
-    """rfft_m(h2) for one static gain curve — host float64 → complex64.
+def _wrap_kernel(curve_key, n: int, rate: int) -> np.ndarray:
+    """Doubled time kernel h2 = [h, h], h = irfft_n(g) — host float64.
 
     curve_key ∈ {"air_ramp", "bass_mask", "treble_mask"}."""
     freqs = np.fft.rfftfreq(n, d=1.0 / rate)
@@ -55,23 +57,75 @@ def _wrap_spectrum(curve_key, n: int, rate: int):
     else:  # pragma: no cover
         raise ValueError(curve_key)
     h = np.fft.irfft(g.astype(np.float64), n)
-    h2 = np.concatenate([h, h])
-    m = convolution.fast_fft_length(3 * n - 1)
+    return np.concatenate([h, h])
+
+
+@functools.lru_cache(maxsize=8)
+def _wrap_spectrum(curve_key, n: int, rate: int, pow2: bool = False):
+    """rfft_m(h2) for one static gain curve — host float64 → complex64.
+
+    ``pow2`` restricts the grid to powers of two — required under a large
+    vmap batch, where rank-3 3·2^k real FFTs pick a pathologically padded
+    layout on this backend (8-16× HLO-temp expansion; see
+    ops.convolution/StaticSpec.pow2_conv)."""
+    h2 = _wrap_kernel(curve_key, n, rate)
+    m = (
+        fftops.next_power_of_two(2 * n)
+        if pow2
+        else convolution.fast_fft_length(2 * n)
+    )
     return np.fft.rfft(h2, m).astype(np.complex64), m
 
 
-def _apply_affine_circular(
-    signal: jnp.ndarray, n: int, rate: int, terms
-) -> jnp.ndarray:
-    """y = signal + Σ c_i · (signal ⊛_circ h_i), one real roundtrip.
+@functools.lru_cache(maxsize=8)
+def _wrap_spectrum_full(curve_key, n: int, rate: int):
+    """Full m-point complex spectrum of h2 in ``fft_fast``'s output order
+    (radix-3-PERMUTED when m = 3·2^k, natural when m is a power of two) —
+    for the pair-packed complex wrap convolution."""
+    h2 = _wrap_kernel(curve_key, n, rate)
+    m = convolution.fast_fft_length(2 * n)
+    H = np.fft.fft(h2, m)
+    if not fftops.is_power_of_two(m):
+        H = fftops.radix3_permute(H)
+    return H.astype(np.complex64), m
 
-    terms: list of (curve_key, traced coefficient).  The fast grid is
-    rank-≤3 real rfft/irfft at 3·2^k — the layout-clean case on this
-    backend (the rank-4 hazard of convolve_full does not arise).
+
+def _apply_affine_circular(
+    signal: jnp.ndarray, n: int, rate: int, terms, pow2: bool = False
+) -> jnp.ndarray:
+    """y = signal + Σ c_i · (signal ⊛_circ h_i), one roundtrip.
+
+    terms: list of (curve_key, traced coefficient).
+
+    Stereo signals (shape (..., 2, n) — every pipeline call site) pack
+    L+iR into ONE complex stream and ride the batch-safe radix-3
+    ``fft_fast``/``ifft_fast`` pair at m = fast(2n): the kernels h_i are
+    real, so ifft(fft(L+iR)·Ĥ) = (L∗h) + i(R∗h) splits exactly — two
+    complex m-transforms for both channels (the Bluestein form costs
+    four), with only pow2 device FFTs issued regardless of batch.  The
+    host kernel spectrum multiplies in radix-3-PERMUTED order; everything
+    between the pair is elementwise, as the DIF convention requires.
+
+    Other channel counts use a real rfft/irfft roundtrip; there,
+    batched renderers pass ``pow2=True`` because rank-3 3·2^k real FFTs
+    mis-tile (batch-size-independent — measured 38 GB of HLO temps at
+    B=16 on a 16 GB chip).
     """
-    specs = [_wrap_spectrum(k, n, rate) for k, _ in terms]
-    m = specs[0][1]
     x = signal[..., :n]
+    if x.ndim >= 2 and x.shape[-2] == 2:
+        specs = [_wrap_spectrum_full(k, n, rate) for k, _ in terms]
+        m = specs[0][1]
+        H = None
+        for (spec_np, _m), (_key, c) in zip(specs, terms):
+            term = jnp.asarray(spec_np) * c
+            H = term if H is None else H + term
+        z = jax.lax.complex(x[..., 0, :], x[..., 1, :])
+        Z = fftops.fft_fast(z, m)
+        wrap = fftops.ifft_fast(Z * H)[..., n : 2 * n]
+        wrap = jnp.stack([jnp.real(wrap), jnp.imag(wrap)], axis=-2)
+        return (x + wrap).astype(jnp.float32)
+    specs = [_wrap_spectrum(k, n, rate, pow2) for k, _ in terms]
+    m = specs[0][1]
     X = jnp.fft.rfft(x, n=m, axis=-1)
     H = None
     for (spec_np, _m), (_key, c) in zip(specs, terms):
@@ -96,12 +150,13 @@ def air_absorption_gain(n_fft: int, rate: int, factor: jnp.ndarray) -> jnp.ndarr
 
 
 def apply_air_absorption(
-    signal: jnp.ndarray, rate: int, factor: jnp.ndarray
+    signal: jnp.ndarray, rate: int, factor: jnp.ndarray, pow2: bool = False
 ) -> jnp.ndarray:
     """Air-absorption low-pass over the last axis (length = FFT length).
 
     signal: (..., n) float32.  The caller decides statically whether to apply
     it (reference skips when factor < 0.01, raytracer_studio.py:312).
+    ``pow2``: set by batched renderers (see ``_apply_affine_circular``).
     """
     n = signal.shape[-1]
     if n < 2:
@@ -111,7 +166,7 @@ def apply_air_absorption(
         # real fast-grid roundtrip instead of two Bluestein DFTs
         damping = jnp.clip(factor, 0.0, 1.0) * config.AIR_ABSORPTION_MAX_DAMPING
         return _apply_affine_circular(
-            signal, n, rate, [("air_ramp", -damping)]
+            signal, n, rate, [("air_ramp", -damping)], pow2
         )
     gain = air_absorption_gain(n, rate, factor)
     return fftops.apply_circular_gain(signal, gain)
@@ -130,12 +185,17 @@ def shelf_eq_gain(
 
 
 def apply_shelf_eq(
-    signal: jnp.ndarray, rate: int, bass_gain: jnp.ndarray, treble_gain: jnp.ndarray
+    signal: jnp.ndarray,
+    rate: int,
+    bass_gain: jnp.ndarray,
+    treble_gain: jnp.ndarray,
+    pow2: bool = False,
 ) -> jnp.ndarray:
     """Shelf EQ over the last axis at the exact signal length.
 
     The caller statically skips this when both gains are ≈1 (reference
-    raytracer_studio.py:389).
+    raytracer_studio.py:389).  ``pow2``: set by batched renderers (see
+    ``_apply_affine_circular``).
     """
     n = signal.shape[-1]
     if n < 2:
@@ -147,7 +207,7 @@ def apply_shelf_eq(
         cb = jnp.clip(bass_gain, lo, hi) - 1.0
         ct = jnp.clip(treble_gain, lo, hi) - 1.0
         return _apply_affine_circular(
-            signal, n, rate, [("bass_mask", cb), ("treble_mask", ct)]
+            signal, n, rate, [("bass_mask", cb), ("treble_mask", ct)], pow2
         )
     gain = shelf_eq_gain(n, rate, bass_gain, treble_gain)
     return fftops.apply_circular_gain(signal, gain)

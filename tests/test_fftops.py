@@ -119,15 +119,34 @@ def test_affine_circular_filters_match_bluestein(rng):
         ("apply_shelf_eq", (rate, jnp.float32(1.6), jnp.float32(0.7))),
     ]:
         fn = getattr(filters, fname)
-        fast = np.asarray(fn(jnp.asarray(x), *args))
         if fname == "apply_air_absorption":
             gain = filters.air_absorption_gain(n, rate, args[1])
         else:
             gain = filters.shelf_eq_gain(n, rate, args[1], args[2])
+        # stereo (2, n): the pair-packed complex fft_fast path
+        fast = np.asarray(fn(jnp.asarray(x), *args))
         exact = np.asarray(
             fftops.apply_circular_gain(jnp.asarray(x), gain)
         )
         assert np.max(np.abs(fast - exact)) < 5e-5, fname
+        # non-stereo shapes fall back to the real rfft roundtrip; batched
+        # renderers force power-of-two wrap grids there (3·2^k real FFTs
+        # mis-tile at rank 3 on the TPU backend) — same identity
+        x1 = x[:1]
+        exact1 = np.asarray(
+            fftops.apply_circular_gain(jnp.asarray(x1), gain)
+        )
+        real = np.asarray(fn(jnp.asarray(x1), *args))
+        assert np.max(np.abs(real - exact1)) < 5e-5, fname
+        pow2 = np.asarray(fn(jnp.asarray(x1), *args, pow2=True))
+        assert np.max(np.abs(pow2 - exact1)) < 5e-5, fname
+        m_pow2 = filters._wrap_spectrum(
+            "air_ramp" if fname == "apply_air_absorption" else "bass_mask",
+            n,
+            rate,
+            True,
+        )[1]
+        assert fftops.is_power_of_two(m_pow2) and m_pow2 >= 2 * n
 
     # vmapped (batched exact render shape)
     xs = rng.standard_normal((3, 2, n)).astype(np.float32) * 0.3
