@@ -4,8 +4,9 @@ Covers /root/reference/analyser.py (a standalone Streamlit app shelling out
 to ffmpeg/pydub): file analysis (rate/channels/duration/LUFS), normalization
 to a target LUFS, and format conversion.  LUFS measurement and gain-based
 normalization run through the framework's own BS.1770 meter — no external
-binaries needed for WAV; non-WAV codecs route through ffmpeg when present
-(this image ships none, so they are gated with a clear error).
+binaries needed.  WAV/FLAC/OGG convert natively, MP3 through the in-image
+codec libraries (ctypes, utils/mp3io); only aac still routes through
+ffmpeg when present (absent here → clear gated error).
 
 Usage:
   python -m audio_raytracing_studio_tpu.cli.analyzer analyze in.wav
@@ -80,11 +81,13 @@ def convert(input_path: str, output_path: str, bitrate: str = "256",
             samplerate: int | None = None) -> str:
     """Format conversion (analyser.py:73-83).  WAV, FLAC and Ogg/Vorbis
     natively (both directions, via utils.wavio / flacio / vorbisio +
-    vorbisenc); mp3/aac require ffmpeg on PATH (the reference needs ffmpeg
-    via pydub for ALL lossy targets).  ``samplerate`` additionally
-    rate-converts through the on-device polyphase resampler (ops.resample)
-    — a rebuild extension; the reference's converter can only change
-    containers, not rates."""
+    vorbisenc); MP3 through the in-image codec libraries bound via ctypes
+    (utils.mp3io: libmp3lame out, libmpg123 in — no subprocess); only aac
+    still requires ffmpeg on PATH (the reference needs ffmpeg via pydub
+    for ALL lossy targets).  ``samplerate`` additionally rate-converts
+    through the on-device polyphase resampler (ops.resample) — a rebuild
+    extension; the reference's converter can only change containers, not
+    rates."""
 
     def _maybe_resample(data: np.ndarray, rate: int) -> tuple[np.ndarray, int]:
         if samplerate is None or int(samplerate) == rate:
@@ -112,6 +115,15 @@ def convert(input_path: str, output_path: str, bitrate: str = "256",
         data, rate = _maybe_resample(data, rate)
         vorbisenc.write(output_path, data, rate)
         return output_path
+    if output_path.lower().endswith(".mp3"):
+        from ..utils import mp3io
+
+        if mp3io.encode_available():
+            data, rate = wavio.read(input_path)
+            data, rate = _maybe_resample(data, rate)
+            mp3io.write(output_path, data, rate, bitrate_kbps=int(bitrate))
+            return output_path
+        # libmp3lame absent → the ffmpeg tier below keeps the old contract
     if shutil.which("ffmpeg") is None:
         raise RuntimeError(
             "ffmpeg not found — non-WAV conversion needs ffmpeg on PATH"

@@ -236,9 +236,10 @@ def _read_aiff(path: Union[str, os.PathLike]) -> Tuple[np.ndarray, int]:
 
 
 def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndarray, int]:
-    """Non-WAV inputs: FLAC and AIFF via native codecs, else soundfile if
-    importable, else ffmpeg, else a clear user-facing error (the reference
-    reads FLAC/OGG via soundfile, everything else via FFmpeg)."""
+    """Non-WAV inputs: FLAC/AIFF/Ogg via native codecs and MP3 via the
+    in-image libmpg123 (ctypes), else soundfile if importable, else ffmpeg,
+    else a clear user-facing error (the reference reads FLAC/OGG via
+    soundfile, everything else via FFmpeg)."""
     if container == "FLAC":
         from . import flacio
 
@@ -264,6 +265,17 @@ def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndar
             if "Opus" not in str(e) and "floor type 0" not in str(e):
                 raise ValueError(f"OGG-Datei beschädigt oder abgeschnitten: {e}")
             # Opus-in-Ogg / floor0 → fall through to soundfile/ffmpeg below
+    if container == "MP3":
+        from . import mp3io
+
+        if mp3io.decode_available():
+            # libmpg123 bound directly (all MPEG layers); decode errors are
+            # terminal — only library ABSENCE falls through to the tiers below
+            try:
+                data, rate = mp3io.decode(path)
+                return np.asarray(data, dtype=np.float32), int(rate)
+            except ValueError as e:
+                raise ValueError(f"MP3-Datei beschädigt oder abgeschnitten: {e}")
     try:  # optional, not in the base image
         import soundfile as sf  # type: ignore
 
@@ -288,10 +300,11 @@ def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndar
 def read(path_or_file: Union[str, os.PathLike, BinaryIO]) -> Tuple[np.ndarray, int]:
     """Read an audio file → (float32 array of shape (samples, channels), rate).
 
-    WAV is decoded natively; FLAC/OGG/MP3/AAC/MP4/AIFF inputs route through
-    soundfile or ffmpeg when available and otherwise raise a clear
-    install-ffmpeg error (reference: sf.read at raytracer_studio.py:1013,
-    FFmpeg note at :1396).  File-like inputs must be WAV.
+    WAV/FLAC/AIFF/OGG decode natively, MP3 through the in-image libmpg123;
+    AAC/MP4 inputs route through soundfile or ffmpeg when available and
+    otherwise raise a clear install-ffmpeg error (reference: sf.read at
+    raytracer_studio.py:1013, FFmpeg note at :1396).  File-like inputs
+    must be WAV.
     """
     if hasattr(path_or_file, "read"):
         return _read_stream(path_or_file)
@@ -385,12 +398,13 @@ def write_audio(
     subtype: str = "PCM_16",
 ) -> None:
     """Extension-dispatching writer: ``.flac`` → the native FLAC encoder,
-    ``.ogg`` → the native Vorbis encoder, anything else → WAV.  Lets every
-    CLI accept compressed output targets (the reference can only write WAV,
+    ``.ogg`` → the native Vorbis encoder, ``.mp3`` → libmp3lame (utils/
+    mp3io, ≤2 channels), anything else → WAV.  Lets every CLI accept
+    compressed output targets (the reference can only write WAV,
     raytracer_studio.py:1084; FLAC halves the file at bit-identical 16-bit
-    fidelity, Ogg/Vorbis compresses further, lossily).  ``subtype`` applies
-    to the PCM containers ("PCM_16" → 16-bit, "FLOAT"/"PCM_24" → 24-bit
-    FLAC); Vorbis is float end to end.
+    fidelity, Ogg/Vorbis and MP3 compress further, lossily).  ``subtype``
+    applies to the PCM containers ("PCM_16" → 16-bit, "FLOAT"/"PCM_24" →
+    24-bit FLAC); the lossy encoders are float end to end.
     """
     lower = str(path).lower()
     if lower.endswith(".flac"):
@@ -403,6 +417,11 @@ def write_audio(
         from . import vorbisenc
 
         vorbisenc.write(path, data, rate)
+        return
+    if lower.endswith(".mp3"):
+        from . import mp3io
+
+        mp3io.write(path, data, rate)
         return
     write(path, data, rate, subtype=subtype)
 
@@ -532,6 +551,14 @@ def probe(path: Union[str, os.PathLike]) -> dict:
             meta = vorbisio.probe(path)
             meta.setdefault("bits", 0)  # lossy: no PCM bit depth
             return meta
+        if sniff_container(header) == "MP3":
+            from . import mp3io
+
+            if not mp3io.decode_available():
+                raise ValueError(
+                    "MP3-Probe benötigt libmpg123 (nicht vorhanden)"
+                )
+            return mp3io.probe(path)
         if len(header) < 12 or header[:4] != b"RIFF" or header[8:12] != b"WAVE":
             raise ValueError("not a RIFF/WAVE file")
         fmt = None

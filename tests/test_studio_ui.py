@@ -333,7 +333,19 @@ class TestAnalyzerUI:
         assert out and os.path.exists(out)
         assert "abgeschlossen" in demo.get("Status").value
         os.remove(out)
-        # mp3 requires ffmpeg (absent in this image) → clean error surface
+        # mp3 converts through the in-image libmp3lame binding (utils/mp3io)
+        from audio_raytracing_studio_tpu.utils import mp3io
+
         demo.set_value("Zielformat", "mp3")
+        demo.fire(demo.get("Konvertieren"), "click")
+        if mp3io.encode_available():
+            mp3_out = demo.get("Ergebnis").value
+            assert mp3_out and os.path.exists(mp3_out)
+            assert "abgeschlossen" in demo.get("Status").value
+            os.remove(mp3_out)
+        else:  # images without libmp3lame keep the gated error surface
+            assert "fehlgeschlagen" in demo.get("Status").value
+        # aac still requires ffmpeg (absent in this image) → clean error
+        demo.set_value("Zielformat", "aac")
         demo.fire(demo.get("Konvertieren"), "click")
         assert "fehlgeschlagen" in demo.get("Status").value

@@ -195,7 +195,27 @@ class TestNonWavFallback:
         with pytest.raises(ValueError, match="ffmpeg"):
             wavio.read(ogg)
 
-    def test_mp3_without_ffmpeg_clear_error(self, tmp_path, monkeypatch):
+    def test_corrupt_mp3_clear_error(self, tmp_path, monkeypatch):
+        """MP3 decodes through the in-image libmpg123 now — a tag with no
+        audio frames gets a clean corruption error, not an ffmpeg hint."""
+        from audio_raytracing_studio_tpu.utils import mp3io
+
+        if not mp3io.decode_available():
+            pytest.skip("libmpg123 not present")
+        monkeypatch.setenv("PATH", str(tmp_path))  # hide any ffmpeg
+        mp3 = tmp_path / "x.mp3"
+        mp3.write_bytes(b"ID3\x04" + b"\x00" * 64)
+        with pytest.raises(ValueError, match="MP3-Datei beschädigt"):
+            wavio.read(mp3)
+
+    def test_mp3_without_codec_lib_keeps_ffmpeg_contract(
+        self, tmp_path, monkeypatch
+    ):
+        """On images without libmpg123 the chain still ends at the
+        install-ffmpeg contract (simulated absence)."""
+        from audio_raytracing_studio_tpu.utils import mp3io
+
+        monkeypatch.setattr(mp3io, "decode_available", lambda: False)
         monkeypatch.setenv("PATH", str(tmp_path))  # hide any ffmpeg
         mp3 = tmp_path / "x.mp3"
         mp3.write_bytes(b"ID3\x04" + b"\x00" * 64)
@@ -234,13 +254,14 @@ class TestNonWavFallback:
         )
         stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
         monkeypatch.setenv("PATH", str(tmp_path))
-        mp3 = tmp_path / "y.mp3"
-        mp3.write_bytes(b"ID3\x04" + b"\x00" * 64)
-        data, rate = wavio.read(mp3)
+        # ADTS AAC: a true ffmpeg-only format (mp3 decodes natively now)
+        aac = tmp_path / "y.aac"
+        aac.write_bytes(b"\xff\xf1\x50\x80" + b"\x00" * 64)
+        data, rate = wavio.read(aac)
         assert rate == 24000 and data.shape == (480, 2)
         assert np.isclose(data[0, 0], -0.5)
         # info() rides the same path
-        meta = wavio.info(mp3)
+        meta = wavio.info(aac)
         assert meta["samplerate"] == 24000 and meta["channels"] == 2
 
     def test_ffmpeg_failure_surfaces(self, tmp_path, monkeypatch):
@@ -254,10 +275,10 @@ class TestNonWavFallback:
         )
         stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
         monkeypatch.setenv("PATH", str(tmp_path))
-        mp3 = tmp_path / "z.mp3"
-        mp3.write_bytes(b"ID3\x04" + b"\x00" * 64)
+        aac = tmp_path / "z.aac"
+        aac.write_bytes(b"\xff\xf1\x50\x80" + b"\x00" * 64)
         with pytest.raises(ValueError, match="kaputt"):
-            wavio.read(mp3)
+            wavio.read(aac)
 
     def test_ui_error_contract_for_corrupt_ogg(self, tmp_path, monkeypatch):
         """The app surfaces the native corruption message via 'Fehler beim
@@ -274,17 +295,17 @@ class TestNonWavFallback:
         assert player is None and download is None
         assert msg.startswith("Fehler beim Laden:") and "beschädigt" in msg
 
-    def test_ui_error_contract_for_mp3(self, tmp_path, monkeypatch):
+    def test_ui_error_contract_for_aac(self, tmp_path, monkeypatch):
         """The install-ffmpeg contract still surfaces for true ffmpeg-only
-        formats."""
+        formats (ADTS AAC — mp3 decodes natively now)."""
         monkeypatch.setenv("PATH", str(tmp_path))
         from audio_raytracing_studio_tpu.app import api
         from tests.test_app_api import DEFAULT_ARGS
 
-        mp3 = tmp_path / "u.mp3"
-        mp3.write_bytes(b"ID3\x04" + b"\x00" * 64)
+        aac = tmp_path / "u.aac"
+        aac.write_bytes(b"\xff\xf1\x50\x80" + b"\x00" * 64)
         player, download, msg = api.apply_raytrace_convolution_3d(
-            str(mp3), **DEFAULT_ARGS
+            str(aac), **DEFAULT_ARGS
         )
         assert player is None and download is None
         assert msg.startswith("Fehler beim Laden:") and "ffmpeg" in msg
