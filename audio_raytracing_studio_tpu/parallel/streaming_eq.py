@@ -24,12 +24,24 @@ EQ is
     c₁  = IFFT_m(FFT_m(u) · K⁺)     (forward Bluestein convolution)
     u₂  = c₁ · gain · [k < n0]      (the EQ gain, chirp pair cancelled)
     c₂  = IFFT_m(FFT_m(u₂) · K⁻)    (inverse Bluestein convolution)
-    y   = Re(c₂ · w⁺) / n0
+    y   = c₂ · w⁺ / n0              (real part per real channel)
 
-— four blockwise transforms per channel plus two one-off kernel-spectrum
-transforms per render.  Peak HBM ≈ 4.5·m complex64 ≈ 9 GB at m = 2^28
-(clips to ~46 min @ 48 kHz on a 16 GB chip); longer clips use the
-distributed path.
+— four blockwise transforms for a stereo pair plus one kernel-spectrum
+transform per render:
+
+* The EQ gain is real and symmetric under k → n0−k, so the circular EQ
+  operator has a REAL impulse response and commutes with complex packing:
+  the stereo pair runs as ONE complex stream z = L + iR and splits
+  exactly as L' = Re(y), R' = Im(y) (the same pair-packing the batched
+  exact filters use, ops/filters.py).  Float chirp round-off leaks
+  channels into each other only at ~1e-6 relative — inside the parity
+  envelope, pinned by tests/test_streaming_eq.py.
+* K⁻ is the conjugate bin-reversal of K⁺ (w̄₊[k] = conj(w̄₋[k]), and
+  DFT(conj(x))[k] = conj(DFT(x)[−k])), so its spectrum is ONE gather
+  over K⁺'s — no second kernel transform.
+
+Peak HBM ≈ 4.5·m complex64 ≈ 9 GB at m = 2^28 (clips to ~46 min @
+48 kHz on a 16 GB chip); longer clips use the distributed path.
 """
 
 from __future__ import annotations
@@ -101,6 +113,22 @@ def _chirp_kernel_db(n0: int, d: int, b: int, sign: float) -> jnp.ndarray:
     return jnp.where(head | tail, wbar, jnp.zeros_like(wbar))
 
 
+def _conj_reverse_db(spec: jnp.ndarray, d: int, b: int) -> jnp.ndarray:
+    """conj + bin-reversal on the strided (D, B) view: entry (c, t) holds
+    bin g = c + D·t; the reversed entry reads bin (m−g) mod m.  The index
+    map is STRUCTURED — for c = 0, (0, t) ← (0, (B−t) mod B); for c > 0,
+    (c, t) ← (D−c, B−1−t) — so it lowers to row/column flips and a roll
+    (cheap layout passes; the equivalent flat gather at m = 2^28 measured
+    ~11 s on the TPU backend, slower than the transform it replaces).
+    Used for K⁻ = conj-reverse of K⁺."""
+    s = jnp.conj(spec)
+    row0 = jnp.roll(s[0:1, ::-1], 1, axis=1)  # t' = (B−t) mod B
+    if d == 1:
+        return row0
+    rest = s[:0:-1, ::-1]  # rows D−1..1 → rows 1..D−1, t reversed
+    return jnp.concatenate([row0, rest], axis=0)
+
+
 def _eq_gain_db(
     n0: int, rate: int, d: int, b: int,
     bass_gain: jnp.ndarray, treble_gain: jnp.ndarray,
@@ -147,33 +175,68 @@ def shelf_eq_streaming(
     n_copy = min(n0, n_total)
 
     @jax.jit
-    def kernel_spectrum_fwd():
-        return _fftm(_chirp_kernel_db(n0, d, b, sign=-1.0), d, b)
+    def kernel_spectra():
+        """K⁺ via one four-step transform; K⁻ as its conj bin-reversal."""
+        kf = _fftm(_chirp_kernel_db(n0, d, b, sign=-1.0), d, b)
+        return kf, _conj_reverse_db(kf, d, b)
 
-    @jax.jit
-    def kernel_spectrum_inv():
-        return _fftm(_chirp_kernel_db(n0, d, b, sign=+1.0), d, b)
-
-    @jax.jit
-    def eq_channel(row, kspec_fwd, kspec_inv, bg, tg):
-        j = _global_index(d, b)
-        valid = j < n0
-        w_fwd = jnp.where(valid, _chirp(jnp.where(valid, j, 0), n0, -1.0), 0.0)
-        x = jnp.zeros(m, jnp.float32).at[:n_copy].set(row[:n_copy]).reshape(d, b)
-        u = x.astype(jnp.complex64) * w_fwd
+    def _eq_core(x_db, kspec_fwd, kspec_inv, bg, tg, w_fwd, w_inv):
+        """The chirp-cancelled double Bluestein convolution on one (D, B)
+        complex stream (real channel or packed L+iR pair)."""
+        u = x_db * w_fwd
         conv1 = _ifftm(_fftm(u, d, b) * kspec_fwd, d, b)
         # forward post-chirp w⁻[k] and inverse pre-chirp w⁺[k] cancel:
         # only the gain (zeroed past n0) sits between the two convolutions
         u2 = conv1 * _eq_gain_db(n0, rate, d, b, bg, tg)
         conv2 = _ifftm(_fftm(u2, d, b) * kspec_inv, d, b)
-        w_inv = jnp.where(valid, _chirp(jnp.where(valid, j, 0), n0, +1.0), 0.0)
-        y = jnp.real(conv2 * w_inv).reshape(m) / np.float32(n0)
+        return conv2 * w_inv / np.float32(n0)
+
+    def _chirps():
+        j = _global_index(d, b)
+        valid = j < n0
+        jv = jnp.where(valid, j, 0)
+        w_fwd = jnp.where(valid, _chirp(jv, n0, -1.0), 0.0)
+        w_inv = jnp.where(valid, _chirp(jv, n0, +1.0), 0.0)
+        return w_fwd, w_inv
+
+    def _pad_db(row):
+        return jnp.zeros(m, jnp.float32).at[:n_copy].set(row[:n_copy]).reshape(d, b)
+
+    @jax.jit
+    def eq_channel(row, kspec_fwd, kspec_inv, bg, tg):
+        w_fwd, w_inv = _chirps()
+        y = jnp.real(
+            _eq_core(
+                _pad_db(row).astype(jnp.complex64),
+                kspec_fwd, kspec_inv, bg, tg, w_fwd, w_inv,
+            )
+        ).reshape(m)
         out = jnp.zeros(n_total, jnp.float32)
         return out.at[:n_copy].set(y[:n_copy])
 
-    kf = kernel_spectrum_fwd()
-    ki = kernel_spectrum_inv()
+    @jax.jit
+    def eq_pair(row_l, row_r, kspec_fwd, kspec_inv, bg, tg):
+        """Both channels in ONE complex stream z = L + iR: the EQ operator
+        has a real impulse response (real gain, symmetric under k → n0−k),
+        so EQ(L+iR) = EQ(L) + i·EQ(R) — half the transforms."""
+        w_fwd, w_inv = _chirps()
+        z = jax.lax.complex(_pad_db(row_l), _pad_db(row_r))
+        y = _eq_core(z, kspec_fwd, kspec_inv, bg, tg, w_fwd, w_inv).reshape(m)
+        out_l = jnp.zeros(n_total, jnp.float32).at[:n_copy].set(
+            jnp.real(y)[:n_copy]
+        )
+        out_r = jnp.zeros(n_total, jnp.float32).at[:n_copy].set(
+            jnp.imag(y)[:n_copy]
+        )
+        return out_l, out_r
+
+    kf, ki = kernel_spectra()
     bg = jnp.float32(bass_gain)
     tg = jnp.float32(treble_gain)
-    rows = [eq_channel(buf_cn[ch], kf, ki, bg, tg) for ch in range(c_count)]
+    rows = []
+    for ch in range(0, c_count - 1, 2):
+        out_l, out_r = eq_pair(buf_cn[ch], buf_cn[ch + 1], kf, ki, bg, tg)
+        rows.extend([out_l, out_r])
+    if c_count % 2:
+        rows.append(eq_channel(buf_cn[c_count - 1], kf, ki, bg, tg))
     return jnp.stack(rows)

@@ -76,6 +76,18 @@ class TestStreamingEQ:
         for o in outs[1:]:
             np.testing.assert_allclose(o, outs[0], atol=1e-5)
 
+    def test_odd_channel_count(self, rng):
+        """3 channels exercise the packed pair AND the single-channel tail
+        in one call; each channel must match the exact EQ independently
+        (no cross-channel leak from the L+iR packing)."""
+        n0, rate = 2203, 44100
+        x = rng.standard_normal((3, n0)).astype(np.float32)
+        ref = filters.apply_shelf_eq(
+            jnp.asarray(x), rate, jnp.float32(1.7), jnp.float32(0.55)
+        )
+        got = shelf_eq_streaming(jnp.asarray(x), n0, rate, 1.7, 0.55, d_rows=8)
+        assert float(jnp.max(jnp.abs(got - ref))) < 5e-5
+
     def test_unity_gains_identity(self, rng):
         n0, rate = 1501, 22050
         x = rng.standard_normal((2, n0)).astype(np.float32)
