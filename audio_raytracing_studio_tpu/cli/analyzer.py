@@ -5,8 +5,10 @@ to ffmpeg/pydub): file analysis (rate/channels/duration/LUFS), normalization
 to a target LUFS, and format conversion.  LUFS measurement and gain-based
 normalization run through the framework's own BS.1770 meter — no external
 binaries needed.  WAV/FLAC/OGG convert natively, MP3 through the in-image
-codec libraries (ctypes, utils/mp3io); only aac still routes through
-ffmpeg when present (absent here → clear gated error).
+codec libraries (ctypes, utils/mp3io), AAC/M4A through the FFmpeg
+libraries compiled in-process (utils/lavcio) — every target the reference
+converts to, with no external binary; the ffmpeg-on-PATH tier remains
+only as the last fallback on stripped images.
 
 Usage:
   python -m audio_raytracing_studio_tpu.cli.analyzer analyze in.wav
@@ -82,12 +84,12 @@ def convert(input_path: str, output_path: str, bitrate: str = "256",
     """Format conversion (analyser.py:73-83).  WAV, FLAC and Ogg/Vorbis
     natively (both directions, via utils.wavio / flacio / vorbisio +
     vorbisenc); MP3 through the in-image codec libraries bound via ctypes
-    (utils.mp3io: libmp3lame out, libmpg123 in — no subprocess); only aac
-    still requires ffmpeg on PATH (the reference needs ffmpeg via pydub
-    for ALL lossy targets).  ``samplerate`` additionally rate-converts
-    through the on-device polyphase resampler (ops.resample) — a rebuild
-    extension; the reference's converter can only change containers, not
-    rates."""
+    (utils.mp3io: libmp3lame out, libmpg123 in — no subprocess); AAC/M4A
+    through the FFmpeg *libraries* compiled in-process (utils.lavcio —
+    the reference needs the ffmpeg BINARY via pydub for ALL lossy
+    targets).  ``samplerate`` additionally rate-converts through the
+    on-device polyphase resampler (ops.resample) — a rebuild extension;
+    the reference's converter can only change containers, not rates."""
 
     def _maybe_resample(data: np.ndarray, rate: int) -> tuple[np.ndarray, int]:
         if samplerate is None or int(samplerate) == rate:
@@ -124,6 +126,15 @@ def convert(input_path: str, output_path: str, bitrate: str = "256",
             mp3io.write(output_path, data, rate, bitrate_kbps=int(bitrate))
             return output_path
         # libmp3lame absent → the ffmpeg tier below keeps the old contract
+    if output_path.lower().endswith((".aac", ".m4a", ".mp4")):
+        from ..utils import lavcio
+
+        if lavcio.encode_available():
+            data, rate = wavio.read(input_path)
+            data, rate = _maybe_resample(data, rate)
+            lavcio.encode_aac(output_path, data, rate, bitrate_kbps=int(bitrate))
+            return output_path
+        # FFmpeg libraries absent → the binary tier below keeps the contract
     if shutil.which("ffmpeg") is None:
         raise RuntimeError(
             "ffmpeg not found — non-WAV conversion needs ffmpeg on PATH"
@@ -149,7 +160,9 @@ def main(argv=None) -> int:
     n.add_argument("--target", type=float, default=-16.0)
     n.add_argument("--backend", default="jax", choices=["jax", "oracle"])
 
-    c = sub.add_parser("convert", help="convert format (non-WAV needs ffmpeg)")
+    c = sub.add_parser(
+        "convert", help="convert format (wav/flac/ogg/mp3/aac/m4a, no ffmpeg)"
+    )
     c.add_argument("input")
     c.add_argument("output")
     c.add_argument("--bitrate", default="256")

@@ -73,11 +73,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="ars-render", description="Audio Raytracing Studio TPU — headless renderer"
     )
-    ap.add_argument("input", help="input audio file (WAV/FLAC/AIFF/OGG)")
+    ap.add_argument(
+        "input", help="input audio file (WAV/FLAC/AIFF/OGG/MP3/AAC/M4A)"
+    )
     ap.add_argument(
         "output",
-        help="output file; .flac/.ogg target the native encoders, anything "
-        "else writes WAV; use {i} for sweep index",
+        help="output file; .flac/.ogg target the native encoders, "
+        ".mp3/.aac/.m4a the in-image codec libraries, anything else writes "
+        "WAV; use {i} for sweep index",
     )
     add_param_flags(ap)
     ap.add_argument(

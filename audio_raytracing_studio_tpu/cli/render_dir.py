@@ -1,7 +1,8 @@
 """Directory batch renderer — production serving loop with I/O prefetch.
 
-Renders every audio file in a directory (WAV/FLAC/AIFF — anything the
-native codecs read) through the batched SPMD pipeline, keeping
+Renders every audio file in a directory (WAV/FLAC/AIFF/OGG/MP3/M4A —
+anything the native codecs or the FFmpeg-library tier read, as long as
+the header declares a frame count) through the batched SPMD pipeline, keeping
 the TPU busy: clips are bucketed by (rate, length quantized to a
 half-second grid) using header-only probes, each bucket reuses one compiled
 executable, and while the device renders micro-batch *i* a thread pool reads
@@ -39,7 +40,11 @@ def _bucket_length(n: int, rate: int) -> int:
     return int(math.ceil(n / step)) * step
 
 
-AUDIO_EXTENSIONS = (".wav", ".flac", ".aiff", ".aifc", ".aif")
+# raw .aac (ADTS) is excluded: it carries no frame count, so the header-only
+# probe cannot bucket it — convert to m4a first (cli/analyzer convert)
+AUDIO_EXTENSIONS = (
+    ".wav", ".flac", ".aiff", ".aifc", ".aif", ".ogg", ".mp3", ".m4a", ".mp4"
+)
 
 
 def discover(in_dir: str) -> List[str]:
@@ -54,7 +59,10 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="ars-render-dir", description="directory batch renderer"
     )
-    ap.add_argument("input", help="input directory of audio files (WAV/FLAC/AIFF)")
+    ap.add_argument(
+        "input",
+        help="input directory of audio files (WAV/FLAC/AIFF/OGG/MP3/M4A)",
+    )
     ap.add_argument("output", help="output directory")
     ap.add_argument("--batch", type=int, default=8, help="micro-batch size")
     add_param_flags(ap)
@@ -152,7 +160,9 @@ def main(argv=None) -> int:
 
         clips = np.zeros((len(chunk), n_bucket, 2), dtype=np.float32)
         for i, data in enumerate(datas):
-            stereo = _ensure_stereo_host(data)
+            # lossy probes can under-declare by a codec frame (MP4 padding);
+            # never let a decoded clip overrun its bucket
+            stereo = _ensure_stereo_host(data)[:n_bucket]
             clips[i, : stereo.shape[0], :] = stereo
 
         outs = render_batch(

@@ -236,10 +236,12 @@ def _read_aiff(path: Union[str, os.PathLike]) -> Tuple[np.ndarray, int]:
 
 
 def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndarray, int]:
-    """Non-WAV inputs: FLAC/AIFF/Ogg via native codecs and MP3 via the
-    in-image libmpg123 (ctypes), else soundfile if importable, else ffmpeg,
-    else a clear user-facing error (the reference reads FLAC/OGG via
-    soundfile, everything else via FFmpeg)."""
+    """Non-WAV inputs: FLAC/AIFF/Ogg via native codecs, MP3 via the
+    in-image libmpg123 (ctypes), AAC/M4A — and anything the native
+    decoders decline — via the FFmpeg *libraries* (utils/lavcio, a
+    compiled shim; no binary), else soundfile if importable, else the
+    ffmpeg binary, else a clear user-facing error (the reference reads
+    FLAC/OGG via soundfile, everything else via FFmpeg)."""
     if container == "FLAC":
         from . import flacio
 
@@ -276,6 +278,28 @@ def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndar
                 return np.asarray(data, dtype=np.float32), int(rate)
             except ValueError as e:
                 raise ValueError(f"MP3-Datei beschädigt oder abgeschnitten: {e}")
+    from . import lavcio
+
+    if container in ("AAC", "MP4/M4A"):
+        if lavcio.decode_available():
+            # FFmpeg libraries bound directly; decode errors are terminal —
+            # only library absence falls through to the tiers below
+            try:
+                data, rate = lavcio.decode(path)
+                return np.asarray(data, dtype=np.float32), int(rate)
+            except ValueError as e:
+                raise ValueError(
+                    f"{container}-Datei beschädigt oder nicht dekodierbar: {e}"
+                )
+    elif lavcio.decode_available():
+        # universal library tier for whatever the native decoders declined
+        # (compressed AIFC, Opus-in-Ogg, floor-0 Vorbis, WMA …); failures
+        # here keep the soundfile/ffmpeg tiers' error contract
+        try:
+            data, rate = lavcio.decode(path)
+            return np.asarray(data, dtype=np.float32), int(rate)
+        except ValueError:
+            pass
     try:  # optional, not in the base image
         import soundfile as sf  # type: ignore
 
@@ -300,11 +324,12 @@ def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndar
 def read(path_or_file: Union[str, os.PathLike, BinaryIO]) -> Tuple[np.ndarray, int]:
     """Read an audio file → (float32 array of shape (samples, channels), rate).
 
-    WAV/FLAC/AIFF/OGG decode natively, MP3 through the in-image libmpg123;
-    AAC/MP4 inputs route through soundfile or ffmpeg when available and
-    otherwise raise a clear install-ffmpeg error (reference: sf.read at
-    raytracer_studio.py:1013, FFmpeg note at :1396).  File-like inputs
-    must be WAV.
+    WAV/FLAC/AIFF/OGG decode natively, MP3 through the in-image libmpg123,
+    AAC/M4A (and anything else libavformat can demux) through the FFmpeg
+    libraries bound in-process (utils/lavcio — no ffmpeg binary); only
+    when every tier is absent does a clear install-ffmpeg error surface
+    (reference: sf.read at raytracer_studio.py:1013, FFmpeg note at
+    :1396).  File-like inputs must be WAV.
     """
     if hasattr(path_or_file, "read"):
         return _read_stream(path_or_file)
@@ -399,12 +424,14 @@ def write_audio(
 ) -> None:
     """Extension-dispatching writer: ``.flac`` → the native FLAC encoder,
     ``.ogg`` → the native Vorbis encoder, ``.mp3`` → libmp3lame (utils/
-    mp3io, ≤2 channels), anything else → WAV.  Lets every CLI accept
-    compressed output targets (the reference can only write WAV,
-    raytracer_studio.py:1084; FLAC halves the file at bit-identical 16-bit
-    fidelity, Ogg/Vorbis and MP3 compress further, lossily).  ``subtype``
-    applies to the PCM containers ("PCM_16" → 16-bit, "FLOAT"/"PCM_24" →
-    24-bit FLAC); the lossy encoders are float end to end.
+    mp3io, ≤2 channels), ``.aac``/``.m4a``/``.mp4`` → the FFmpeg
+    libraries' AAC-LC encoder (utils/lavcio), anything else → WAV.  Lets
+    every CLI accept compressed output targets (the reference can only
+    write WAV, raytracer_studio.py:1084; FLAC halves the file at
+    bit-identical 16-bit fidelity, Ogg/Vorbis/MP3/AAC compress further,
+    lossily).  ``subtype`` applies to the PCM containers ("PCM_16" →
+    16-bit, "FLOAT"/"PCM_24" → 24-bit FLAC); the lossy encoders are float
+    end to end.
     """
     lower = str(path).lower()
     if lower.endswith(".flac"):
@@ -422,6 +449,11 @@ def write_audio(
         from . import mp3io
 
         mp3io.write(path, data, rate)
+        return
+    if lower.endswith((".aac", ".m4a", ".mp4")):
+        from . import lavcio
+
+        lavcio.encode_aac(path, data, rate)
         return
     write(path, data, rate, subtype=subtype)
 
@@ -559,6 +591,15 @@ def probe(path: Union[str, os.PathLike]) -> dict:
                     "MP3-Probe benötigt libmpg123 (nicht vorhanden)"
                 )
             return mp3io.probe(path)
+        if sniff_container(header) in ("AAC", "MP4/M4A"):
+            from . import lavcio
+
+            if not lavcio.decode_available():
+                raise ValueError(
+                    "AAC/M4A-Probe benötigt die FFmpeg-Bibliotheken "
+                    "(nicht vorhanden)"
+                )
+            return lavcio.probe(path)
         if len(header) < 12 or header[:4] != b"RIFF" or header[8:12] != b"WAVE":
             raise ValueError("not a RIFF/WAVE file")
         fmt = None

@@ -345,7 +345,16 @@ class TestAnalyzerUI:
             os.remove(mp3_out)
         else:  # images without libmp3lame keep the gated error surface
             assert "fehlgeschlagen" in demo.get("Status").value
-        # aac still requires ffmpeg (absent in this image) → clean error
+        # aac converts through the FFmpeg-library shim (utils/lavcio);
+        # images without the libraries keep the gated error surface
+        from audio_raytracing_studio_tpu.utils import lavcio
+
         demo.set_value("Zielformat", "aac")
         demo.fire(demo.get("Konvertieren"), "click")
-        assert "fehlgeschlagen" in demo.get("Status").value
+        if lavcio.encode_available():
+            aac_out = demo.get("Ergebnis").value
+            assert aac_out and os.path.exists(aac_out)
+            assert "abgeschlossen" in demo.get("Status").value
+            os.remove(aac_out)
+        else:
+            assert "fehlgeschlagen" in demo.get("Status").value

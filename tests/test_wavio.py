@@ -150,7 +150,11 @@ class TestNonWavFallback:
         assert rate == 8000 and data.shape == (300, 1)
         np.testing.assert_allclose(data, vals / 32768.0, atol=1e-7)
 
-    def test_compressed_aifc_clear_error(self, tmp_path, monkeypatch, rng):
+    def test_compressed_aifc_routes_past_native(self, tmp_path, monkeypatch, rng):
+        """Compressed AIFC falls through the native reader into the
+        FFmpeg-library tier; this synthetic fixture is not valid ulaw, so
+        the chain still ends at the install-ffmpeg contract (real
+        compressed files decode in the library tier — see test_lavcio)."""
         monkeypatch.setenv("PATH", str(tmp_path))  # hide any ffmpeg
         vals = np.zeros((10, 1), np.int16)
         p = tmp_path / "c.aifc"
@@ -237,10 +241,15 @@ class TestNonWavFallback:
             wavio.read(bad)
 
     def test_ffmpeg_decode_plumbing(self, tmp_path, monkeypatch):
-        """A stub ffmpeg on PATH proves the decode path end-to-end."""
+        """A stub ffmpeg on PATH proves the decode path end-to-end (the
+        FFmpeg-library tier is simulated absent — with it present, AAC
+        never reaches the binary)."""
         import stat
         import sys
 
+        from audio_raytracing_studio_tpu.utils import lavcio
+
+        monkeypatch.setattr(lavcio, "decode_available", lambda: False)
         stub = tmp_path / "ffmpeg"
         stub.write_text(
             "#!%s\n"
@@ -268,6 +277,9 @@ class TestNonWavFallback:
         import stat
         import sys
 
+        from audio_raytracing_studio_tpu.utils import lavcio
+
+        monkeypatch.setattr(lavcio, "decode_available", lambda: False)
         stub = tmp_path / "ffmpeg"
         stub.write_text(
             "#!%s\nimport sys\nsys.stderr.write('kaputt')\nsys.exit(1)\n"
@@ -296,10 +308,12 @@ class TestNonWavFallback:
         assert msg.startswith("Fehler beim Laden:") and "beschädigt" in msg
 
     def test_ui_error_contract_for_aac(self, tmp_path, monkeypatch):
-        """The install-ffmpeg contract still surfaces for true ffmpeg-only
-        formats (ADTS AAC — mp3 decodes natively now)."""
+        """A corrupt AAC upload surfaces the pipeline's load-error contract:
+        a terminal corruption message from the FFmpeg-library tier when it
+        is present, the install-ffmpeg hint on stripped images."""
         monkeypatch.setenv("PATH", str(tmp_path))
         from audio_raytracing_studio_tpu.app import api
+        from audio_raytracing_studio_tpu.utils import lavcio
         from tests.test_app_api import DEFAULT_ARGS
 
         aac = tmp_path / "u.aac"
@@ -308,4 +322,8 @@ class TestNonWavFallback:
             str(aac), **DEFAULT_ARGS
         )
         assert player is None and download is None
-        assert msg.startswith("Fehler beim Laden:") and "ffmpeg" in msg
+        assert msg.startswith("Fehler beim Laden:")
+        if lavcio.decode_available():
+            assert "beschädigt oder nicht dekodierbar" in msg
+        else:
+            assert "ffmpeg" in msg
