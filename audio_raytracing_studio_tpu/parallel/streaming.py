@@ -56,6 +56,152 @@ from ..params import RenderParams
 DEFAULT_CHUNK_SECONDS = 30.0
 
 
+# ---------------------------------------------------------------------------
+# module-level jitted passes (the models.pipeline idiom): static shape/mode
+# config via static_argnames, kernels and MixScalars as ARGUMENTS.  Closure
+# jits re-traced every render and baked the parameter scalars as literals,
+# so even the persistent compile cache missed whenever a parameter changed;
+# at streaming scale the re-trace + cache lookup cost seconds of pure host
+# time per render (measured on chip for the EQ stage — BENCH_HISTORY r3).
+# ---------------------------------------------------------------------------
+
+
+def _conv_pass_slab_body(
+    audio_slab, carry_tail, gmax, kers, gains, scal,
+    *, chunk, c_in, pairwise, early_on, late_on, slab_chunks, out_len_local,
+):
+    """One slab's overlap-add hops in one executable: a lax.scan over the
+    slab's chunks (round-3 VERDICT item 4 — no tunnel round-trip per
+    chunk).  The donated slab input is recycled into the slab output where
+    shapes allow; conv tail and running |max| carry across slabs on
+    device."""
+    l = out_len_local - chunk + 1
+
+    def step(carry, i):
+        buf, tail_c, gmax_c = carry
+        start = i * chunk
+        audio_chunk = jax.lax.dynamic_slice(audio_slab, (0, start), (c_in, chunk))
+        if c_in == 1:  # mono source: broadcast on device, not on host
+            audio_chunk = jnp.broadcast_to(audio_chunk, (2, chunk))
+        if pairwise:
+            conv = convolution.convolve_pairwise(audio_chunk, kers, out_len_local)
+            wet = conv[..., :chunk]
+            tail = conv[..., chunk:]
+        else:
+            conv = convolution.convolve_full(
+                audio_chunk, kers, out_len_local, kernel_gains=gains
+            )
+            if early_on and late_on:
+                wet_full = conv[0] * scal.early_level + conv[1] * scal.late_level
+            elif early_on or late_on:
+                wet_full = conv[0] * (
+                    scal.early_level if early_on else scal.late_level
+                )
+            else:
+                wet_full = jnp.zeros((2, out_len_local), jnp.float32)
+            wet = wet_full[..., :chunk]
+            tail = wet_full[..., chunk:]
+        wet = wet.at[..., : l - 1].add(tail_c)
+        mixed = (
+            scal.dry_factor * (1.0 - scal.dry_wet) * audio_chunk
+            + scal.dry_wet * wet
+        )
+        buf = jax.lax.dynamic_update_slice(buf, mixed, (0, start))
+        return (buf, tail, jnp.maximum(gmax_c, jnp.max(jnp.abs(mixed)))), None
+
+    init = (
+        jnp.zeros((2, slab_chunks * chunk), dtype=jnp.float32),
+        carry_tail,
+        gmax,
+    )
+    (buf, tail, gmax), _ = jax.lax.scan(
+        step, init, jnp.arange(slab_chunks, dtype=jnp.int32)
+    )
+    return buf, tail, gmax
+
+
+_CONV_STATICS = (
+    "chunk", "c_in", "pairwise", "early_on", "late_on",
+    "slab_chunks", "out_len_local",
+)
+_conv_pass_slab_mono = jax.jit(_conv_pass_slab_body, static_argnames=_CONV_STATICS)
+# donation only helps when the slab input can alias the (2, slab_len)
+# output — i.e. stereo input; mono slabs are half the size (and would warn)
+_conv_pass_slab_stereo = jax.jit(
+    _conv_pass_slab_body, static_argnames=_CONV_STATICS, donate_argnums=(0,)
+)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("layout", "rate", "len_out")
+)
+def _finish_pass(buf, gmax, scal, *, layout, rate, len_out):
+    """Pass 2: normalize → pan → map, whole buffer, one executable."""
+    scale = jnp.where(gmax > 1.0, 1.0 / gmax, 1.0)
+    mixed = jnp.where(gmax < 1e-9, jnp.zeros_like(buf), buf * scale)
+    six = spatial.apply_pan(
+        mixed, spatial.pan_matrix(scal.x_pos, scal.y_pos, scal.z_pos)
+    )
+    six = filters.conditional_peak_normalize(six)
+    out = spatial.map_layout(six, layout, rate, scal.z_pos)
+    # The exact pipeline works on (C, len_out) buffers, so map_layout's
+    # 12/18 ms delays trim at len_out; in this oversized buffer they
+    # spill into [len_out, len_out+delay).  Zero the spill so the final
+    # data-dependent normalize (and the meter) see identical samples.
+    out = out * (jnp.arange(buf.shape[-1]) < len_out)
+    return filters.conditional_peak_normalize(out)
+
+
+@functools.partial(jax.jit, static_argnames=("slab_len", "n_ch"))
+def _slab_slice(buf, s, *, slab_len, n_ch):
+    return jax.lax.dynamic_slice(buf, (0, s * slab_len), (n_ch, slab_len))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("chunk", "n_ch", "slab_chunks")
+)
+def _meter_slab(
+    out_slab, bpos_scan, bvalid_scan, kw_carry, peak_c, sq_c, mpk_c, fir,
+    *, chunk, n_ch, slab_chunks,
+):
+    """One slab of meter hops in one lax.scan executable (round-3 VERDICT
+    item 4 — no tunnel round-trip per chunk): K-weighting FIR with a
+    carried tail, per-chunk boundary energies RELATIVE to the chunk start,
+    device-side scalar accumulators carried across slab dispatches.
+    Slab-shaped like the conv pass, so the compile is independent of the
+    clip length.
+
+    The unbounded running energy carry stays on host in float64 (a float32
+    carry loses ~ulp-of-total per block at hour scale, drifting the gated
+    LUFS — cf. the CLAUDE.md cumsum note)."""
+    fir_len = fir.shape[0]
+
+    def step(carry, xs):
+        kw_c, pk, sq, mpk = carry
+        bpos, bvalid, i = xs
+        out_chunk = jax.lax.dynamic_slice(out_slab, (0, i * chunk), (n_ch, chunk))
+        mono = 0.5 * (out_chunk[0] + out_chunk[1])
+        conv = convolution.convolve_pairwise(
+            mono[None, :], fir[None, :], chunk + fir_len - 1
+        )[0]
+        kw = conv[:chunk].at[: fir_len - 1].add(kw_c)
+        new_carry = conv[chunk:]
+        cums = jnp.concatenate(
+            [jnp.zeros(1, jnp.float32), jnp.cumsum(jnp.square(kw))]
+        )
+        vals = jnp.where(bvalid, cums[bpos], 0.0)
+        pk = jnp.maximum(pk, jnp.max(jnp.abs(out_chunk)))
+        sq = sq + jnp.sum(jnp.square(out_chunk))
+        mpk = jnp.maximum(mpk, jnp.max(jnp.abs(mono)))
+        return (new_carry, pk, sq, mpk), (vals, cums[-1])
+
+    xs = (bpos_scan, bvalid_scan, jnp.arange(slab_chunks, dtype=jnp.int32))
+    (kw_carry, peak_c, sq_c, mpk_c), (vals_all, totals) = jax.lax.scan(
+        step, (kw_carry, peak_c, sq_c, mpk_c), xs
+    )
+    return kw_carry, peak_c, sq_c, mpk_c, vals_all, totals
+
+
 def _build_kernels(p: RenderParams, rate: int, n_in: int, seed: int,
                    external_ir, external_ir_rate):
     """IRs + spec + scalars, identical to long_render's preparation."""
@@ -150,9 +296,9 @@ def render_streaming(
     audio_cn[:, :n_in] = audio_nc.T[:c_in]
 
     out_len_local = chunk + l - 1
+    gains = None
     if not pairwise:
         nfft = convolution.fast_fft_length(out_len_local)
-        gains = None
         if spec.air_on and kernel_is_late:
             air_gain = filters.air_absorption_gain(nfft, spec.rate, scal.air_absorption)
             gains = jnp.stack(
@@ -160,64 +306,7 @@ def render_streaming(
                  for is_late in kernel_is_late]
             )
 
-    # donation only helps when the slab input can alias the (2, slab_len)
-    # output — i.e. stereo input; mono slabs are half the size (and would
-    # just warn)
-    _jit = jax.jit if c_in == 1 else functools.partial(jax.jit, donate_argnums=(0,))
-
-    @_jit
-    def conv_pass_slab(audio_slab, carry_tail, gmax):
-        """One slab's overlap-add hops in one executable: a lax.scan over
-        the slab's chunks (round-3 VERDICT item 4 — no tunnel round-trip
-        per chunk).  The donated slab input is recycled into the slab
-        output where shapes allow; conv tail and running |max| carry
-        across slabs on device."""
-
-        def step(carry, i):
-            buf, tail_c, gmax_c = carry
-            start = i * chunk
-            audio_chunk = jax.lax.dynamic_slice(
-                audio_slab, (0, start), (c_in, chunk)
-            )
-            if c_in == 1:  # mono source: broadcast on device, not on host
-                audio_chunk = jnp.broadcast_to(audio_chunk, (2, chunk))
-            if pairwise:
-                conv = convolution.convolve_pairwise(
-                    audio_chunk, kers, out_len_local
-                )
-                wet = conv[..., :chunk]
-                tail = conv[..., chunk:]
-            else:
-                conv = convolution.convolve_full(
-                    audio_chunk, kers, out_len_local, kernel_gains=gains
-                )
-                if spec.early_on and spec.late_on:
-                    wet_full = conv[0] * scal.early_level + conv[1] * scal.late_level
-                elif spec.early_on or spec.late_on:
-                    wet_full = conv[0] * (
-                        scal.early_level if spec.early_on else scal.late_level
-                    )
-                else:
-                    wet_full = jnp.zeros((2, out_len_local), jnp.float32)
-                wet = wet_full[..., :chunk]
-                tail = wet_full[..., chunk:]
-            wet = wet.at[..., : l - 1].add(tail_c)
-            mixed = (
-                scal.dry_factor * (1.0 - scal.dry_wet) * audio_chunk
-                + scal.dry_wet * wet
-            )
-            buf = jax.lax.dynamic_update_slice(buf, mixed, (0, start))
-            return (buf, tail, jnp.maximum(gmax_c, jnp.max(jnp.abs(mixed)))), None
-
-        init = (
-            jnp.zeros((2, slab_len), dtype=jnp.float32),
-            carry_tail,
-            gmax,
-        )
-        (buf, tail, gmax), _ = jax.lax.scan(
-            step, init, jnp.arange(slab_chunks, dtype=jnp.int32)
-        )
-        return buf, tail, gmax
+    conv_jit = _conv_pass_slab_mono if c_in == 1 else _conv_pass_slab_stereo
 
     # --- pass 1: initiate ALL slab uploads asynchronously, then dispatch
     # slab scans in order — slab i+1's host→device transfer overlaps slab
@@ -230,31 +319,17 @@ def render_streaming(
     global_max = jnp.float32(0.0)
     mixed_slabs = []
     for s in range(n_slabs):
-        mixed_s, carry_tail, global_max = conv_pass_slab(
-            slabs[s], carry_tail, global_max
+        mixed_s, carry_tail, global_max = conv_jit(
+            slabs[s], carry_tail, global_max, kers, gains, scal,
+            chunk=chunk, c_in=c_in, pairwise=pairwise,
+            early_on=spec.early_on, late_on=spec.late_on,
+            slab_chunks=slab_chunks, out_len_local=out_len_local,
         )
         mixed_slabs.append(mixed_s)
     mixed_buf = (
         jnp.concatenate(mixed_slabs, axis=1) if n_slabs > 1 else mixed_slabs[0]
     )
     # the conv tail past len_out is zero by construction (input zero-padded)
-
-    # --- pass 2: normalize → pan → map, whole buffer, one executable ---
-    @jax.jit
-    def finish(buf, gmax):
-        scale = jnp.where(gmax > 1.0, 1.0 / gmax, 1.0)
-        mixed = jnp.where(gmax < 1e-9, jnp.zeros_like(buf), buf * scale)
-        six = spatial.apply_pan(
-            mixed, spatial.pan_matrix(scal.x_pos, scal.y_pos, scal.z_pos)
-        )
-        six = filters.conditional_peak_normalize(six)
-        out = spatial.map_layout(six, spec.layout, spec.rate, scal.z_pos)
-        # The exact pipeline works on (C, len_out) buffers, so map_layout's
-        # 12/18 ms delays trim at len_out; in this oversized buffer they
-        # spill into [len_out, len_out+delay).  Zero the spill so the final
-        # data-dependent normalize (and the meter) see identical samples.
-        out = out * (jnp.arange(n_total) < len_out)
-        return filters.conditional_peak_normalize(out)
 
     if spec.eq_on:
         # exact-length circular shelf EQ over [0, len_out) of the device
@@ -268,7 +343,10 @@ def render_streaming(
         )
         global_max = jnp.max(jnp.abs(mixed_buf))
 
-    out_cn = finish(mixed_buf, global_max)
+    out_cn = _finish_pass(
+        mixed_buf, global_max, scal,
+        layout=spec.layout, rate=spec.rate, len_out=len_out,
+    )
 
     if not with_metrics:
         return np.asarray(out_cn[:, :len_out]).T
@@ -332,56 +410,6 @@ def _streaming_metrics(
             [bvalid_all, np.zeros((pad_rows, max_per_chunk), bool)]
         )
 
-    slab_slice = jax.jit(
-        lambda buf, s: jax.lax.dynamic_slice(
-            buf, (0, s * slab_len), (n_ch, slab_len)
-        )
-    )
-
-    @jax.jit
-    def meter_slab(out_slab, bpos_scan, bvalid_scan, kw_carry, peak_c, sq_c, mpk_c):
-        """One slab of meter hops in one lax.scan executable (round-3
-        VERDICT item 4 — no tunnel round-trip per chunk): K-weighting FIR
-        with a carried tail, per-chunk boundary energies RELATIVE to the
-        chunk start, device-side scalar accumulators carried across slab
-        dispatches.  Slab-shaped like the conv pass, so the compile is
-        independent of the clip length.
-
-        The unbounded running energy carry stays on host in float64 (a
-        float32 carry loses ~ulp-of-total per block at hour scale,
-        drifting the gated LUFS — cf. the CLAUDE.md cumsum note)."""
-
-        def step(carry, xs):
-            kw_c, pk, sq, mpk = carry
-            bpos, bvalid, i = xs
-            out_chunk = jax.lax.dynamic_slice(
-                out_slab, (0, i * chunk), (n_ch, chunk)
-            )
-            mono = 0.5 * (out_chunk[0] + out_chunk[1])
-            conv = convolution.convolve_pairwise(
-                mono[None, :], fir[None, :], chunk + fir_len - 1
-            )[0]
-            kw = conv[:chunk].at[: fir_len - 1].add(kw_c)
-            new_carry = conv[chunk:]
-            cums = jnp.concatenate(
-                [jnp.zeros(1, jnp.float32), jnp.cumsum(jnp.square(kw))]
-            )
-            vals = jnp.where(bvalid, cums[bpos], 0.0)
-            pk = jnp.maximum(pk, jnp.max(jnp.abs(out_chunk)))
-            sq = sq + jnp.sum(jnp.square(out_chunk))
-            mpk = jnp.maximum(mpk, jnp.max(jnp.abs(mono)))
-            return (new_carry, pk, sq, mpk), (vals, cums[-1])
-
-        xs = (
-            bpos_scan,
-            bvalid_scan,
-            jnp.arange(slab_chunks, dtype=jnp.int32),
-        )
-        (kw_carry, peak_c, sq_c, mpk_c), (vals_all, totals) = jax.lax.scan(
-            step, (kw_carry, peak_c, sq_c, mpk_c), xs
-        )
-        return kw_carry, peak_c, sq_c, mpk_c, vals_all, totals
-
     kw_carry = jnp.zeros(fir_len - 1, dtype=jnp.float32)
     peak_c = sq_c = mpk_c = jnp.float32(0.0)
     vals_slabs, totals_slabs = [], []
@@ -389,14 +417,18 @@ def _streaming_metrics(
     bvalid_dev = jnp.asarray(bvalid_all)
     for s in range(n_slabs):
         r0, r1 = s * slab_chunks, (s + 1) * slab_chunks
-        kw_carry, peak_c, sq_c, mpk_c, vals_s, totals_s = meter_slab(
-            slab_slice(out_cn, jnp.int32(s)),
+        kw_carry, peak_c, sq_c, mpk_c, vals_s, totals_s = _meter_slab(
+            _slab_slice(out_cn, jnp.int32(s), slab_len=slab_len, n_ch=n_ch),
             bpos_dev[r0:r1],
             bvalid_dev[r0:r1],
             kw_carry,
             peak_c,
             sq_c,
             mpk_c,
+            fir,
+            chunk=chunk,
+            n_ch=n_ch,
+            slab_chunks=slab_chunks,
         )
         vals_slabs.append(vals_s)
         totals_slabs.append(totals_s)

@@ -26,8 +26,8 @@ EQ is
     c₂  = IFFT_m(FFT_m(u₂) · K⁻)    (inverse Bluestein convolution)
     y   = c₂ · w⁺ / n0              (real part per real channel)
 
-— four blockwise transforms for a stereo pair plus one kernel-spectrum
-transform per render:
+— four blockwise transforms for a stereo pair plus two kernel-spectrum
+transforms per render:
 
 * The EQ gain is real and symmetric under k → n0−k, so the circular EQ
   operator has a REAL impulse response and commutes with complex packing:
@@ -36,9 +36,13 @@ transform per render:
   exact filters use, ops/filters.py).  Float chirp round-off leaks
   channels into each other only at ~1e-6 relative — inside the parity
   envelope, pinned by tests/test_streaming_eq.py.
-* K⁻ is the conjugate bin-reversal of K⁺ (w̄₊[k] = conj(w̄₋[k]), and
-  DFT(conj(x))[k] = conj(DFT(x)[−k])), so its spectrum is ONE gather
-  over K⁺'s — no second kernel transform.
+* K⁻ is mathematically the conjugate bin-reversal of K⁺ — but on this
+  TPU backend ANY realization of the bin-reversal on the strided (D, B)
+  view is pathological (a flat gather at m = 2^28 measured ~11 s, and
+  even pure row/column flips + roll measured 13.1 s device time — minor-
+  axis reversal lowers to the same lane-granularity data movement).  A
+  second four-step kernel transform costs ~0.3 s, so K⁻ is simply
+  FFT_m(k⁻) with the opposite-sign chirp kernel.
 
 Peak HBM ≈ 4.5·m complex64 ≈ 9 GB at m = 2^28 (clips to ~46 min @
 48 kHz on a 16 GB chip); longer clips use the distributed path.
@@ -113,22 +117,6 @@ def _chirp_kernel_db(n0: int, d: int, b: int, sign: float) -> jnp.ndarray:
     return jnp.where(head | tail, wbar, jnp.zeros_like(wbar))
 
 
-def _conj_reverse_db(spec: jnp.ndarray, d: int, b: int) -> jnp.ndarray:
-    """conj + bin-reversal on the strided (D, B) view: entry (c, t) holds
-    bin g = c + D·t; the reversed entry reads bin (m−g) mod m.  The index
-    map is STRUCTURED — for c = 0, (0, t) ← (0, (B−t) mod B); for c > 0,
-    (c, t) ← (D−c, B−1−t) — so it lowers to row/column flips and a roll
-    (cheap layout passes; the equivalent flat gather at m = 2^28 measured
-    ~11 s on the TPU backend, slower than the transform it replaces).
-    Used for K⁻ = conj-reverse of K⁺."""
-    s = jnp.conj(spec)
-    row0 = jnp.roll(s[0:1, ::-1], 1, axis=1)  # t' = (B−t) mod B
-    if d == 1:
-        return row0
-    rest = s[:0:-1, ::-1]  # rows D−1..1 → rows 1..D−1, t reversed
-    return jnp.concatenate([row0, rest], axis=0)
-
-
 def _eq_gain_db(
     n0: int, rate: int, d: int, b: int,
     bass_gain: jnp.ndarray, treble_gain: jnp.ndarray,
@@ -149,36 +137,28 @@ def _eq_gain_db(
     return jnp.where(in_band, gain, 0.0).astype(jnp.float32)
 
 
-def shelf_eq_streaming(
-    buf_cn: jnp.ndarray,
-    n0: int,
-    rate: int,
-    bass_gain,
-    treble_gain,
-    d_rows: int = DEFAULT_D_ROWS,
-) -> jnp.ndarray:
-    """Exact-length circular shelf EQ of a (C, n_total) device buffer.
+@functools.lru_cache(maxsize=8)
+def _compiled_eq(n0: int, rate: int, d: int, b: int, n_total: int):
+    """Jitted callables for one static EQ configuration.
 
-    The signal occupies ``[0, n0)`` of the buffer (positions beyond are
-    ignored and return as zeros).  Matches ``ops.filters.apply_shelf_eq``
-    at length n0 to float32 round-off; bounded FFT workspace regardless of
-    n0.  Channels run sequentially to cap peak HBM.
+    Built ONCE per (n0, rate, d, b, n_total) and cached: re-jitting fresh
+    closures on every ``shelf_eq_streaming`` call cost ~13 s/call of pure
+    HOST work at m = 2^28 (re-trace + executable-cache lookup on a huge
+    graph) against 0.75 s of actual device work — measured on chip, see
+    BENCH_HISTORY round 3.  The cache holds only function objects, never
+    traced arrays (CLAUDE.md lru_cache rule).
     """
-    c_count, n_total = int(buf_cn.shape[0]), int(buf_cn.shape[1])
-    if n0 < 2:
-        return buf_cn
-    if n0 >= (1 << 30):
-        raise ValueError("exact streaming EQ supports n0 < 2^30")
-    m = fft_length_for(n0)
-    d = min(d_rows, m)
-    b = m // d
+    m = d * b
     n_copy = min(n0, n_total)
 
     @jax.jit
     def kernel_spectra():
-        """K⁺ via one four-step transform; K⁻ as its conj bin-reversal."""
+        """K⁺ and K⁻ via two four-step transforms (k⁻ = conj(k⁺) in time;
+        the bin-reversal shortcut is 40× slower on this backend — see the
+        module docstring)."""
         kf = _fftm(_chirp_kernel_db(n0, d, b, sign=-1.0), d, b)
-        return kf, _conj_reverse_db(kf, d, b)
+        ki = _fftm(_chirp_kernel_db(n0, d, b, sign=+1.0), d, b)
+        return kf, ki
 
     def _eq_core(x_db, kspec_fwd, kspec_inv, bg, tg, w_fwd, w_inv):
         """The chirp-cancelled double Bluestein convolution on one (D, B)
@@ -230,6 +210,34 @@ def shelf_eq_streaming(
         )
         return out_l, out_r
 
+    return kernel_spectra, eq_channel, eq_pair
+
+
+def shelf_eq_streaming(
+    buf_cn: jnp.ndarray,
+    n0: int,
+    rate: int,
+    bass_gain,
+    treble_gain,
+    d_rows: int = DEFAULT_D_ROWS,
+) -> jnp.ndarray:
+    """Exact-length circular shelf EQ of a (C, n_total) device buffer.
+
+    The signal occupies ``[0, n0)`` of the buffer (positions beyond are
+    ignored and return as zeros).  Matches ``ops.filters.apply_shelf_eq``
+    at length n0 to float32 round-off; bounded FFT workspace regardless of
+    n0.  Channels run sequentially to cap peak HBM.
+    """
+    c_count, n_total = int(buf_cn.shape[0]), int(buf_cn.shape[1])
+    if n0 < 2:
+        return buf_cn
+    if n0 >= (1 << 30):
+        raise ValueError("exact streaming EQ supports n0 < 2^30")
+    m = fft_length_for(n0)
+    d = min(d_rows, m)
+    b = m // d
+
+    kernel_spectra, eq_channel, eq_pair = _compiled_eq(n0, rate, d, b, n_total)
     kf, ki = kernel_spectra()
     bg = jnp.float32(bass_gain)
     tg = jnp.float32(treble_gain)
