@@ -211,10 +211,13 @@ def main(argv=None) -> int:
         from ..parallel.streaming import render_streaming
 
         try:
+            # without binaural post-processing the output contract is PCM16,
+            # so quantize on device — halves the result download for long clips
             out, metrics = render_streaming(
                 audio, rate, base_params, seed=args.seed,
                 chunk_seconds=args.chunk_seconds, with_metrics=True,
                 external_ir=external_ir, external_ir_rate=external_rate,
+                pcm16_output=not args.binaural,
             )
         except ValueError as e:
             print(f"error: {e}", file=sys.stderr)
@@ -223,8 +226,9 @@ def main(argv=None) -> int:
             from ..ops.binaural import binauralize
 
             out = binauralize(out, rate, base_params.target_layout)
+            out = np.clip(out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP)
         out_path = _format_output(args.output, 0)
-        wavio.write_audio(out_path, np.clip(out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
+        wavio.write_audio(out_path, out, rate)
         results.append({"output": out_path, "metrics": metrics})
     else:
         out, metrics = pipeline.render(

@@ -113,12 +113,16 @@ def main(argv=None) -> int:
             schedule.append((rate, n_bucket, chunk_items, clip_base))
             clip_base += len(chunk_items)
 
-    def post_chunk(outs, chunk, rate, n_bucket):
-        """Trim, clip, binauralize, meter, and write one rendered chunk.
+    def post_chunk(outs, batch_metrics, chunk, rate, n_bucket):
+        """Trim and write one rendered chunk (binaural additionally
+        post-processes + meters on host).
 
-        Runs on a pool thread so the host DSP + PCM encode of batch *i*
-        overlaps the device step of batch *i+1* (the driver thread only
-        blocks on render_batch's device→host transfer).
+        Runs on a pool thread so the host work of batch *i* overlaps the
+        device step of batch *i+1* (the driver thread only blocks on
+        render_batch's device→host transfer).  On the non-binaural path
+        the device already quantized to int16 (half the transfer) and
+        metered each clip's true output span, so the host only trims the
+        bucket padding and writes bytes.
         """
         chunk_results = []
         for i, (name, frames) in enumerate(chunk):
@@ -131,14 +135,17 @@ def main(argv=None) -> int:
             out_path = os.path.join(args.output, out_name)
             # trim the bucket padding: real output = clip len + IR − 1
             real_len = frames + (outs.shape[1] - n_bucket)
-            trimmed = np.clip(
-                outs[i, :real_len], -config.OUTPUT_CLIP, config.OUTPUT_CLIP
-            )
+            trimmed = outs[i, :real_len]
             if args.binaural:
                 from ..ops.binaural import binauralize
 
+                trimmed = np.clip(
+                    trimmed, -config.OUTPUT_CLIP, config.OUTPUT_CLIP
+                )
                 trimmed = binauralize(trimmed, rate, p.target_layout)
-            metrics = calculate_audio_metrics(trimmed, rate)
+                metrics = calculate_audio_metrics(trimmed, rate)
+            else:
+                metrics = batch_metrics[i]
             wavio.write_audio(out_path, trimmed, rate)
             chunk_results.append({"output": out_path, "metrics": metrics})
         return chunk_results
@@ -165,12 +172,24 @@ def main(argv=None) -> int:
             stereo = _ensure_stereo_host(data)[:n_bucket]
             clips[i, : stereo.shape[0], :] = stereo
 
-        outs = render_batch(
-            clips, rate, p,
-            seeds=[args.seed + base + i for i in range(len(chunk))],
-            fast_filters=True,
+        if args.binaural:
+            # binaural post-processing runs on host floats and re-meters
+            outs = render_batch(
+                clips, rate, p,
+                seeds=[args.seed + base + i for i in range(len(chunk))],
+                fast_filters=True,
+            )
+            batch_metrics = None
+        else:
+            outs, batch_metrics = render_batch(
+                clips, rate, p,
+                seeds=[args.seed + base + i for i in range(len(chunk))],
+                fast_filters=True, with_metrics=True, pcm16_output=True,
+                clip_lengths=[min(frames, n_bucket) for _, frames in chunk],
+            )
+        post_futures.append(
+            io_pool.submit(post_chunk, outs, batch_metrics, chunk, rate, n_bucket)
         )
-        post_futures.append(io_pool.submit(post_chunk, outs, chunk, rate, n_bucket))
         audio_seconds += sum(frames for _, frames in chunk) / rate
 
     results = [r for f in post_futures for r in f.result()]

@@ -91,11 +91,17 @@ def block_mean_squares(signal: jnp.ndarray, rate: int) -> jnp.ndarray:
     return block_energy / (kw.BLOCK_SECONDS * rate)
 
 
-def gated_loudness_from_blocks(z: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+def gated_loudness_from_blocks(
+    z: jnp.ndarray, w: jnp.ndarray, valid: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """BS.1770 two-stage gating over per-block mean squares z (C, J).
 
     Shared by the single-device meter and the sequence-parallel meter
     (parallel.long_render), which assemble z differently.
+
+    ``valid`` (J,) bool, optional: blocks to include in the measurement —
+    the masked meter of zero-padded batch buckets (audio_metrics_masked)
+    passes the blocks that lie inside the clip's true output length.
     """
     weighted = jnp.einsum("c,cj->j", w, z, precision=jax.lax.Precision.HIGHEST)
     block_loudness = kw.LOUDNESS_OFFSET + 10.0 * jnp.log10(
@@ -110,14 +116,18 @@ def gated_loudness_from_blocks(z: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
         )
         return jnp.where(count > 0, loud, -jnp.inf), count
 
-    abs_mask = (block_loudness >= kw.ABSOLUTE_GATE_LUFS).astype(jnp.float32)
-    abs_loud, abs_count = gated_mean(abs_mask)
+    abs_mask = block_loudness >= kw.ABSOLUTE_GATE_LUFS
+    if valid is not None:
+        abs_mask = abs_mask & valid
+    abs_loud, abs_count = gated_mean(abs_mask.astype(jnp.float32))
     gamma_r = abs_loud + kw.RELATIVE_GATE_LU
 
-    rel_mask = (
-        (block_loudness > gamma_r) & (block_loudness > kw.ABSOLUTE_GATE_LUFS)
-    ).astype(jnp.float32)
-    loud, count = gated_mean(rel_mask)
+    rel_mask = (block_loudness > gamma_r) & (
+        block_loudness > kw.ABSOLUTE_GATE_LUFS
+    )
+    if valid is not None:
+        rel_mask = rel_mask & valid
+    loud, count = gated_mean(rel_mask.astype(jnp.float32))
     return jnp.where((abs_count > 0) & (count > 0), loud, -jnp.inf).astype(jnp.float32)
 
 
@@ -142,6 +152,76 @@ def integrated_loudness(
     if z.shape[-1] == 0:
         return jnp.float32(-jnp.inf)
     return gated_loudness_from_blocks(z, w)
+
+
+def _masked_block_mean_squares(
+    signal: jnp.ndarray, rate: int, valid_len: jnp.ndarray
+) -> jnp.ndarray:
+    """block_mean_squares over ``signal[..., :valid_len]`` — the static block
+    grid comes from the PADDED length; each block's upper bound clamps to the
+    traced ``valid_len`` (pyloudnorm truncates a final partial block the same
+    way, metering/loudness._block_bounds).  Samples past valid_len never
+    enter any gathered prefix, so zero-padding junk (FFT roundoff in the
+    batch bucket's tail) cannot leak into block energies."""
+    n = signal.shape[-1]
+    lo, hi, num_blocks = _block_bounds(n, rate)
+    if num_blocks <= 0:
+        return jnp.zeros(signal.shape[:-1] + (0,), dtype=jnp.float32)
+    energy = jnp.cumsum(jnp.square(signal), axis=-1)
+    padded = jnp.concatenate(
+        [jnp.zeros(signal.shape[:-1] + (1,), energy.dtype), energy], axis=-1
+    )
+    hi_c = jnp.minimum(jnp.asarray(hi, dtype=jnp.int32), valid_len)
+    lo_c = jnp.minimum(jnp.asarray(lo, dtype=jnp.int32), valid_len)
+    block_energy = padded[..., hi_c] - padded[..., lo_c]
+    return block_energy / (kw.BLOCK_SECONDS * rate)
+
+
+def audio_metrics_masked(
+    data_cn: jnp.ndarray,
+    rate: int,
+    valid_len: jnp.ndarray,
+    valid_blocks: jnp.ndarray,
+) -> dict:
+    """``audio_metrics`` of ``data_cn[:, :valid_len]`` without slicing —
+    shape-static, so a batch of clips padded to one bucket length can meter
+    each clip's TRUE output length under one vmap (parallel.sharding).
+
+    ``valid_len``: traced int32 scalar, the clip's true sample count.
+    ``valid_blocks``: traced int32 scalar, ``kw.block_count(valid_len, rate)``
+    — computed on HOST (the rounding in block_count is float64 host math;
+    reproducing it on device in float32 could disagree at block boundaries).
+
+    Assumes the tail ``data_cn[:, valid_len:]`` is (near-)zero padding: the
+    sample peak is taken over the full buffer (exact-zero or roundoff-level
+    tails cannot raise it), RMS divides the full-buffer energy by
+    ``valid_len``, and gating blocks are masked to the first valid_blocks.
+    """
+    num_channels = data_cn.shape[0]
+    mono = data_cn[0] if num_channels == 1 else jnp.mean(data_cn[:2], axis=0)
+
+    filtered = k_weight(mono[None, :], rate)
+    z = _masked_block_mean_squares(filtered, rate, valid_len)
+    if z.shape[-1] == 0:
+        lufs = jnp.float32(-jnp.inf)
+    else:
+        valid = jnp.arange(z.shape[-1], dtype=jnp.int32) < valid_blocks
+        lufs = gated_loudness_from_blocks(
+            z, jnp.ones(1, jnp.float32), valid=valid
+        )
+        lufs = jnp.where(valid_blocks > 0, lufs, -jnp.inf)
+    lufs = jnp.where(jnp.max(jnp.abs(mono)) < 1e-6, -jnp.inf, lufs)
+
+    sq = jnp.sum(jnp.square(data_cn))
+    rms = jnp.sqrt(sq / jnp.maximum(valid_len * num_channels, 1))
+    rms_db = jnp.where(
+        rms > 1e-15, 20.0 * jnp.log10(jnp.maximum(rms, 1e-30)), -jnp.inf
+    ).astype(jnp.float32)
+    return {
+        "lufs": lufs,
+        "true_peak_dbfs": sample_peak_dbfs(data_cn),
+        "rms_dbfs": rms_db,
+    }
 
 
 def sample_peak_dbfs(data: jnp.ndarray) -> jnp.ndarray:

@@ -212,6 +212,20 @@ def external_graph(
     return _mix_eq_spatial(dry, wet, scal, spec)
 
 
+def quantize_pcm16(x: jnp.ndarray) -> jnp.ndarray:
+    """The 16-bit output contract on device (raytracer_studio.py:1082-1084 +
+    libsndfile conversion semantics): clip ±OUTPUT_CLIP, ×32768 (a power-of-
+    two float32 multiply — exact), round-half-even, saturate to int16.
+
+    Bit-identical to ``np.clip(x, ±OUTPUT_CLIP)`` → ``wavio.encode_pcm16``
+    on the host (XLA's rint is round-nearest-even like lrintf), so callers
+    can transfer int16 results at half the device→host bytes and hand them
+    straight to ``wavio.write``/``write_audio``."""
+    x = jnp.clip(x, -config.OUTPUT_CLIP, config.OUTPUT_CLIP)
+    scaled = jnp.rint(x * jnp.float32(32768.0))
+    return jnp.clip(scaled, -32768.0, 32767.0).astype(jnp.int16)
+
+
 _render_internal_core = jax.jit(internal_graph, static_argnames=("ir_shape", "spec"))
 _render_external_core = jax.jit(external_graph, static_argnames=("spec",))
 

@@ -36,62 +36,90 @@ def _stack_pytrees(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
-@functools.partial(jax.jit, static_argnames=("ir_shape", "spec", "with_metrics"))
+def _metrics_and_quantize(out, spec, with_metrics, pcm16, vlen, vblocks):
+    """Shared per-clip epilogue: meter (masked to the clip's true output
+    length when given — zero-padded bucket tails stay out of the
+    measurement) and optionally quantize to the int16 output contract on
+    device (halves the device→host result transfer)."""
+    metrics = None
+    if with_metrics:
+        metrics = (
+            loudness.audio_metrics_masked(out, spec.rate, vlen, vblocks)
+            if vlen is not None
+            else loudness.audio_metrics(out, spec.rate)
+        )
+    if pcm16:
+        out = pipeline.quantize_pcm16(out)
+    return out, metrics
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ir_shape", "spec", "with_metrics", "pcm16")
+)
 def _batched_internal(
     audio_bcn: jnp.ndarray,
     keys: jnp.ndarray,
     ir_scalars,
     mix_scalars,
+    valid_lens=None,
+    valid_blocks=None,
     *,
     ir_shape: ir_synth.IRShape,
     spec: pipeline.StaticSpec,
     with_metrics: bool,
+    pcm16: bool = False,
 ):
     spec = spec._replace(pow2_conv=True)  # 3·2^k grids mis-tile under vmap
 
-    def one(audio_cn, seed, ir_sc, mix_sc):
+    def one(audio_cn, seed, ir_sc, mix_sc, vlen, vblocks):
         delays, strengths, noise = ir_synth.hash_draws(seed, ir_shape)
         out = pipeline.internal_graph(
             audio_cn, delays, strengths, noise, ir_sc, mix_sc,
             ir_shape=ir_shape, spec=spec,
         )
-        if with_metrics:
-            return out, loudness.audio_metrics(out, spec.rate)
-        return out, None
+        return _metrics_and_quantize(out, spec, with_metrics, pcm16, vlen, vblocks)
 
-    return jax.vmap(one)(audio_bcn, keys, ir_scalars, mix_scalars)
+    return jax.vmap(one)(
+        audio_bcn, keys, ir_scalars, mix_scalars, valid_lens, valid_blocks
+    )
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "with_metrics"))
+@functools.partial(jax.jit, static_argnames=("spec", "with_metrics", "pcm16"))
 def _batched_external(
     audio_bcn: jnp.ndarray,
     ir_cn: jnp.ndarray,
     mix_scalars,
+    valid_lens=None,
+    valid_blocks=None,
     *,
     spec: pipeline.StaticSpec,
     with_metrics: bool,
+    pcm16: bool = False,
 ):
     """Batched external-IR render: every clip convolved with the shared IR."""
 
-    def one(audio_cn, mix_sc):
+    def one(audio_cn, mix_sc, vlen, vblocks):
         out = pipeline.external_graph(audio_cn, ir_cn, mix_sc, spec=spec)
-        if with_metrics:
-            return out, loudness.audio_metrics(out, spec.rate)
-        return out, None
+        return _metrics_and_quantize(out, spec, with_metrics, pcm16, vlen, vblocks)
 
-    return jax.vmap(one)(audio_bcn, mix_scalars)
+    return jax.vmap(one)(audio_bcn, mix_scalars, valid_lens, valid_blocks)
 
 
-@functools.partial(jax.jit, static_argnames=("ir_shape", "spec", "with_metrics"))
+@functools.partial(
+    jax.jit, static_argnames=("ir_shape", "spec", "with_metrics", "pcm16")
+)
 def _batched_internal_pallas(
     audio_bcn: jnp.ndarray,
     seeds: jnp.ndarray,
     ir_scalars,
     mix_scalars,
+    valid_lens=None,
+    valid_blocks=None,
     *,
     ir_shape: ir_synth.IRShape,
     spec: pipeline.StaticSpec,
     with_metrics: bool,
+    pcm16: bool = False,
 ):
     """Batched render with the fused Pallas RIR bank as the IR source."""
     from ..ops.ir_synth_pallas import fused_rir_bank
@@ -99,15 +127,15 @@ def _batched_internal_pallas(
     spec = spec._replace(pow2_conv=True)  # 3·2^k grids mis-tile under vmap
     early_bank, late_bank = fused_rir_bank(seeds, ir_shape, ir_scalars)
 
-    def one(audio_cn, early_ir, late_ir, mix_sc):
+    def one(audio_cn, early_ir, late_ir, mix_sc, vlen, vblocks):
         out = pipeline.internal_graph_with_irs(
             audio_cn, early_ir, late_ir, mix_sc, spec=spec
         )
-        if with_metrics:
-            return out, loudness.audio_metrics(out, spec.rate)
-        return out, None
+        return _metrics_and_quantize(out, spec, with_metrics, pcm16, vlen, vblocks)
 
-    return jax.vmap(one)(audio_bcn, early_bank, late_bank, mix_scalars)
+    return jax.vmap(one)(
+        audio_bcn, early_bank, late_bank, mix_scalars, valid_lens, valid_blocks
+    )
 
 
 def _sharded_internal_pallas(
@@ -165,6 +193,8 @@ def render_batch(
     fast_filters: bool = False,
     external_ir: Optional[np.ndarray] = None,
     external_ir_rate: Optional[int] = None,
+    clip_lengths: Optional[Sequence[int]] = None,
+    pcm16_output: bool = False,
 ):
     """Render a batch of clips (B, N) or (B, N, C) through one SPMD program.
 
@@ -176,8 +206,17 @@ def render_batch(
     "pallas" (fused RIR-bank kernel; its own PRNG stream — see
     ops.ir_synth_pallas).
 
-    Returns (B, len_out, channels) float32 — plus a list of per-clip metric
-    dicts when ``with_metrics``.
+    ``clip_lengths``: per-clip TRUE input sample counts when the batch is
+    zero-padded to one bucket length (cli.render_dir) — metrics then measure
+    each clip's true output span ``clip_len + ir_len − 1`` instead of the
+    padded buffer (on-device masked meter; no host re-upload).
+
+    ``pcm16_output=True`` quantizes to the 16-bit output contract on device
+    (models.pipeline.quantize_pcm16 — bit-identical to host quantization)
+    and returns int16, halving the device→host result transfer.
+
+    Returns (B, len_out, channels) float32 (int16 with ``pcm16_output``) —
+    plus a list of per-clip metric dicts when ``with_metrics``.
     """
     audio = np.asarray(audio, dtype=np.float32)
     if audio.ndim == 2:
@@ -194,6 +233,23 @@ def render_batch(
     clips = [pipeline._ensure_stereo_host(audio[i]) for i in range(batch)]
     n_in = clips[0].shape[0]
     audio_bcn = jnp.asarray(np.stack([c.T for c in clips]))
+
+    if clip_lengths is not None and len(clip_lengths) != batch:
+        raise ValueError(f"{len(clip_lengths)} clip_lengths for batch of {batch}")
+
+    def _mask_arrays(ir_length: int):
+        """Per-clip true output lengths + gating-block counts (host ints —
+        block_count's rounding is float64 host math, see audio_metrics_masked)."""
+        if clip_lengths is None or not with_metrics:
+            return None, None
+        from ..metering import kweighting as kwm
+
+        vlens = [min(int(c), n_in) + ir_length - 1 for c in clip_lengths]
+        vblocks = [kwm.block_count(v, rate) for v in vlens]
+        return (
+            jnp.asarray(np.asarray(vlens, dtype=np.int32)),
+            jnp.asarray(np.asarray(vblocks, dtype=np.int32)),
+        )
 
     if any(p.use_external_ir for p in param_list):
         if not all(p.use_external_ir for p in param_list):
@@ -223,13 +279,17 @@ def render_batch(
         mix_scalars = _stack_pytrees(
             [pipeline._mix_scalars(p, 1.0, 1.0) for p in param_list]
         )
+        vlens, vblocks = _mask_arrays(ir.shape[0])
         if device_mesh is not None:
             bs = meshlib.batch_sharding(device_mesh)
             audio_bcn = jax.device_put(audio_bcn, bs)
             mix_scalars = jax.device_put(mix_scalars, bs)
+            if vlens is not None:
+                vlens = jax.device_put(vlens, bs)
+                vblocks = jax.device_put(vblocks, bs)
         out, metrics = _batched_external(
-            audio_bcn, jnp.asarray(ir.T), mix_scalars,
-            spec=spec0, with_metrics=with_metrics,
+            audio_bcn, jnp.asarray(ir.T), mix_scalars, vlens, vblocks,
+            spec=spec0, with_metrics=with_metrics, pcm16=pcm16_output,
         )
         result = np.asarray(out).transpose(0, 2, 1)
         if with_metrics:
@@ -265,6 +325,7 @@ def render_batch(
     batched_fn = (
         _batched_internal_pallas if ir_backend == "pallas" else _batched_internal
     )
+    vlens, vblocks = _mask_arrays(spec0.ir_length)
 
     if device_mesh is not None:
         num_devices = device_mesh.shape[meshlib.DATA_AXIS]
@@ -275,8 +336,16 @@ def render_batch(
         keys = jax.device_put(keys, bs)
         ir_scalars = jax.device_put(ir_scalars, bs)
         mix_scalars = jax.device_put(mix_scalars, bs)
+        if vlens is not None:
+            vlens = jax.device_put(vlens, bs)
+            vblocks = jax.device_put(vblocks, bs)
 
     if ir_backend == "pallas" and device_mesh is not None:
+        if vlens is not None or pcm16_output:
+            raise ValueError(
+                "clip_lengths/pcm16_output are not supported on the "
+                "shard_map Pallas path (render_dir runs meshless)"
+            )
         out, metrics = _sharded_internal_pallas(
             device_mesh,
             audio_bcn,
@@ -293,9 +362,12 @@ def render_batch(
             keys,
             ir_scalars,
             mix_scalars,
+            vlens,
+            vblocks,
             ir_shape=shape0,
             spec=spec0,
             with_metrics=with_metrics,
+            pcm16=pcm16_output,
         )
     result = np.asarray(out).transpose(0, 2, 1)
     if with_metrics:

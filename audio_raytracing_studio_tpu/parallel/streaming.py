@@ -157,6 +157,11 @@ def _slab_slice(buf, s, *, slab_len, n_ch):
     return jax.lax.dynamic_slice(buf, (0, s * slab_len), (n_ch, slab_len))
 
 
+# device-side PCM16 quantization (models.pipeline.quantize_pcm16): halves
+# the dominant device→host result transfer of a long streaming render
+_quantize_pcm16 = jax.jit(pipeline.quantize_pcm16)
+
+
 @functools.partial(
     jax.jit, static_argnames=("chunk", "n_ch", "slab_chunks")
 )
@@ -248,6 +253,7 @@ def render_streaming(
     external_ir: Optional[np.ndarray] = None,
     external_ir_rate: Optional[int] = None,
     return_output: bool = True,
+    pcm16_output: bool = False,
 ):
     """Render one long clip in bounded memory → (len_out, channels) float32.
 
@@ -261,6 +267,12 @@ def render_streaming(
     metrics readbacks still force the full render on device.  Use when the
     host only needs the measurement (or when benchmarking compute without
     the link bandwidth, e.g. through the remote dev tunnel).
+
+    ``pcm16_output=True`` quantizes to the 16-bit output contract ON DEVICE
+    (clip ±OUTPUT_CLIP → ×32768 round-half-even → saturate) and returns
+    int16 — bit-identical to quantizing the float32 return on host, at half
+    the device→host transfer.  Metrics are measured on the float signal as
+    always.  ``utils.wavio.write``/``write_audio`` accept int16 directly.
     """
     if not return_output and not with_metrics:
         raise ValueError("return_output=False requires with_metrics=True")
@@ -348,15 +360,19 @@ def render_streaming(
         layout=spec.layout, rate=spec.rate, len_out=len_out,
     )
 
+    def fetch_output():
+        buf = _quantize_pcm16(out_cn) if pcm16_output else out_cn
+        return np.asarray(buf[:, :len_out]).T
+
     if not with_metrics:
-        return np.asarray(out_cn[:, :len_out]).T
+        return fetch_output()
 
     metrics = _streaming_metrics(
         out_cn, rate, len_out, chunk, n_chunks, slab_chunks
     )
     if not return_output:
         return None, metrics
-    return np.asarray(out_cn[:, :len_out]).T, metrics
+    return fetch_output(), metrics
 
 
 def _streaming_metrics(

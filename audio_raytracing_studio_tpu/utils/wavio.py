@@ -434,6 +434,13 @@ def write_audio(
     end to end.
     """
     lower = str(path).lower()
+    if np.asarray(data).dtype == np.int16 and lower.endswith(
+        (".flac", ".ogg", ".mp3", ".aac", ".m4a", ".mp4")
+    ):
+        # compressed encoders are float end-to-end; ÷32768 is exactly
+        # invertible for every int16 value, so a device-quantized PCM16
+        # buffer loses nothing on the way in
+        data = decode_pcm16(np.asarray(data))
     if lower.endswith(".flac"):
         from . import flacio
 
@@ -464,7 +471,11 @@ def write(
     rate: int,
     subtype: str = "PCM_16",
 ) -> None:
-    """Write a WAV file. ``data`` is (samples,) or (samples, channels) float.
+    """Write a WAV file. ``data`` is (samples,) or (samples, channels) float —
+    or int16, taken as already-quantized PCM16 samples (the device-side
+    quantization path: parallel.streaming renders can hand back int16 to
+    halve the device→host transfer; the bits are identical to
+    ``encode_pcm16`` of the float output by construction).
 
     subtype: "PCM_16" (default output contract) or "FLOAT".
     """
@@ -473,8 +484,14 @@ def write(
         data = data[:, np.newaxis]
     frames, channels = data.shape
 
+    if data.dtype == np.int16 and subtype == "FLOAT":
+        data = decode_pcm16(data)
     if subtype == "PCM_16":
-        payload = encode_pcm16(data).astype("<i2").tobytes()
+        payload = (
+            data.astype("<i2").tobytes()
+            if data.dtype == np.int16
+            else encode_pcm16(data).astype("<i2").tobytes()
+        )
         bits = 16
         fmt_tag = WAVE_FORMAT_PCM
     elif subtype == "FLOAT":

@@ -331,6 +331,35 @@ class TestCLIPresetFlow:
         assert rc == 2
         assert "--stream" in capsys.readouterr().err
 
+    def test_stream_writes_device_quantized_wav(self, wav_file, tmp_path, capsys):
+        """The --stream branch quantizes PCM16 on device; the written WAV
+        must be bit-identical to the host-quantized float render."""
+        from audio_raytracing_studio_tpu import config
+        from audio_raytracing_studio_tpu.cli.render import main
+        from audio_raytracing_studio_tpu.parallel.streaming import render_streaming
+        from audio_raytracing_studio_tpu.utils import wavio
+
+        out_path = tmp_path / "s.wav"
+        rc = main([wav_file, str(out_path), "--stream", "--seed", "3",
+                   "--bass-gain", "1.6", "--chunk-seconds", "0.4"])
+        assert rc == 0
+        got, rate = wavio.read(out_path)
+
+        audio, in_rate = wavio.read(wav_file)
+        from audio_raytracing_studio_tpu.params import RenderParams
+
+        ref_float = render_streaming(
+            audio, in_rate, RenderParams(bass_gain=1.6), seed=3,
+            chunk_seconds=0.4,
+        )
+        want = wavio.decode_pcm16(
+            wavio.encode_pcm16(
+                np.clip(ref_float, -config.OUTPUT_CLIP, config.OUTPUT_CLIP)
+            )
+        )
+        assert rate == in_rate
+        assert np.array_equal(got, want)
+
 
 class TestRenderDir:
     def test_directory_batch(self, tmp_path, rng, capsys):

@@ -75,6 +75,45 @@ def test_audio_metrics_matches_oracle(rng, tone48k):
     assert float(ours["rms_dbfs"]) == pytest.approx(ref["rms_dbfs"], abs=1e-3)
 
 
+def test_masked_metrics_match_trimmed(rng):
+    """audio_metrics_masked over a zero-padded buffer == audio_metrics over
+    the trimmed signal (the batch-bucket metering path)."""
+    from audio_raytracing_studio_tpu.metering import kweighting as kw
+
+    rate = 16000
+    x = make_signal(rng, 1.3, rate, channels=2).T  # (C, n)
+    valid = x.shape[1]
+    padded = np.concatenate([x, np.zeros((2, 5000), np.float32)], axis=1)
+    ref = jl.audio_metrics(jnp.asarray(x), rate)
+    got = jl.audio_metrics_masked(
+        jnp.asarray(padded), rate,
+        jnp.int32(valid), jnp.int32(kw.block_count(valid, rate)),
+    )
+    assert float(got["lufs"]) == pytest.approx(float(ref["lufs"]), abs=1e-3)
+    assert float(got["true_peak_dbfs"]) == pytest.approx(
+        float(ref["true_peak_dbfs"]), abs=1e-5
+    )
+    assert float(got["rms_dbfs"]) == pytest.approx(
+        float(ref["rms_dbfs"]), abs=1e-4
+    )
+
+
+def test_masked_metrics_short_clip_gates_out(rng):
+    """valid_len below one 400 ms gating block → LUFS −inf, like trimming."""
+    from audio_raytracing_studio_tpu.metering import kweighting as kw
+
+    rate = 16000
+    x = make_signal(rng, 0.2, rate, channels=1).T
+    valid = x.shape[1]
+    padded = np.concatenate([x, np.zeros((1, rate), np.float32)], axis=1)
+    got = jl.audio_metrics_masked(
+        jnp.asarray(padded), rate,
+        jnp.int32(valid), jnp.int32(kw.block_count(valid, rate)),
+    )
+    assert np.isneginf(float(got["lufs"]))
+    assert np.isfinite(float(got["rms_dbfs"]))
+
+
 def test_oversampled_true_peak_exceeds_sample_peak():
     """An inter-sample peak invisible to sample metering is caught at 4x."""
     rate = 48000

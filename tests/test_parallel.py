@@ -120,6 +120,53 @@ class TestBatchedRender:
             assert m["true_peak_dbfs"] < 0.1
             assert np.isfinite(m["rms_dbfs"])
 
+    def test_clip_lengths_masked_metrics(self, rng):
+        """Zero-padded bucket clips meter their TRUE output span on device
+        (the render_dir path) — matches metering the trimmed output."""
+        from audio_raytracing_studio_tpu.metering import loudness as jl
+
+        clips, rate = short_clips(rng, 2, seconds=1.0)
+        true_lens = [clips.shape[1], int(0.62 * rate)]
+        clips[1, true_lens[1]:] = 0.0
+        p = RenderParams(target_layout="Stereo", room_size=50.0)
+        outs, metrics = sharding.render_batch(
+            clips, rate, p, seeds=[0, 1], with_metrics=True,
+            clip_lengths=true_lens,
+        )
+        l_minus_1 = outs.shape[1] - clips.shape[1]
+        for i in range(2):
+            real_len = true_lens[i] + l_minus_1
+            ref = jl.audio_metrics(jnp.asarray(outs[i, :real_len].T), rate)
+            assert metrics[i]["lufs"] == pytest.approx(
+                float(ref["lufs"]), abs=1e-3
+            )
+            assert metrics[i]["true_peak_dbfs"] == pytest.approx(
+                float(ref["true_peak_dbfs"]), abs=1e-4
+            )
+            assert metrics[i]["rms_dbfs"] == pytest.approx(
+                float(ref["rms_dbfs"]), abs=1e-3
+            )
+        # the padded clip's metrics genuinely differ from padded metering
+        padded = jl.audio_metrics(jnp.asarray(outs[1].T), rate)
+        assert abs(metrics[1]["rms_dbfs"] - float(padded["rms_dbfs"])) > 0.5
+
+    def test_pcm16_output_bit_identical(self, rng):
+        """Device-quantized batch output == host-quantized float output."""
+        from audio_raytracing_studio_tpu import config
+        from audio_raytracing_studio_tpu.utils import wavio
+
+        clips, rate = short_clips(rng, 3, seconds=0.5)
+        p = RenderParams(target_layout="5.1 (Standard)", room_size=50.0)
+        f = sharding.render_batch(clips, rate, p, seeds=[0, 1, 2])
+        q = sharding.render_batch(
+            clips, rate, p, seeds=[0, 1, 2], pcm16_output=True
+        )
+        assert q.dtype == np.int16 and q.shape == f.shape
+        host = wavio.encode_pcm16(
+            np.clip(f, -config.OUTPUT_CLIP, config.OUTPUT_CLIP)
+        )
+        assert np.array_equal(q, host)
+
 
 class TestBatchedExternal:
     def test_external_batch_matches_single(self, rng):

@@ -86,6 +86,43 @@ class TestStreaming:
         ref = loudness.audio_metrics(jnp.asarray(out.T), rate)
         assert metrics["lufs"] == pytest.approx(float(ref["lufs"]), abs=0.02)
 
+    def test_pcm16_output_bit_identical(self, rng):
+        """Device-side PCM16 quantization returns exactly the bits the host
+        contract produces (clip ±OUTPUT_CLIP → wavio.encode_pcm16), at half
+        the device→host transfer."""
+        from audio_raytracing_studio_tpu import config
+        from audio_raytracing_studio_tpu.utils import wavio
+
+        rate = 16000
+        x = clip(rng, 1.2, rate)
+        p = RenderParams(target_layout="5.1 (Standard)", room_size=80.0,
+                         bass_gain=1.6, treble_gain=0.7)
+        f = streaming.render_streaming(x, rate, p, seed=4, chunk_seconds=0.4)
+        q = streaming.render_streaming(
+            x, rate, p, seed=4, chunk_seconds=0.4, pcm16_output=True
+        )
+        assert q.dtype == np.int16 and q.shape == f.shape
+        host = wavio.encode_pcm16(
+            np.clip(f, -config.OUTPUT_CLIP, config.OUTPUT_CLIP)
+        )
+        assert np.array_equal(q, host)
+
+    def test_pcm16_output_with_metrics(self, rng):
+        """Metrics still measure the float signal when the output returns
+        quantized."""
+        rate = 16000
+        x = clip(rng, 1.0, rate)
+        p = RenderParams(target_layout="Stereo", room_size=60.0)
+        out_f, m_f = streaming.render_streaming(
+            x, rate, p, seed=1, chunk_seconds=0.5, with_metrics=True
+        )
+        out_q, m_q = streaming.render_streaming(
+            x, rate, p, seed=1, chunk_seconds=0.5, with_metrics=True,
+            pcm16_output=True,
+        )
+        assert out_q.dtype == np.int16
+        assert m_q == m_f
+
     def test_metrics_match_single_device_meter(self, rng):
         import jax.numpy as jnp
         from audio_raytracing_studio_tpu.metering import loudness as jl

@@ -45,6 +45,30 @@ def test_mono_1d_input(tmp_path):
     assert y.shape == (100, 1)  # always_2d semantics
 
 
+def test_int16_passthrough_bit_identical(tmp_path, rng):
+    """Pre-quantized int16 input (the device-side PCM16 path) writes the
+    same bytes as the float path run through encode_pcm16."""
+    x = (rng.uniform(-1.0, 1.0, size=(2000, 6))).astype(np.float32)
+    p_float = tmp_path / "f.wav"
+    p_int = tmp_path / "i.wav"
+    wavio.write(p_float, x, 48000, subtype="PCM_16")
+    wavio.write(p_int, wavio.encode_pcm16(x), 48000, subtype="PCM_16")
+    assert p_float.read_bytes() == p_int.read_bytes()
+
+
+def test_int16_input_to_compressed_targets(tmp_path, rng):
+    """write_audio with int16 input routes through the float encoders
+    losslessly (÷32768 is exactly invertible): FLAC output matches the
+    float-input FLAC bit for bit."""
+    x = (rng.uniform(-0.9, 0.9, size=(3000, 2))).astype(np.float32)
+    q = wavio.encode_pcm16(x)
+    a = tmp_path / "a.flac"
+    b = tmp_path / "b.flac"
+    wavio.write_audio(a, wavio.decode_pcm16(q), 16000)
+    wavio.write_audio(b, q, 16000)
+    assert a.read_bytes() == b.read_bytes()
+
+
 def test_quantization_round_half_even():
     # 0.5/32768*1.0 scale: value exactly halfway rounds to even (lrintf semantics)
     x = np.array([1.5 / 32768.0, 2.5 / 32768.0], dtype=np.float64)
