@@ -30,8 +30,14 @@ from ..analysis.metrics import calculate_audio_metrics
 from ..utils import wavio
 
 
-def analyze(path: str, backend: str = "jax") -> dict:
-    """Rate / channels / duration / LUFS — analyser.py:50-70 equivalents."""
+def analyze(path: str, backend: str = "jax", true_peak: bool = False) -> dict:
+    """Rate / channels / duration / LUFS — analyser.py:50-70 equivalents.
+
+    ``true_peak=True`` additionally reports the 4× oversampled inter-sample
+    true peak (BS.1770 Annex 2, metering.loudness.oversampled_true_peak_dbfs)
+    — a rebuild extension: the reference's "Peak" is the plain sample peak
+    despite its label (raytracer_studio.py:695-697), kept as-is for parity.
+    """
     data, rate = wavio.read(path)  # one decode: meta derives from the data
     meta = {
         "samplerate": rate,
@@ -41,7 +47,7 @@ def analyze(path: str, backend: str = "jax") -> dict:
     metrics = calculate_audio_metrics(data, rate, backend=backend)
     lufs = metrics["lufs"]
     peak = metrics["true_peak_dbfs"]
-    return {
+    result = {
         "Pfad": str(path),
         "Abtastrate": meta["samplerate"],
         "Kanäle": meta["channels"],
@@ -50,6 +56,15 @@ def analyze(path: str, backend: str = "jax") -> dict:
         "Peak (dBFS)": round(peak, 2)
         if peak is not None and np.isfinite(peak) else "-inf",
     }
+    if true_peak:
+        import jax
+        import jax.numpy as jnp
+
+        from ..metering.loudness import oversampled_true_peak_dbfs
+
+        tp = float(jax.jit(oversampled_true_peak_dbfs)(jnp.asarray(data.T)))
+        result["True Peak 4x (dBTP)"] = round(tp, 2) if np.isfinite(tp) else "-inf"
+    return result
 
 
 def normalize_to_lufs(
@@ -153,6 +168,10 @@ def main(argv=None) -> int:
     a = sub.add_parser("analyze", help="rate/channels/duration/LUFS")
     a.add_argument("input")
     a.add_argument("--backend", default="jax", choices=["jax", "oracle"])
+    a.add_argument(
+        "--true-peak", action="store_true",
+        help="also report the 4x oversampled inter-sample true peak (dBTP)",
+    )
 
     n = sub.add_parser("normalize", help="normalize to target LUFS")
     n.add_argument("input")
@@ -175,7 +194,10 @@ def main(argv=None) -> int:
     ensure_backend()
     try:
         if args.cmd == "analyze":
-            print(json.dumps(analyze(args.input, args.backend), ensure_ascii=False, indent=2))
+            print(json.dumps(
+                analyze(args.input, args.backend, true_peak=args.true_peak),
+                ensure_ascii=False, indent=2,
+            ))
         elif args.cmd == "normalize":
             print(json.dumps(normalize_to_lufs(args.input, args.output, args.target, args.backend), indent=2))
         elif args.cmd == "convert":

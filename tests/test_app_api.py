@@ -266,6 +266,18 @@ class TestCLI:
         result = json.loads(capsys.readouterr().out)
         assert abs(result["output_lufs"] + 20.0) < 0.3
 
+    def test_analyzer_true_peak_flag(self, wav_file, capsys):
+        """--true-peak surfaces the 4x oversampled inter-sample peak (the
+        BS.1770 Annex 2 extension; the reference's 'Peak' is sample peak)."""
+        from audio_raytracing_studio_tpu.cli.analyzer import main
+
+        rc = main(["analyze", wav_file, "--true-peak"])
+        assert rc == 0
+        info = json.loads(capsys.readouterr().out)
+        tp = info["True Peak 4x (dBTP)"]
+        # inter-sample peak can only be >= the sample peak
+        assert float(tp) >= float(info["Peak (dBFS)"]) - 1e-6
+
 
 class TestCLIPresetFlow:
     def test_save_then_render_via_preset(self, wav_file, tmp_path, capsys):

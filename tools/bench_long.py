@@ -67,6 +67,24 @@ def bench_long(minutes: float, bass: float = 1.0, treble: float = 1.0) -> dict:
         x, rate, p, seed=1, chunk_seconds=30.0, with_metrics=True
     )
     e2e_wall = time.perf_counter() - start
+
+    # device-side PCM16 quantization: int16 result at half the transfer
+    # (bit-identical to host-quantizing `out` — asserted below)
+    start = time.perf_counter()
+    out16, _m = render_streaming(
+        x, rate, p, seed=1, chunk_seconds=30.0, with_metrics=True,
+        pcm16_output=True,
+    )
+    e2e16_wall = time.perf_counter() - start
+    import numpy as np
+
+    from audio_raytracing_studio_tpu import config
+    from audio_raytracing_studio_tpu.utils import wavio
+
+    host16 = wavio.encode_pcm16(
+        np.clip(out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP)
+    )
+    pcm16_exact = bool(np.array_equal(out16, host16))
     return {
         "metric": "streaming_long_render_realtime_factor",
         "minutes": minutes,
@@ -76,8 +94,12 @@ def bench_long(minutes: float, bass: float = 1.0, treble: float = 1.0) -> dict:
         "compute_wall_s": round(compute_wall, 2),
         "end_to_end": round(seconds / e2e_wall, 2),
         "end_to_end_wall_s": round(e2e_wall, 2),
+        "end_to_end_pcm16": round(seconds / e2e16_wall, 2),
+        "end_to_end_pcm16_wall_s": round(e2e16_wall, 2),
+        "pcm16_bit_identical": pcm16_exact,
         "out_shape": list(out.shape),
         "result_mb": round(out.nbytes / 1e6, 1),
+        "result_pcm16_mb": round(out16.nbytes / 1e6, 1),
         "metrics": metrics,
     }
 
