@@ -13,9 +13,24 @@ def ensure_backend() -> str:
     Some images pin JAX_PLATFORMS to an experimental TPU plugin that only
     registers under specific conditions; a CLI invoked elsewhere would die at
     first device use.  Try the configured backend, then fall back.
+
+    The axon TPU plugin ignores the JAX_PLATFORMS *environment variable*
+    (only ``jax.config.update("jax_platforms", ...)`` before backend init
+    takes effect) — so a subprocess launched with JAX_PLATFORMS=cpu would
+    still initialize the TPU plugin, and when the device tunnel is degraded
+    that init can hang in retry sleeps for minutes.  Honor the env var
+    through the config path first.
     """
+    import os
+
     import jax
 
+    env_pf = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if env_pf:
+        try:
+            jax.config.update("jax_platforms", env_pf)
+        except Exception:  # already initialized: keep the active backend
+            pass
     try:
         jax.devices()
         return jax.default_backend()

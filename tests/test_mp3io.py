@@ -236,6 +236,7 @@ class TestProductSurface:
             capture_output=True,
             text=True,
             cwd="/root/repo",
+            timeout=600,  # a degraded TPU tunnel must fail this test, not hang the suite
         )
         assert proc.returncode == 0, proc.stderr
         y, got_rate = wavio.read(out)
