@@ -189,6 +189,39 @@ class TestBatchedExternal:
             single = pipeline.render(clips[i], rate, p, external_ir=ir)
             np.testing.assert_allclose(out[i], single, atol=2e-5)
 
+    def test_external_pcm16_and_masked_metrics(self, rng):
+        """The external-IR batch path supports device PCM16 and the masked
+        meter too (same epilogue as the internal path)."""
+        from audio_raytracing_studio_tpu import config
+        from audio_raytracing_studio_tpu.metering import loudness as jl
+        from audio_raytracing_studio_tpu.utils import wavio
+
+        rate = 16000
+        t = np.arange(rate // 2) / rate
+        clips = np.stack(
+            [(0.4 * np.sin(2 * np.pi * (220 + 60 * i) * t)).astype(np.float32)
+             for i in range(2)]
+        )
+        true_lens = [clips.shape[1], int(0.3 * rate)]
+        clips[1, true_lens[1]:] = 0.0
+        ir = (rng.standard_normal((800, 2)) * 0.2).astype(np.float32)
+        p = RenderParams(use_external_ir=True, target_layout="Stereo", dry_wet=0.6)
+        f = sharding.render_batch(clips, rate, p, external_ir=ir)
+        q, metrics = sharding.render_batch(
+            clips, rate, p, external_ir=ir, with_metrics=True,
+            pcm16_output=True, clip_lengths=true_lens,
+        )
+        assert q.dtype == np.int16
+        host = wavio.encode_pcm16(
+            np.clip(f, -config.OUTPUT_CLIP, config.OUTPUT_CLIP)
+        )
+        assert np.array_equal(q, host)
+        real_len = true_lens[1] + ir.shape[0] - 1
+        ref = jl.audio_metrics(jnp.asarray(f[1, :real_len].T), rate)
+        assert metrics[1]["rms_dbfs"] == pytest.approx(
+            float(ref["rms_dbfs"]), abs=1e-3
+        )
+
     def test_external_layout_mismatch_rejected(self, rng):
         """Review regression: the external path silently rendered every clip
         with clip 0's layout instead of raising like the internal path."""
