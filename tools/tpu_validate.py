@@ -101,6 +101,47 @@ def main() -> int:
     err = float(np.abs(y - ref).max())
     report("pair_packed_gain", err < 1e-5, max_err=err)
 
+    # --- 4: device-side PCM16 quantization + int16 device→host transfer
+    # (round 3): the axon backend has dtype-specific transfer gaps
+    # (complex64 is UNIMPLEMENTED both ways) — prove int16 readback works
+    # and the quantized bits equal the host contract exactly ---
+    from audio_raytracing_studio_tpu import config
+    from audio_raytracing_studio_tpu.models.pipeline import quantize_pcm16
+    from audio_raytracing_studio_tpu.utils import wavio
+
+    xq = (rng.standard_normal((6, 48000)).astype(np.float32) * 0.7)
+    xq[0, :3] = [1.5, -1.5, 0.99995]  # exercise saturation + clip edge
+    got = np.asarray(jax.jit(quantize_pcm16)(jnp.asarray(xq)))
+    want = wavio.encode_pcm16(np.clip(xq, -config.OUTPUT_CLIP, config.OUTPUT_CLIP))
+    report(
+        "device_pcm16_int16_transfer",
+        got.dtype == np.int16 and np.array_equal(got, want),
+        mismatches=int((got != want).sum()),
+    )
+
+    # --- 5: masked on-device metering (round 3) vs metering the trimmed
+    # signal — the render_dir batch-bucket path ---
+    from audio_raytracing_studio_tpu.metering import kweighting as kw
+    from audio_raytracing_studio_tpu.metering import loudness as jl
+
+    rate_m = 16000
+    sig = (0.4 * np.sin(2 * np.pi * 330 * np.arange(int(1.3 * rate_m)) / rate_m)
+           ).astype(np.float32)[None, :]
+    valid = sig.shape[1]
+    padded = np.concatenate([sig, np.zeros((1, 5000), np.float32)], axis=1)
+    masked_fn = jax.jit(
+        lambda d, vl, vb: jl.audio_metrics_masked(d, rate_m, vl, vb)
+    )
+    masked = masked_fn(
+        jnp.asarray(padded), jnp.int32(valid),
+        jnp.int32(kw.block_count(valid, rate_m)),
+    )
+    trimmed = jl.audio_metrics(jnp.asarray(sig), rate_m)
+    d_lufs = abs(float(masked["lufs"]) - float(trimmed["lufs"]))
+    d_rms = abs(float(masked["rms_dbfs"]) - float(trimmed["rms_dbfs"]))
+    report("masked_metrics_on_chip", d_lufs < 1e-3 and d_rms < 1e-3,
+           d_lufs=d_lufs, d_rms=d_rms)
+
     return 1 if failures else 0
 
 
