@@ -37,7 +37,51 @@ def _cpu_baseline_rtf() -> float:
         return 8.53  # measured 2026-08-16 on this image (tools/measure_cpu_baseline.py)
 
 
+def _probe_tpu(timeout_s: float) -> str | None:
+    """Bounded TPU-availability probe in a subprocess.
+
+    The axon plugin's init HANGS forever (not errors) when the TPU tunnel is
+    down (observed 2026-08-17), and it only registers from certain working
+    directories — so probe out-of-process, from the repo root, with a hard
+    timeout. Returns None if the backend came up, else a short reason string.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-u", "-c", "import jax; jax.devices()"],
+            cwd=REPO,
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return f"backend init hung >{timeout_s:.0f}s (TPU tunnel down?)"
+    if proc.returncode != 0:
+        tail = (proc.stderr or proc.stdout).strip().splitlines()
+        return f"backend init failed: {tail[-1] if tail else 'unknown error'}"
+    return None
+
+
 def main() -> None:
+    # Never hang the driver: if the TPU backend can't come up within the
+    # bound, still print the one contract JSON line (value 0 + error note).
+    if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
+        reason = _probe_tpu(float(os.environ.get("BENCH_PROBE_TIMEOUT", "180")))
+        if reason is not None:
+            print(
+                json.dumps(
+                    {
+                        "metric": "realtime_factor_60s48k_batched_per_chip",
+                        "value": 0.0,
+                        "unit": "audio_seconds_per_second",
+                        "vs_baseline": 0.0,
+                        "error": reason,
+                    }
+                )
+            )
+            return
+
     import jax
 
     try:  # warm-restart: persist compiled executables across bench runs
