@@ -59,6 +59,11 @@ _CONTENT_TYPES = {
 _MAX_UPLOAD = 512 * 1024 * 1024  # 512 MB — covers hour-scale WAV uploads
 
 
+class UnknownRouteTarget(Exception):
+    """Bad component id / no such listener — a 400, distinct from KeyErrors
+    raised inside application handlers (which must surface as 500s)."""
+
+
 def _jsonable(value: Any) -> Any:
     """Serialize a component value for the wire (paths stay strings)."""
     if value is None or isinstance(value, (bool, int, float, str)):
@@ -140,14 +145,42 @@ class StudioHTTPServer:
     def apply_sets(self, sets: Dict[str, Any]):
         for key, value in sets.items():
             comp = self.blocks.components[int(key)]
+            if isinstance(value, str) and value and not self._set_path_ok(value):
+                raise PermissionError(
+                    f"refusing client-set path for component {key}: {value!r}"
+                )
             comp.value = value
 
-    def fire(self, comp_id: int, event: str, index=None) -> None:
-        comp = self.blocks.components[comp_id]
+    def _set_path_ok(self, value: str) -> bool:
+        """Client-set strings may not name existing files unless already
+        servable (uploads, current component values, the map asset).
+
+        Without this gate, POST /set could plant any on-disk path into a
+        component value and GET /file would then serve it — ``file_allowed``
+        trusts component values precisely because only the server's own
+        handlers and vetted client sets can write them.
+        """
+        if not os.path.isfile(value):
+            return True  # plain strings (preset names, text) pass through
+        return self.file_allowed(value)
+
+    def fire(self, comp_id: int, event: str, index=None, missing_ok: bool = False) -> bool:
+        """Fire listeners on (component, event). Returns False when there is
+        no such listener and ``missing_ok`` — never masks KeyErrors raised
+        inside application handlers (those surface as handler errors)."""
+        try:
+            comp = self.blocks.components[comp_id]
+        except IndexError:
+            raise UnknownRouteTarget(f"no such component: {comp_id}") from None
+        if not self.blocks.deps_for(comp, event):
+            if missing_ok:
+                return False
+            raise UnknownRouteTarget(f"no {event!r} listener on component {comp_id}")
         event_data = None
         if event == "select":
             event_data = hl.SelectData(index=tuple(index) if index else None)
         self.blocks.fire(comp, event, event_data)
+        return True
 
     # --- uploads / downloads ---
     def save_upload(self, filename: str, body: bytes) -> str:
@@ -252,14 +285,16 @@ class StudioHTTPServer:
                         self._send_json({"path": path})
                         return
                     payload = json.loads(self._read_body() or b"{}")
+                    if "id" not in payload and parsed.path in ("/set", "/event"):
+                        self._send_json({"error": "missing 'id'"}, 400)
+                        return
                     if parsed.path == "/set":
                         with server._lock:
                             server.apply_sets({payload["id"]: payload.get("value")})
                             if payload.get("fire_change"):
-                                try:
-                                    server.fire(int(payload["id"]), "change")
-                                except KeyError:
-                                    pass  # no change listener — set alone is fine
+                                # no change listener → set alone is fine
+                                server.fire(int(payload["id"]), "change",
+                                            missing_ok=True)
                             self._send_json({"components": server.component_state()})
                     elif parsed.path == "/event":
                         with server._lock:
@@ -272,8 +307,10 @@ class StudioHTTPServer:
                             self._send_json({"components": server.component_state()})
                     else:
                         self._send_json({"error": "not found"}, 404)
-                except KeyError as e:
+                except UnknownRouteTarget as e:
                     self._send_json({"error": f"no such listener/component: {e}"}, 400)
+                except PermissionError as e:
+                    self._send_json({"error": str(e)}, 403)
                 except (ValueError, json.JSONDecodeError) as e:
                     self._send_json({"error": str(e)}, 400)
                 except Exception as e:  # noqa: BLE001 — handler errors → 500 JSON

@@ -226,6 +226,64 @@ def test_file_endpoint_is_allowlisted(served):
         assert status in (403, 404)
 
 
+def test_set_cannot_plant_servable_path(served):
+    """/set and /event must refuse client-set values naming existing files
+    that are not already servable — otherwise file_allowed() (which trusts
+    component values) would turn /file into an arbitrary filesystem read."""
+    server, _, _ = served
+    comps = _state(server)
+    name = _by_label(comps, "📝 Preset-Name")
+    secret = "/etc/passwd" if os.path.isfile("/etc/passwd") else os.path.abspath(__file__)
+
+    for payload, path in (
+        ({"id": name["id"], "value": secret}, "/set"),
+        ({"id": name["id"], "event": "change", "set": {str(name["id"]): secret}},
+         "/event"),
+    ):
+        try:
+            status, _ = _post_json(server, path, payload)
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 403, f"{path} accepted a foreign file path"
+
+    # the rejected path must NOT have become servable
+    try:
+        status, _, _ = _get(server, "/file?path=" + urllib.parse.quote(secret))
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status in (403, 404)
+
+    # plain strings (preset names etc.) still pass through
+    status, data = _post_json(
+        server, "/set", {"id": name["id"], "value": "harmless_name"}
+    )
+    assert status == 200
+    assert _by_label(data["components"], "📝 Preset-Name")["value"] == "harmless_name"
+
+
+def test_handler_keyerror_is_500_not_400(served):
+    """KeyErrors raised INSIDE an application handler must surface as
+    handler errors (500), not be mistaken for a missing listener (400)."""
+    server, demo, _ = served
+    from audio_raytracing_studio_tpu.app import _gradio_headless as hl
+
+    with demo:
+        probe = hl.Button("KeyError-Probe")
+        def _boom():
+            raise KeyError("missing-key-inside-handler")
+        probe.click(_boom, inputs=[], outputs=[])
+    try:
+        comp_id = demo.components.index(probe)
+        try:
+            status, _ = _post_json(server, "/event", {"id": comp_id, "event": "click"})
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 500
+    finally:
+        demo.components.remove(probe)
+        demo._all_deps[:] = [d for d in demo._all_deps if d.trigger is not probe]
+
+
 def test_bad_event_is_clean_400(served):
     server, _, _ = served
     comps = _state(server)
