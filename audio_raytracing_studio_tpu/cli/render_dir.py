@@ -91,6 +91,11 @@ def main(argv=None) -> int:
         except (OSError, ValueError) as e:
             print(f"skipping {name}: {e}", file=sys.stderr)
             continue
+        if meta["frames"] <= 0:
+            # an unknown length (Ogg with no EOS granule, unscannable MP3 …)
+            # would bucket to length 0 and render as pure silence — skip loud
+            print(f"skipping {name}: could not determine length", file=sys.stderr)
+            continue
         key = (meta["samplerate"], _bucket_length(meta["frames"], meta["samplerate"]))
         buckets.setdefault(key, []).append((name, meta["frames"]))
     if not buckets:

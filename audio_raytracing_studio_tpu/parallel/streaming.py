@@ -337,10 +337,15 @@ def render_streaming(
             early_on=spec.early_on, late_on=spec.late_on,
             slab_chunks=slab_chunks, out_len_local=out_len_local,
         )
+        # the dispatched execution holds the input slab until it completes;
+        # dropping our reference lets HBM reclaim it then, instead of keeping
+        # ALL input slabs live through the concat (an extra ~1× clip size)
+        slabs[s] = None
         mixed_slabs.append(mixed_s)
     mixed_buf = (
         jnp.concatenate(mixed_slabs, axis=1) if n_slabs > 1 else mixed_slabs[0]
     )
+    mixed_slabs = None  # per-slab buffers are dead once the concat consumed them
     # the conv tail past len_out is zero by construction (input zero-padded)
 
     if spec.eq_on:

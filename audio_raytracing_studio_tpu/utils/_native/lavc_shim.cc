@@ -299,6 +299,11 @@ int lavc_encode_aac(const char *path, const float *data, long long frames,
     const int frame_size = enc->frame_size > 0 ? enc->frame_size : 1024;
     long long pos = 0;
     bool flushed = false;
+    auto write_pkt = [&]() -> int {
+        av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+        pkt->stream_index = st->index;
+        return av_interleaved_write_frame(oc, pkt);
+    };
     while (!flushed) {
         AVFrame *send = nullptr;
         if (pos < frames) {
@@ -318,14 +323,22 @@ int lavc_encode_aac(const char *path, const float *data, long long frames,
             pos += n;
             send = frame;
         }
-        ret = avcodec_send_frame(enc, send);  // nullptr = flush
+        // send/receive contract: EAGAIN from send_frame means "the input
+        // queue is full until output is consumed" — drain a packet and
+        // RE-SEND the same frame (dropping it would silently truncate audio;
+        // likewise a flush send must not count as flushed until accepted)
+        for (;;) {
+            ret = avcodec_send_frame(enc, send);  // nullptr = flush
+            if (ret != AVERROR(EAGAIN)) break;
+            ret = avcodec_receive_packet(enc, pkt);
+            if (ret < 0) return fail("AAC encoder stalled (EAGAIN, no output)", ret);
+            ret = write_pkt();
+            if (ret < 0) return fail("cannot write encoded packet", ret);
+        }
+        if (ret < 0) return fail("AAC encode failed", ret);
         if (send == nullptr) flushed = true;
-        if (ret < 0 && ret != AVERROR(EAGAIN))
-            return fail("AAC encode failed", ret);
         while ((ret = avcodec_receive_packet(enc, pkt)) >= 0) {
-            av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
-            pkt->stream_index = st->index;
-            ret = av_interleaved_write_frame(oc, pkt);
+            ret = write_pkt();
             if (ret < 0) return fail("cannot write encoded packet", ret);
         }
         if (ret != AVERROR(EAGAIN) && ret != AVERROR_EOF)

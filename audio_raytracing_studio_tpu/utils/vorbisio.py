@@ -34,6 +34,13 @@ from typing import BinaryIO, Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
+
+class UnsupportedCodec(ValueError):
+    """The Ogg container is legal but the payload is not native-decodable
+    Vorbis (Opus, Ogg/FLAC, Speex, floor-0 Vorbis, …) — callers should fall
+    through to a universal decode tier rather than report corruption."""
+
+
 # ---------------------------------------------------------------------------
 # Ogg container layer
 # ---------------------------------------------------------------------------
@@ -123,7 +130,6 @@ def _ogg_packets(data: bytes):
     off = 0
     serial = None
     partial = b""
-    last_granule = -1
     final_granule = -1
     packets: List[Tuple[bytes, int]] = []
     while off < len(data):
@@ -147,7 +153,7 @@ def _ogg_packets(data: bytes):
             pos += seg
             if seg < 255:
                 gran = page.granule if i == len(page.segments) - 1 else -1
-                packets.append((partial, page.granule))
+                packets.append((partial, gran))
                 partial = b""
         if page.granule >= 0:
             final_granule = page.granule
@@ -800,11 +806,11 @@ def _parse_headers(packets) -> Tuple[_Setup, int]:
     idp, _g = packets[0]
     if len(idp) < 30 or idp[0] != 1 or idp[1:7] != b"vorbis":
         if idp[:8] == b"OpusHead":
-            raise ValueError(
+            raise UnsupportedCodec(
                 "Ogg stream contains Opus, not Vorbis — install ffmpeg to "
                 "decode Opus"
             )
-        raise ValueError("not a Vorbis stream (bad identification header)")
+        raise UnsupportedCodec("not a Vorbis stream (bad identification header)")
     version, channels = struct.unpack_from("<IB", idp, 7)
     rate = struct.unpack_from("<I", idp, 12)[0]
     if version != 0:
@@ -849,7 +855,7 @@ def _parse_headers(packets) -> Tuple[_Setup, int]:
         if ftype == 1:
             s.floors.append(Floor1(r, s.codebooks))
         elif ftype == 0:
-            raise ValueError(
+            raise UnsupportedCodec(
                 "Vorbis floor type 0 (LSP) is not supported by the native "
                 "decoder — no mainstream encoder emits it; install ffmpeg "
                 "for such streams"
@@ -1066,7 +1072,7 @@ def probe(path_or_file: Union[str, os.PathLike, BinaryIO]) -> dict:
     packets, final_granule = _ogg_packets(data)
     idp, _ = packets[0]
     if len(idp) < 30 or idp[0] != 1 or idp[1:7] != b"vorbis":
-        raise ValueError("not a Vorbis stream")
+        raise UnsupportedCodec("not a Vorbis stream")
     channels = idp[11]
     rate = struct.unpack_from("<I", idp, 12)[0]
     return {

@@ -113,7 +113,9 @@ def sniff_container(head: bytes) -> Union[str, None]:
             return None
         bitrate_nibble = head[2] >> 4
         samplerate_bits = (head[2] >> 2) & 0x3
-        if bitrate_nibble in (0x0, 0xF) or samplerate_bits == 3:
+        # nibble 0x0 is FREE FORMAT (legal, decodable by mpg123); only 0xF
+        # is forbidden by the MPEG spec
+        if bitrate_nibble == 0xF or samplerate_bits == 3:
             return None
         return "MP3"
     return None
@@ -263,10 +265,12 @@ def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndar
         try:
             data, rate = vorbisio.decode(path)
             return np.asarray(data, dtype=np.float32), int(rate)
+        except vorbisio.UnsupportedCodec:
+            # legal Ogg, non-native payload (Opus, Ogg/FLAC, Speex, floor-0
+            # Vorbis …) → fall through to the universal/soundfile/ffmpeg tiers
+            pass
         except ValueError as e:
-            if "Opus" not in str(e) and "floor type 0" not in str(e):
-                raise ValueError(f"OGG-Datei beschädigt oder abgeschnitten: {e}")
-            # Opus-in-Ogg / floor0 → fall through to soundfile/ffmpeg below
+            raise ValueError(f"OGG-Datei beschädigt oder abgeschnitten: {e}")
     if container == "MP3":
         from . import mp3io
 

@@ -403,6 +403,39 @@ class TestRenderDir:
         rc = main([str(tmp_path / "empty"), str(tmp_path / "o"), "--layout", "Stereo"])
         assert rc == 1
 
+    def test_unknown_length_probe_skips_not_silence(self, tmp_path, capsys,
+                                                    monkeypatch):
+        """A probe reporting frames=0 (Ogg without an EOS granule, unscannable
+        MP3) must SKIP the clip with a diagnostic — not bucket it to length 0
+        and write a silent output file."""
+        from audio_raytracing_studio_tpu.cli import render_dir
+
+        in_dir = tmp_path / "in"
+        out_dir = tmp_path / "out"
+        in_dir.mkdir()
+        rate = 16000
+        t = np.arange(int(0.25 * rate)) / rate
+        sig = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+        wavio.write(in_dir / "good.wav", sig, rate)
+        wavio.write(in_dir / "nolen.wav", sig, rate)
+
+        real_probe = wavio.probe
+
+        def fake_probe(path):
+            meta = real_probe(path)
+            if os.path.basename(str(path)) == "nolen.wav":
+                meta["frames"] = 0
+            return meta
+
+        monkeypatch.setattr(render_dir.wavio, "probe", fake_probe)
+        rc = render_dir.main([str(in_dir), str(out_dir), "--layout", "Stereo",
+                              "--room-size", "50"])
+        captured = capsys.readouterr()
+        assert rc == 0
+        assert "skipping nolen.wav" in captured.err
+        assert (out_dir / "good.wav").exists()
+        assert not (out_dir / "nolen.wav").exists()
+
     def test_mixed_formats_directory(self, tmp_path, rng, capsys):
         """WAV + FLAC + AIFF inputs in one directory all render; FLAC output
         keeps its container, AIFF comes back as WAV."""

@@ -134,6 +134,46 @@ class TestOggLayer:
         with pytest.raises(ValueError, match="Opus"):
             vorbisio.decode(io.BytesIO(page))
 
+    def test_non_vorbis_payload_is_unsupported_codec(self):
+        """A legal Ogg container with a non-Vorbis payload (Speex, Ogg/FLAC …)
+        must raise UnsupportedCodec so wavio can fall through to the
+        universal decode tier instead of reporting corruption."""
+        import struct
+
+        def bos_page(body):
+            segs = bytes([len(body)])
+            head = b"OggS" + b"\x00" + b"\x02" + struct.pack("<q", 0)
+            head += struct.pack("<I", 1) + struct.pack("<I", 0)
+            page_wo_crc = head + b"\x00\x00\x00\x00" + bytes([1]) + segs + body
+            crc = vorbisio.ogg_crc(page_wo_crc)
+            return page_wo_crc[:22] + struct.pack("<I", crc) + page_wo_crc[26:]
+
+        assert issubclass(vorbisio.UnsupportedCodec, ValueError)  # back-compat
+        for payload in (b"Speex   " + b"\x00" * 20, b"\x7fFLAC\x01\x00" + b"\x00" * 24):
+            with pytest.raises(vorbisio.UnsupportedCodec):
+                vorbisio.decode(io.BytesIO(bos_page(payload)))
+        with pytest.raises(vorbisio.UnsupportedCodec, match="Opus"):
+            vorbisio.decode(io.BytesIO(bos_page(b"OpusHead" + b"\x01\x02" + b"\x00" * 9)))
+        # truly corrupt streams stay plain ValueError, NOT UnsupportedCodec
+        raw = bytearray(open(OGG_FIXTURE, "rb").read())
+        raw[100] ^= 0x01
+        with pytest.raises(ValueError) as ei:
+            vorbisio.decode(io.BytesIO(bytes(raw)))
+        assert not isinstance(ei.value, vorbisio.UnsupportedCodec)
+
+    def test_packet_granules_honor_completion_contract(self):
+        """Per-packet granule is the page granule only for the packet that
+        completes LAST on the page; earlier packets carry −1."""
+        raw = open(OGG_FIXTURE, "rb").read()
+        packets, final_granule = vorbisio._ogg_packets(raw)
+        grans = [g for _, g in packets]
+        assert final_granule > 0
+        assert final_granule in grans
+        assert -1 in grans  # multi-packet pages exist in the fixture
+        # every non-negative granule is nondecreasing in stream order
+        nn = [g for g in grans if g >= 0]
+        assert nn == sorted(nn)
+
     def test_truncation_fuzz_never_hangs(self):
         raw = open(OGG_FIXTURE, "rb").read()
         rng = np.random.default_rng(5)
@@ -173,6 +213,27 @@ class TestIntegration:
         assert rate == 11025
         assert data.shape == (78331, 1)
         assert np.abs(data).max() > 0.5
+
+    def test_non_vorbis_ogg_falls_through_tiers(self, tmp_path):
+        """wavio.read of a legal-but-non-Vorbis Ogg must try the later decode
+        tiers, not stop with a misleading 'OGG-Datei beschädigt' error."""
+        import struct
+
+        body = b"Speex   " + b"\x00" * 20
+        segs = bytes([len(body)])
+        head = b"OggS" + b"\x00" + b"\x02" + struct.pack("<q", 0)
+        head += struct.pack("<I", 1) + struct.pack("<I", 0)
+        page_wo_crc = head + b"\x00\x00\x00\x00" + bytes([1]) + segs + body
+        crc = vorbisio.ogg_crc(page_wo_crc)
+        page = page_wo_crc[:22] + struct.pack("<I", crc) + page_wo_crc[26:]
+        p = tmp_path / "speex.ogg"
+        p.write_bytes(page)
+        # the fake Speex page is not decodable by ANY tier here; the point is
+        # the error comes from the tier chain (install hint / decode failure),
+        # never the Vorbis-corruption contract
+        with pytest.raises(ValueError) as ei:
+            wavio.read(p)
+        assert "beschädigt" not in str(ei.value)
 
     def test_wavio_probe_ogg(self):
         meta = wavio.probe(OGG_FIXTURE)

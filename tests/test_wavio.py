@@ -137,6 +137,11 @@ class TestNonWavFallback:
         assert wavio.sniff_container(b"\xff\xe3\x18\xc4") == "MP3"
         assert wavio.sniff_container(b"\xff\xf0\x00\x00") == "AAC"
         assert wavio.sniff_container(b"\xff\xf8\x00\x00") == "AAC"
+        # bitrate index 0 is FREE FORMAT — legal MPEG, mpg123 decodes it
+        assert wavio.sniff_container(b"\xff\xfa\x04\xc4") == "MP3"
+        # bitrate index 0xF and samplerate bits 0b11 stay forbidden
+        assert wavio.sniff_container(b"\xff\xfa\xf4\xc4") is None
+        assert wavio.sniff_container(b"\xff\xfa\x9c\xc4") is None
 
     def _aiff_bytes(self, samples_i16, rate, form=b"AIFF", comp=None, sowt=False):
         """Hand-assemble an AIFF/AIFC container around int16 samples."""
