@@ -53,18 +53,52 @@ def _block_bounds(num_samples: int, rate: int) -> tuple[np.ndarray, np.ndarray, 
     return lo, hi, num_blocks
 
 
-def k_weight(signal: jnp.ndarray, rate: int) -> jnp.ndarray:
-    """Apply the K-weighting prefilter over the last axis (causal FIR form).
-
-    One kernel FFT broadcast against all channels (a per-channel kernel
-    copy would redundantly transform the same 8192 taps C times).
-    """
+def _k_weight_impl(signal: jnp.ndarray, rate: int) -> jnp.ndarray:
     n = signal.shape[-1]
     fir = jnp.asarray(k_weighting_fir(rate).astype(np.float32))
     nfft = convolution.fast_fft_length(n + int(fir.shape[0]) - 1)
     sig_f = jnp.fft.rfft(signal, n=nfft, axis=-1)
     out = jnp.fft.irfft(sig_f * jnp.fft.rfft(fir, n=nfft), n=nfft, axis=-1)
     return out[..., :n].astype(jnp.float32)
+
+
+_k_weight_jit = jax.jit(_k_weight_impl, static_argnames=("rate",))
+
+
+def k_weight(signal: jnp.ndarray, rate: int) -> jnp.ndarray:
+    """Apply the K-weighting prefilter over the last axis (causal FIR form).
+
+    One kernel FFT broadcast against all channels (a per-channel kernel
+    copy would redundantly transform the same 8192 taps C times).
+
+    Jitted: the spectrum product is complex64, and EAGER complex arithmetic
+    is UNIMPLEMENTED on the axon TPU backend (CLAUDE.md) — a host caller on
+    hardware would crash while CPU CI stays green.  Under an enclosing jit
+    the nested jit inlines.
+    """
+    return _k_weight_jit(jnp.asarray(signal), rate=int(rate))
+
+
+def _block_mean_squares_impl(
+    signal: jnp.ndarray, rate: int, valid_len: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Shared body of the unmasked/masked block meters (one copy of the
+    precision-sensitive energy-prefix logic — see block_mean_squares)."""
+    n = signal.shape[-1]
+    lo, hi, num_blocks = _block_bounds(n, rate)
+    if num_blocks <= 0:
+        return jnp.zeros(signal.shape[:-1] + (0,), dtype=jnp.float32)
+    energy = jnp.cumsum(jnp.square(signal), axis=-1)
+    padded = jnp.concatenate(
+        [jnp.zeros(signal.shape[:-1] + (1,), energy.dtype), energy], axis=-1
+    )
+    if valid_len is None:
+        block_energy = padded[..., hi] - padded[..., lo]
+    else:
+        hi_c = jnp.minimum(jnp.asarray(hi, dtype=jnp.int32), valid_len)
+        lo_c = jnp.minimum(jnp.asarray(lo, dtype=jnp.int32), valid_len)
+        block_energy = padded[..., hi_c] - padded[..., lo_c]
+    return block_energy / (kw.BLOCK_SECONDS * rate)
 
 
 def block_mean_squares(signal: jnp.ndarray, rate: int) -> jnp.ndarray:
@@ -79,16 +113,7 @@ def block_mean_squares(signal: jnp.ndarray, rate: int) -> jnp.ndarray:
     parallel meters, which carry the running energy in host float64
     (parallel/streaming.py, parallel/long_render.py).
     """
-    n = signal.shape[-1]
-    lo, hi, num_blocks = _block_bounds(n, rate)
-    if num_blocks <= 0:
-        return jnp.zeros(signal.shape[:-1] + (0,), dtype=jnp.float32)
-    energy = jnp.cumsum(jnp.square(signal), axis=-1)
-    padded = jnp.concatenate(
-        [jnp.zeros(signal.shape[:-1] + (1,), energy.dtype), energy], axis=-1
-    )
-    block_energy = padded[..., hi] - padded[..., lo]
-    return block_energy / (kw.BLOCK_SECONDS * rate)
+    return _block_mean_squares_impl(signal, rate)
 
 
 def gated_loudness_from_blocks(
@@ -131,6 +156,17 @@ def gated_loudness_from_blocks(
     return jnp.where((abs_count > 0) & (count > 0), loud, -jnp.inf).astype(jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("rate",))
+def _integrated_loudness_jit(
+    signal: jnp.ndarray, w: jnp.ndarray, *, rate: int
+) -> jnp.ndarray:
+    filtered = _k_weight_impl(signal, rate)
+    z = block_mean_squares(filtered, rate)  # (C, J)
+    if z.shape[-1] == 0:
+        return jnp.float32(-jnp.inf)
+    return gated_loudness_from_blocks(z, w)
+
+
 def integrated_loudness(
     signal: jnp.ndarray, rate: int, weights: np.ndarray | None = None
 ) -> jnp.ndarray:
@@ -139,19 +175,19 @@ def integrated_loudness(
     Mirrors the oracle meter (oracle/loudness.py) / BS.1770-4 gating: absolute
     −70 LUFS gate, then a relative gate 10 LU below the abs-gated mean.
     Returns −inf as an f32 scalar when everything is gated out.
+
+    Jitted for the same reason as audio_metrics: the K-weighting spectrum
+    product is eager complex64 when called from host, UNIMPLEMENTED on the
+    axon TPU backend (CLAUDE.md).
     """
+    signal = jnp.asarray(signal)
     if signal.ndim == 1:
         signal = signal[None, :]
     num_channels = signal.shape[0]
     if weights is None:
         weights = kw.channel_weights(num_channels)  # LFE excluded (BS.1770-4)
-    w = jnp.asarray(weights.astype(np.float32))
-
-    filtered = k_weight(signal, rate)
-    z = block_mean_squares(filtered, rate)  # (C, J)
-    if z.shape[-1] == 0:
-        return jnp.float32(-jnp.inf)
-    return gated_loudness_from_blocks(z, w)
+    w = jnp.asarray(np.asarray(weights).astype(np.float32))
+    return _integrated_loudness_jit(signal, w, rate=int(rate))
 
 
 def _masked_block_mean_squares(
@@ -163,18 +199,7 @@ def _masked_block_mean_squares(
     way, metering/loudness._block_bounds).  Samples past valid_len never
     enter any gathered prefix, so zero-padding junk (FFT roundoff in the
     batch bucket's tail) cannot leak into block energies."""
-    n = signal.shape[-1]
-    lo, hi, num_blocks = _block_bounds(n, rate)
-    if num_blocks <= 0:
-        return jnp.zeros(signal.shape[:-1] + (0,), dtype=jnp.float32)
-    energy = jnp.cumsum(jnp.square(signal), axis=-1)
-    padded = jnp.concatenate(
-        [jnp.zeros(signal.shape[:-1] + (1,), energy.dtype), energy], axis=-1
-    )
-    hi_c = jnp.minimum(jnp.asarray(hi, dtype=jnp.int32), valid_len)
-    lo_c = jnp.minimum(jnp.asarray(lo, dtype=jnp.int32), valid_len)
-    block_energy = padded[..., hi_c] - padded[..., lo_c]
-    return block_energy / (kw.BLOCK_SECONDS * rate)
+    return _block_mean_squares_impl(signal, rate, valid_len)
 
 
 def audio_metrics_masked(
@@ -200,7 +225,9 @@ def audio_metrics_masked(
     num_channels = data_cn.shape[0]
     mono = data_cn[0] if num_channels == 1 else jnp.mean(data_cn[:2], axis=0)
 
-    filtered = k_weight(mono[None, :], rate)
+    # _impl, not the jitted wrapper: this function always runs under an
+    # enclosing jit/vmap (parallel.sharding's batched meter)
+    filtered = _k_weight_impl(mono[None, :], rate)
     z = _masked_block_mean_squares(filtered, rate, valid_len)
     if z.shape[-1] == 0:
         lufs = jnp.float32(-jnp.inf)

@@ -217,11 +217,16 @@ def quantize_pcm16(x: jnp.ndarray) -> jnp.ndarray:
     libsndfile conversion semantics): clip ±OUTPUT_CLIP, ×32768 (a power-of-
     two float32 multiply — exact), round-half-even, saturate to int16.
 
-    Bit-identical to ``np.clip(x, ±OUTPUT_CLIP)`` → ``wavio.encode_pcm16``
-    on the host (XLA's rint is round-nearest-even like lrintf), so callers
-    can transfer int16 results at half the device→host bytes and hand them
-    straight to ``wavio.write``/``write_audio``."""
+    Bit-identical to the host path (app/api.py:154-157): clip ±OUTPUT_CLIP
+    (which maps ±inf to the clip bounds), NaN → 0 (the reference's
+    nan_to_num scrub, :1083), then ``wavio.encode_pcm16`` (XLA's rint is
+    round-nearest-even like lrintf) — without the scrub, NaN would reach
+    XLA's implementation-defined float→int16 conversion and the device
+    bytes could differ from the host contract.  Callers can transfer int16
+    results at half the device→host bytes and hand them straight to
+    ``wavio.write``/``write_audio``."""
     x = jnp.clip(x, -config.OUTPUT_CLIP, config.OUTPUT_CLIP)
+    x = jnp.where(jnp.isnan(x), jnp.float32(0.0), x)
     scaled = jnp.rint(x * jnp.float32(32768.0))
     return jnp.clip(scaled, -32768.0, 32767.0).astype(jnp.int16)
 
@@ -273,6 +278,11 @@ def prepare_external_ir(
         raise ValueError("External IR must be a 2-D (samples, channels) array.")
     if ir.size == 0:
         raise ValueError("External IR is empty.")
+    if ir.shape[1] != 2:
+        # reject BEFORE any resample: a rate-mismatched non-stereo IR would
+        # otherwise pay a fresh (shape, num) resample compile — minutes
+        # through the axon tunnel — for input that is always rejected
+        raise ValueError("External IR must be stereo.")
     if ir_rate != target_rate:
         from ..ops.resample import resample_fft
 
@@ -282,8 +292,6 @@ def prepare_external_ir(
         if ir.shape[0] < 2:
             raise ValueError("External IR too short to resample.")
         ir = np.asarray(resample_fft(ir, n_resampled), dtype=np.float32)
-    if ir.shape[1] != 2:
-        raise ValueError("External IR must be stereo.")
     return ir
 
 

@@ -124,7 +124,15 @@ def binauralize(data_nc: np.ndarray, rate: int, layout_name: str) -> np.ndarray:
         )
     names = tuple(layout["names"])
     n = data_nc.shape[0]
-    nfft = fast_fft_length(n + 256)  # headroom for the ITD delays
+    # FFT headroom: the ITD delay in SAMPLES scales with the rate (~0.00073 s
+    # for a fully lateral source — 35 samples at 48 kHz but ~280 at 384 kHz),
+    # so a fixed pad would wrap the delayed contralateral tail into the clip
+    # start at high rates; +256 covers the zero-phase shadow-filter smear.
+    max_itd = max(
+        _itd_seconds(math.radians(CHANNEL_ANGLES.get(nm, (0.0, 0.0))[0]))
+        for nm in names
+    )
+    nfft = fast_fft_length(n + int(math.ceil(max_itd * rate)) + 256)
 
     table = _binaural_table(names, int(rate), nfft)
     out = _binaural_mix(

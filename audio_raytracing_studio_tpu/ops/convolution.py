@@ -142,7 +142,17 @@ def convolve_combined(
     """
     n = signal.shape[-1]
     l = kernels.shape[-1]
-    nfft = fast_fft_length(max(out_length, n + l - 1))
+    need = max(out_length, n + l - 1)
+    if kernel_gains is not None:
+        # like convolve_full: the gains' bin count FIXES the grid — deriving
+        # nfft from it (instead of recomputing fast_fft_length and trusting
+        # the caller to have used the same expression) turns any grid
+        # mismatch into this explicit error rather than a broadcast failure
+        nfft = 2 * (kernel_gains.shape[-1] - 1)
+        if nfft < need:
+            raise ValueError(f"kernel_gains imply nfft={nfft} < required {need}")
+    else:
+        nfft = fast_fft_length(need)
 
     sig_f = jnp.fft.rfft(signal, n=nfft, axis=-1)  # (..., C, F)
     ker_f = jnp.fft.rfft(kernels, n=nfft, axis=-1)  # (K, F)

@@ -35,27 +35,47 @@ from . import convolution, fftops
 _AFFINE_MIN_N = 1 << 17
 
 
+def _air_ramp_np(n: int, rate: int) -> np.ndarray:
+    """Static air-absorption ramp per rfft bin (host float64): 0 below the
+    2 kHz start, rising linearly to 1 at Nyquist.  The SINGLE definition of
+    this parity-bearing curve — both the exact path (air_absorption_gain)
+    and the affine wrap path (_wrap_kernel) build from it."""
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    start = config.AIR_ABSORPTION_START_HZ
+    max_freq = freqs[-1] if len(freqs) > 0 else start + 1
+    if max_freq > start:
+        ramp = np.clip((freqs - start) / (max_freq - start), 0.0, 1.0)
+        return np.where(freqs >= start, ramp, 0.0)
+    return np.zeros_like(freqs)
+
+
+def _bass_mask_np(n: int, rate: int) -> np.ndarray:
+    """Static bass-shelf bin mask (host float64): (0, 250] Hz — one source
+    for exact (shelf_eq_gain) and affine (_wrap_kernel) paths."""
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    return ((freqs > 1e-6) & (freqs <= config.EQ_BASS_CUTOFF_HZ)).astype(np.float64)
+
+
+def _treble_mask_np(n: int, rate: int) -> np.ndarray:
+    """Static treble-shelf bin mask (host float64): [4 kHz, ∞)."""
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    return (freqs >= config.EQ_TREBLE_CUTOFF_HZ).astype(np.float64)
+
+
+_CURVES = {
+    "air_ramp": _air_ramp_np,
+    "bass_mask": _bass_mask_np,
+    "treble_mask": _treble_mask_np,
+}
+
+
 def _wrap_kernel(curve_key, n: int, rate: int) -> np.ndarray:
     """Doubled time kernel h2 = [h, h], h = irfft_n(g) — host float64.
 
-    curve_key ∈ {"air_ramp", "bass_mask", "treble_mask"}."""
-    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
-    if curve_key == "air_ramp":
-        start = config.AIR_ABSORPTION_START_HZ
-        max_freq = freqs[-1] if len(freqs) > 0 else start + 1
-        if max_freq > start:
-            g = np.clip((freqs - start) / (max_freq - start), 0.0, 1.0)
-            g = np.where(freqs >= start, g, 0.0)
-        else:
-            g = np.zeros_like(freqs)
-    elif curve_key == "bass_mask":
-        g = ((freqs > 1e-6) & (freqs <= config.EQ_BASS_CUTOFF_HZ)).astype(
-            np.float64
-        )
-    elif curve_key == "treble_mask":
-        g = (freqs >= config.EQ_TREBLE_CUTOFF_HZ).astype(np.float64)
-    else:  # pragma: no cover
-        raise ValueError(curve_key)
+    curve_key ∈ {"air_ramp", "bass_mask", "treble_mask"}; the curves g are
+    the same objects the exact-length path applies directly, so the two
+    paths cannot drift apart across the _AFFINE_MIN_N threshold."""
+    g = _CURVES[curve_key](n, rate)
     h = np.fft.irfft(g.astype(np.float64), n)
     return np.concatenate([h, h])
 
@@ -137,14 +157,7 @@ def _apply_affine_circular(
 
 def air_absorption_gain(n_fft: int, rate: int, factor: jnp.ndarray) -> jnp.ndarray:
     """Per-bin gain: 1.0 below 2 kHz, ramping to 1−0.8·factor at Nyquist."""
-    freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
-    start = config.AIR_ABSORPTION_START_HZ
-    max_freq = freqs[-1] if len(freqs) > 0 else start + 1
-    if max_freq > start:
-        ramp = np.clip((freqs - start) / (max_freq - start), 0.0, 1.0)
-        ramp = np.where(freqs >= start, ramp, 0.0).astype(np.float32)
-    else:
-        ramp = np.zeros_like(freqs, dtype=np.float32)
+    ramp = _air_ramp_np(n_fft, rate).astype(np.float32)
     max_damping = jnp.clip(factor, 0.0, 1.0) * config.AIR_ABSORPTION_MAX_DAMPING
     return 1.0 - jnp.asarray(ramp) * max_damping
 
@@ -176,9 +189,8 @@ def shelf_eq_gain(
     n_fft: int, rate: int, bass_gain: jnp.ndarray, treble_gain: jnp.ndarray
 ) -> jnp.ndarray:
     """Per-bin gain: bass on (0, 250] Hz, treble on [4 kHz, ∞) (static masks)."""
-    freqs = np.fft.rfftfreq(n_fft, d=1.0 / rate)
-    bass_mask = jnp.asarray((freqs > 1e-6) & (freqs <= config.EQ_BASS_CUTOFF_HZ))
-    treble_mask = jnp.asarray(freqs >= config.EQ_TREBLE_CUTOFF_HZ)
+    bass_mask = jnp.asarray(_bass_mask_np(n_fft, rate).astype(bool))
+    treble_mask = jnp.asarray(_treble_mask_np(n_fft, rate).astype(bool))
     lo, hi = config.EQ_GAIN_CLIP
     gain = jnp.where(bass_mask, jnp.clip(bass_gain, lo, hi), 1.0)
     return jnp.where(treble_mask, jnp.clip(treble_gain, lo, hi), gain)

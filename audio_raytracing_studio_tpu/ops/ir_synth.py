@@ -150,6 +150,30 @@ def _moving_average_same(noise: jax.Array, width: int) -> jax.Array:
     return acc / width
 
 
+def early_tap_amps(
+    delays: jax.Array,
+    strengths: jax.Array,
+    actual_max_early_delay: int,
+    one_minus_absorption,
+    directionality,
+) -> jax.Array:
+    """The parity-bearing early-tap amplitude law (ref :263-267):
+    strength · (1−absorption) · clip(directionality, 0.1, 1) · distance
+    falloff.  The ONE definition — shared by this jnp renderer and both
+    Pallas kernels (ops.ir_synth_pallas), whose seed-parity contract
+    (PARITY.md "seed streams v2") requires the copies to agree bit-for-bit.
+    """
+    falloff = 1.0 - (
+        delays.astype(jnp.float32) / float(actual_max_early_delay)
+    ) ** config.EARLY_DELAY_DECAY_EXP
+    return (
+        strengths
+        * one_minus_absorption
+        * jnp.clip(directionality, 0.1, 1.0)
+        * falloff
+    )
+
+
 def synthesize(
     shape: IRShape,
     delays: jax.Array,
@@ -167,14 +191,9 @@ def synthesize(
         tap_index = jnp.arange(MAX_REFLECTIONS)
         active = tap_index < s.reflection_count
         valid = active & (delays > 0) & (delays < s.split_point)
-        falloff = 1.0 - (
-            delays.astype(jnp.float32) / float(s.actual_max_early_delay)
-        ) ** config.EARLY_DELAY_DECAY_EXP
-        amp = (
-            strengths
-            * scalars.one_minus_absorption
-            * jnp.clip(scalars.directionality, 0.1, 1.0)
-            * falloff
+        amp = early_tap_amps(
+            delays, strengths, s.actual_max_early_delay,
+            scalars.one_minus_absorption, scalars.directionality,
         )
         amp = jnp.where(valid, amp, 0.0)
         safe_delays = jnp.where(valid, delays, 0)

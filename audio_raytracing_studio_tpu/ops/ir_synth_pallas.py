@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .. import config
 from . import rng
-from .ir_synth import MAX_REFLECTIONS, IRScalars, IRShape
+from .ir_synth import MAX_REFLECTIONS, IRScalars, IRShape, early_tap_amps
 
 LANE = 128
 SUBLANE = 8
@@ -100,14 +100,9 @@ def _early_from_taps(pos, delays, strengths, shape: IRShape, one_minus_absorptio
     and added where the global flat position matches.  Shared by both
     kernels; blocks that cannot contain taps skip it via ``pl.when``.
     """
-    falloff = 1.0 - (
-        delays.astype(jnp.float32) / float(shape.actual_max_early_delay)
-    ) ** config.EARLY_DELAY_DECAY_EXP
-    amps = (
-        strengths
-        * one_minus_absorption
-        * jnp.clip(directionality, 0.1, 1.0)
-        * falloff
+    amps = early_tap_amps(
+        delays, strengths, shape.actual_max_early_delay,
+        one_minus_absorption, directionality,
     )
     early = jnp.zeros(pos.shape, dtype=jnp.float32)
     for k in range(min(MAX_REFLECTIONS, shape.reflection_count)):
@@ -171,15 +166,9 @@ def _rir_block_kernel(
                     rng.counter_bits(s_mix, k_tile),
                     *config.EARLY_STRENGTH_RANGE,
                 )
-                falloff = 1.0 - (
-                    delays.astype(jnp.float32)
-                    / float(shape.actual_max_early_delay)
-                ) ** config.EARLY_DELAY_DECAY_EXP
-                amps = (
-                    strengths
-                    * one_minus_absorption
-                    * jnp.clip(directionality, 0.1, 1.0)
-                    * falloff
+                amps = early_tap_amps(
+                    delays, strengths, shape.actual_max_early_delay,
+                    one_minus_absorption, directionality,
                 )
                 valid = jnp.logical_and(
                     k_tile.astype(jnp.int32) < r_count,

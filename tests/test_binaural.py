@@ -51,6 +51,23 @@ def test_all_layouts():
         assert out.shape == (2400, 2)
 
 
+def test_high_rate_itd_does_not_wrap():
+    """The ITD headroom must scale with the sample rate: at 384 kHz a fully
+    lateral source's far-ear delay (~280 samples) exceeds the old fixed
+    256-sample pad, and the delayed tail would wrap circularly into the
+    clip start as a pre-echo."""
+    rate = 384000
+    n = 2048
+    x = np.zeros((n, 6), np.float32)
+    x[n - 1, 4] = 1.0  # RL (-110°): near-maximal ITD, click at the very end
+    out = binauralize(x, rate, "5.1 (Standard)")
+    # nothing may arrive before the click minus the (noncausal) shadow-filter
+    # smear — a circular wrap would land delayed far-ear energy near t=0
+    head = out[: n // 2]
+    assert np.max(np.abs(head)) < 1e-4, np.max(np.abs(head))
+    assert np.max(np.abs(out)) > 0.05  # the click itself survived
+
+
 def test_layout_mismatch_rejected():
     with pytest.raises(ValueError, match="does not match"):
         binauralize(np.zeros((100, 6), np.float32), 48000, "Stereo")

@@ -167,6 +167,28 @@ class TestBatchedRender:
         )
         assert np.array_equal(q, host)
 
+    def test_quantize_pcm16_nonfinite_matches_host_contract(self):
+        """Device quantize mirrors the host path (app/api.py:154-157):
+        clip bounds ±inf, NaN → 0 — not XLA's implementation-defined
+        float→int16 of NaN."""
+        import jax.numpy as jnp
+
+        from audio_raytracing_studio_tpu import config
+        from audio_raytracing_studio_tpu.models.pipeline import quantize_pcm16
+        from audio_raytracing_studio_tpu.utils import wavio
+
+        x = np.array(
+            [[0.0, 0.5, -0.5, 2.0, -2.0, np.nan, np.inf, -np.inf, 0.99995]],
+            dtype=np.float32,
+        )
+        got = np.asarray(quantize_pcm16(jnp.asarray(x)))
+        clipped = np.clip(x, -config.OUTPUT_CLIP, config.OUTPUT_CLIP)
+        clipped = np.nan_to_num(clipped, nan=0.0, posinf=0.0, neginf=0.0)
+        want = wavio.encode_pcm16(clipped)
+        assert got.dtype == np.int16
+        assert np.array_equal(got, want)
+        assert got[0, 5] == 0  # the NaN slot specifically
+
 
 class TestBatchedExternal:
     def test_external_batch_matches_single(self, rng):
