@@ -66,12 +66,18 @@ def compute_spectrogram(
         # on the axon TPU backend.
         scale = 1.0 / (rate * float(np.sum(win_np.astype(np.float64) ** 2)))
 
+        # scipy doubles every onesided bin except DC — and except Nyquist
+        # ONLY when nfft is even (an odd nfft has no pure-Nyquist bin); a
+        # short clip clamps nperseg to the odd signal length, where always
+        # excluding the last bin would read it 3 dB low vs use_device=False
+        double_hi = -1 if nperseg % 2 == 0 else None
+
         @jax.jit
         def stft_power(fr, w):
             # scipy's default detrend='constant': remove each segment's mean
             fr = fr - jnp.mean(fr, axis=-1, keepdims=True)
             sx = jnp.abs(jnp.fft.rfft(fr * w, axis=-1)) ** 2 * scale
-            return sx.at[..., 1:-1].multiply(2.0)
+            return sx.at[..., 1:double_hi].multiply(2.0)
 
         sxx = stft_power(frames, window)
         f = np.fft.rfftfreq(nperseg, 1.0 / rate)

@@ -188,7 +188,21 @@ def main(argv=None) -> int:
                 file=sys.stderr,
             )
             return 2
-        values = [float(v) for v in values_str.split(",") if v]
+        try:
+            values = [float(v) for v in values_str.split(",") if v.strip()]
+        except ValueError:
+            print(
+                f"error: sweep values must be numbers (got '{values_str}')",
+                file=sys.stderr,
+            )
+            return 2
+        if not values:
+            print(
+                f"error: sweep over '{name}' needs at least one value "
+                "(e.g. --sweep diffusion=0.2,0.8)",
+                file=sys.stderr,
+            )
+            return 2
         from ..parallel.sharding import render_batch
 
         param_list = [dataclasses.replace(base_params, **{name: v}) for v in values]

@@ -256,7 +256,15 @@ def _mix_scalars(p: RenderParams, early_lvl: float, late_lvl: float) -> MixScala
         dry_factor=f(dry_kill_factor(p.dry_wet, p.dry_wet_kill_start)),
         bass_gain=f(p.bass_gain),
         treble_gain=f(p.treble_gain),
-        air_absorption=f(p.air_absorption),
+        # zeroed below the reference's skip threshold (raytracer_studio.py:312)
+        # so a batch whose air_on was widened batch-wide (parallel.sharding
+        # sweeps) still gives sub-threshold clips the reference's no-filter
+        # semantics: factor 0 → gain curve ≡ 1.0 exactly
+        air_absorption=f(
+            p.air_absorption
+            if p.air_absorption > config.AIR_ABSORPTION_MIN_FACTOR
+            else 0.0
+        ),
         x_pos=f(np.clip(p.x_pos, 0.0, 1.0)),
         y_pos=f(np.clip(p.y_pos, 0.0, 1.0)),
         z_pos=f(np.clip(p.z_pos, 0.0, 1.0)),

@@ -197,19 +197,28 @@ def _from_fft_layout(y: jnp.ndarray, axis_name: str, num_blocks: int) -> jnp.nda
 # --------------------------------------------------------------------------
 
 
-def _chirp_kernel(
-    n0: int, m: int, axis_name: str, num_blocks: int, sign: float
-) -> jnp.ndarray:
-    """Time-domain chirp kernel shard: K[k] = w̄[k] (k < n0), K[m−k] = w̄[k]
-    (1 ≤ k < n0), else 0 — built per device from global indices."""
-    b_m = m // num_blocks
-    c = jax.lax.axis_index(axis_name)
-    k = c * b_m + jnp.arange(b_m, dtype=jnp.int32)  # global m-index
+def chirp_kernel_at_bins(k: jnp.ndarray, n0: int, m: int, sign: float) -> jnp.ndarray:
+    """Bluestein time-domain chirp kernel at global m-indices ``k``:
+    K[k] = w̄[k] (k < n0), K[m−k] = w̄[k] (1 ≤ k < n0), else 0.
+
+    THE definition of the kernel layout — shared by the mesh-sharded path
+    (``_chirp_kernel``) and the single-chip blockwise path
+    (parallel.streaming_eq), which must stay bit-identical."""
     head = k < n0
     tail = k > m - n0  # mirror region; maps to w̄[m−k]
     idx = jnp.where(head, k, jnp.where(tail, m - k, 0))
     wbar = _chirp(idx, n0, sign=-sign)  # conj of the length-n0 chirp
     return jnp.where(head | tail, wbar, jnp.zeros_like(wbar))
+
+
+def _chirp_kernel(
+    n0: int, m: int, axis_name: str, num_blocks: int, sign: float
+) -> jnp.ndarray:
+    """Chirp kernel shard, built per device from global indices."""
+    b_m = m // num_blocks
+    c = jax.lax.axis_index(axis_name)
+    k = c * b_m + jnp.arange(b_m, dtype=jnp.int32)  # global m-index
+    return chirp_kernel_at_bins(k, n0, m, sign)
 
 
 def _chirp_kernel_spectrum(
@@ -296,6 +305,29 @@ def _band_edges(n0: int, rate: int):
     return k_lo, k_bass, k_treble
 
 
+def shelf_gain_at_bins(
+    k: jnp.ndarray, n0: int, rate: int, bass_gain, treble_gain
+) -> jnp.ndarray:
+    """Two-sided shelf gain at global bin indices ``k`` (0 outside [0, n0)).
+
+    THE definition of the parity-bearing edge-bin semantics (via
+    ``_band_edges``) — shared by the mesh-sharded EQ below and the
+    single-chip blockwise EQ (parallel.streaming_eq); a fix to one must
+    reach both.  Bins ≥ n0 return 0 so callers can mask convolution
+    garbage past the signal; in-band out-of-mask bins return 1.
+    """
+    k_lo, k_bass, k_treble = _band_edges(n0, rate)
+    in_band = k < n0
+    bass_mask = in_band & (
+        ((k >= k_lo) & (k <= k_bass)) | ((k >= n0 - k_bass) & (k <= n0 - k_lo))
+    )
+    treble_mask = in_band & (k >= k_treble) & (k <= n0 - k_treble)
+    lo, hi = config.EQ_GAIN_CLIP
+    gain = jnp.where(bass_mask, jnp.clip(bass_gain, lo, hi), 1.0)
+    gain = jnp.where(treble_mask, jnp.clip(treble_gain, lo, hi), gain)
+    return jnp.where(in_band, gain, 0.0).astype(jnp.float32)
+
+
 def shelf_eq_sharded(
     x_block: jnp.ndarray,
     rate: int,
@@ -334,17 +366,9 @@ def shelf_eq_sharded(
         kernel_spectrum=kspec_fwd,
     )
 
-    k_lo, k_bass, k_treble = _band_edges(n0, rate)
     k = c * b_sig + jnp.arange(b_sig, dtype=jnp.int32)  # global bin index
-    in_band = k < n0
-    bass_mask = in_band & (
-        ((k >= k_lo) & (k <= k_bass)) | ((k >= n0 - k_bass) & (k <= n0 - k_lo))
-    )
-    treble_mask = in_band & (k >= k_treble) & (k <= n0 - k_treble)
-    lo, hi = config.EQ_GAIN_CLIP
-    gain = jnp.where(bass_mask, jnp.clip(bass_gain, lo, hi), 1.0)
-    gain = jnp.where(treble_mask, jnp.clip(treble_gain, lo, hi), gain)
-    spec = spec * gain.astype(jnp.float32)
+    # bins ≥ n0 multiply by 0 — they are already zero out of dist_dft_exact
+    spec = spec * shelf_gain_at_bins(k, n0, rate, bass_gain, treble_gain)
 
     y = dist_dft_exact(
         spec, n0, axis_name, num_blocks, inverse=True,

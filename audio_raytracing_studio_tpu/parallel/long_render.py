@@ -19,6 +19,7 @@ with flat per-device memory.  Metering runs on device, block-sharded.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional
 
@@ -57,6 +58,14 @@ def _delay_sharded(x: jnp.ndarray, delay: int, axis_name: str, num_blocks: int) 
     if delay <= 0:
         return x
     n = x.shape[-1]
+    if delay > n:
+        # x[..., n-delay:] would silently become a SHORTER tail (negative
+        # index wraps) and the output channels come out time-mangled with no
+        # shape error — refuse instead; callers need a bigger block length
+        raise ValueError(
+            f"layout delay ({delay} samples) exceeds the per-device block "
+            f"length ({n}); use fewer blocks or a longer clip"
+        )
     tail = x[..., n - delay :]
     perm = [(i, (i + 1) % num_blocks) for i in range(num_blocks)]
     prev_tail = jax.lax.ppermute(tail, axis_name, perm)
@@ -172,57 +181,30 @@ def _sharded_metrics(
     return lufs.astype(jnp.float32), peak_db.astype(jnp.float32), rms_db.astype(jnp.float32)
 
 
-def render_long(
-    audio: np.ndarray,
-    rate: int,
-    p: RenderParams,
+@functools.lru_cache(maxsize=32)
+def _compiled_long(
     device_mesh: Mesh,
-    seed: int = 0,
-    axis_name: str = meshlib.BLOCK_AXIS,
-    external_ir: Optional[np.ndarray] = None,
-    external_ir_rate: Optional[int] = None,
-    with_metrics: bool = False,
+    axis_name: str,
+    spec,
+    kernel_is_late: tuple,
+    pairwise: bool,
+    block_len: int,
+    l: int,
+    len_out: int,
+    num_blocks: int,
+    with_metrics: bool,
 ):
-    """Render one long clip with its sample axis sharded over the mesh.
+    """Build + jit the shard-mapped long-render step for one static config.
 
-    Internal-hall or external-IR path.  Non-unity shelf-EQ gains run through
-    the distributed exact-length transform (needs a power-of-two block
-    axis).  Returns (len_out, channels) float32.
+    Module-level cache with the traced MixScalars as ARGUMENTS (the
+    models.pipeline / streaming_eq idiom): a per-call closure would re-trace
+    every render and bake the parameter scalars into HLO literals, so even
+    the persistent compile cache would miss on every parameter change
+    (CLAUDE.md: the 13 s/render host tax).  The cache holds only the jitted
+    callable — no traced arrays.
     """
-    audio_nc = pipeline._ensure_stereo_host(audio)
-    n_in = audio_nc.shape[0]
 
-    # IR/spec/scalar preparation — ONE implementation shared with the
-    # single-chip streaming renderer (parallel.streaming._build_kernels);
-    # the two long-clip paths must not drift apart here.
-    from .streaming import _build_kernels
-
-    kernels_arr, kernel_is_late, pairwise, spec, scal = _build_kernels(
-        p, rate, n_in, int(seed), external_ir, external_ir_rate
-    )
-
-    num_blocks = device_mesh.shape[axis_name]
-    len_out = spec.len_out
-    if spec.eq_on:
-        # the distributed exact-length EQ needs blocks aligned with its
-        # pow2 four-step FFT layout (parallel.distributed_fft)
-        if not distributed_fft.is_power_of_two(num_blocks):
-            raise ValueError(
-                "render_long with non-unity EQ gains requires a power-of-two "
-                f"block axis (got {num_blocks})"
-            )
-        block_len = distributed_fft.block_len_for(len_out, num_blocks)
-    else:
-        block_len = math.ceil(len_out / num_blocks)
-    # round block length up so the IR tail halo is a bounded number of hops
-    n_total = block_len * num_blocks
-
-    audio_cn = np.zeros((2, n_total), dtype=np.float32)
-    audio_cn[:, :n_in] = audio_nc.T
-
-    l = int(kernels_arr.shape[-1])
-
-    def local(audio_block: jnp.ndarray, kers: jnp.ndarray) -> jnp.ndarray:
+    def local(audio_block: jnp.ndarray, kers: jnp.ndarray, scal) -> jnp.ndarray:
         # --- wet path: block conv + ring overlap-add, air gain on kernels ---
         out_len_local = block_len + l - 1
         if pairwise:
@@ -274,14 +256,71 @@ def render_long(
         )
         return out, metrics
 
-    shard = jax.shard_map(
-        local,
-        mesh=device_mesh,
-        in_specs=(P(None, axis_name), P(None, None)),
-        out_specs=(P(None, axis_name), (P(), P(), P())),
-        check_vma=False,
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=device_mesh,
+            in_specs=(P(None, axis_name), P(None, None), P()),
+            out_specs=(P(None, axis_name), (P(), P(), P())),
+            check_vma=False,
+        )
     )
-    out_cn, (lufs, peak, rms) = shard(jnp.asarray(audio_cn), kernels_arr)
+
+
+def render_long(
+    audio: np.ndarray,
+    rate: int,
+    p: RenderParams,
+    device_mesh: Mesh,
+    seed: int = 0,
+    axis_name: str = meshlib.BLOCK_AXIS,
+    external_ir: Optional[np.ndarray] = None,
+    external_ir_rate: Optional[int] = None,
+    with_metrics: bool = False,
+):
+    """Render one long clip with its sample axis sharded over the mesh.
+
+    Internal-hall or external-IR path.  Non-unity shelf-EQ gains run through
+    the distributed exact-length transform (needs a power-of-two block
+    axis).  Returns (len_out, channels) float32.
+    """
+    audio_nc = pipeline._ensure_stereo_host(audio)
+    n_in = audio_nc.shape[0]
+
+    # IR/spec/scalar preparation — ONE implementation shared with the
+    # single-chip streaming renderer (parallel.streaming._build_kernels);
+    # the two long-clip paths must not drift apart here.
+    from .streaming import _build_kernels
+
+    kernels_arr, kernel_is_late, pairwise, spec, scal = _build_kernels(
+        p, rate, n_in, int(seed), external_ir, external_ir_rate
+    )
+
+    num_blocks = device_mesh.shape[axis_name]
+    len_out = spec.len_out
+    if spec.eq_on:
+        # the distributed exact-length EQ needs blocks aligned with its
+        # pow2 four-step FFT layout (parallel.distributed_fft)
+        if not distributed_fft.is_power_of_two(num_blocks):
+            raise ValueError(
+                "render_long with non-unity EQ gains requires a power-of-two "
+                f"block axis (got {num_blocks})"
+            )
+        block_len = distributed_fft.block_len_for(len_out, num_blocks)
+    else:
+        block_len = math.ceil(len_out / num_blocks)
+    # round block length up so the IR tail halo is a bounded number of hops
+    n_total = block_len * num_blocks
+
+    audio_cn = np.zeros((2, n_total), dtype=np.float32)
+    audio_cn[:, :n_in] = audio_nc.T
+
+    l = int(kernels_arr.shape[-1])
+    shard = _compiled_long(
+        device_mesh, axis_name, spec, tuple(kernel_is_late), bool(pairwise),
+        block_len, l, len_out, num_blocks, bool(with_metrics),
+    )
+    out_cn, (lufs, peak, rms) = shard(jnp.asarray(audio_cn), kernels_arr, scal)
     result = np.asarray(out_cn).T[:len_out]
     if with_metrics:
         return result, {

@@ -303,9 +303,24 @@ def render_batch(
         pipeline.build_internal_setup(p, rate, n_in, fast_filters=fast_filters)
         for p in param_list
     ]
-    spec0, shape0 = setups[0].spec, setups[0].ir_shape
+    # The on/off stage flags are derived from sweepable VALUES (EQ gains,
+    # air factor, early/late levels), so a legitimate sweep can flip them
+    # per clip.  Widen them batch-wide with any(): per-clip semantics are
+    # preserved by the traced scalars — zero early/late weight is an exact
+    # no-op, unity EQ gain and a zeroed air factor are identity gain curves
+    # (the sub-threshold air factor is zeroed in _mix_scalars).  Only
+    # genuinely shape-determining mismatches (layout, rate, IR geometry)
+    # reject.
+    widened = dict(
+        eq_on=any(s.spec.eq_on for s in setups),
+        air_on=any(s.spec.air_on for s in setups),
+        early_on=any(s.spec.early_on for s in setups),
+        late_on=any(s.spec.late_on for s in setups),
+    )
+    spec0 = setups[0].spec._replace(**widened)
+    shape0 = setups[0].ir_shape
     for s in setups[1:]:
-        if s.spec != spec0 or s.ir_shape != shape0:
+        if s.spec._replace(**widened) != spec0 or s.ir_shape != shape0:
             raise ValueError(
                 "shape-determining parameters must match across a batch "
                 f"(got {s.spec} vs {spec0}); bucket your sweep by shape"

@@ -56,8 +56,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import config
-from .distributed_fft import _band_edges, _chirp, fft_length_for
+from .distributed_fft import (
+    _chirp,
+    chirp_kernel_at_bins,
+    fft_length_for,
+    is_power_of_two,
+    shelf_gain_at_bins,
+)
 
 DEFAULT_D_ROWS = 16
 
@@ -106,35 +111,19 @@ def _global_index(d: int, b: int) -> jnp.ndarray:
 
 
 def _chirp_kernel_db(n0: int, d: int, b: int, sign: float) -> jnp.ndarray:
-    """Bluestein chirp kernel on the (D, B) view: K[k] = w̄[k] (k < n0),
-    K[m−k] = w̄[k] (1 ≤ k < n0), else 0 (parallel.distributed_fft layout)."""
-    m = d * b
-    k = _global_index(d, b)
-    head = k < n0
-    tail = k > m - n0
-    idx = jnp.where(head, k, jnp.where(tail, m - k, 0))
-    wbar = _chirp(idx, n0, sign=-sign)
-    return jnp.where(head | tail, wbar, jnp.zeros_like(wbar))
+    """Bluestein chirp kernel on the (D, B) view — the ONE definition lives
+    in distributed_fft.chirp_kernel_at_bins (shared with the mesh path)."""
+    return chirp_kernel_at_bins(_global_index(d, b), n0, d * b, sign)
 
 
 def _eq_gain_db(
     n0: int, rate: int, d: int, b: int,
     bass_gain: jnp.ndarray, treble_gain: jnp.ndarray,
 ) -> jnp.ndarray:
-    """Two-sided shelf gain over global bins k < n0 on the (D, B) view —
-    identical band edges to the single-device rfftfreq masks
-    (distributed_fft._band_edges replicates them bit-for-bit)."""
-    k_lo, k_bass, k_treble = _band_edges(n0, rate)
-    k = _global_index(d, b)
-    in_band = k < n0
-    bass_mask = in_band & (
-        ((k >= k_lo) & (k <= k_bass)) | ((k >= n0 - k_bass) & (k <= n0 - k_lo))
-    )
-    treble_mask = in_band & (k >= k_treble) & (k <= n0 - k_treble)
-    lo, hi = config.EQ_GAIN_CLIP
-    gain = jnp.where(bass_mask, jnp.clip(bass_gain, lo, hi), 1.0)
-    gain = jnp.where(treble_mask, jnp.clip(treble_gain, lo, hi), gain)
-    return jnp.where(in_band, gain, 0.0).astype(jnp.float32)
+    """Two-sided shelf gain on the (D, B) view — the ONE definition of the
+    parity-bearing edge-bin semantics lives in
+    distributed_fft.shelf_gain_at_bins (shared with the mesh path)."""
+    return shelf_gain_at_bins(_global_index(d, b), n0, rate, bass_gain, treble_gain)
 
 
 @functools.lru_cache(maxsize=8)
@@ -235,6 +224,12 @@ def shelf_eq_streaming(
         raise ValueError("exact streaming EQ supports n0 < 2^30")
     m = fft_length_for(n0)
     d = min(d_rows, m)
+    if d < 1 or not is_power_of_two(d):
+        # m is a power of two: a non-pow2 d truncates b = m // d, silently
+        # running the Bluestein convolution at the wrong length (circular
+        # aliasing) AND hands jnp.fft a non-pow2 complex size — the
+        # documented pathological/hanging path on this backend
+        raise ValueError(f"d_rows must be a power of two (got {d_rows})")
     b = m // d
 
     kernel_spectra, eq_channel, eq_pair = _compiled_eq(n0, rate, d, b, n_total)

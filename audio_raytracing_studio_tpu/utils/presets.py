@@ -51,8 +51,8 @@ class PresetStore:
             last = f.read().strip()
         if not last:
             return None
-        path = os.path.join(self.preset_dir, last)
-        if os.path.exists(path) and path.endswith(".json"):
+        path = self._member_path(last)
+        if path is not None and os.path.exists(path):
             return last
         self.save_last("")  # invalid reference → clear (ref :75-77)
         return None
@@ -106,18 +106,42 @@ class PresetStore:
         self.save_last(filename)
         return f"Preset '{filename}' gespeichert!", filename
 
+    def _member_path(self, preset_file: str) -> Optional[str]:
+        """Resolve a preset FILENAME inside preset_dir, or None if unusable.
+
+        Frontends (the HTTP studio serves 0.0.0.0) pass client-controlled
+        strings here — anything that is not a bare ``*.json`` basename is
+        refused so ``"../CLAUDE.md"`` can never read or delete files
+        outside the preset directory.
+        """
+        name = preset_file if isinstance(preset_file, str) else ""
+        if (
+            not name
+            or name != os.path.basename(name)
+            or "/" in name
+            or "\\" in name
+            or name in (".", "..")
+            or not name.endswith(".json")
+        ):
+            return None
+        return os.path.join(self.preset_dir, name)
+
     def load(self, preset_file: str) -> RenderParams:
-        """Load + coerce a preset file (ref :901-932). Raises on missing file."""
-        path = os.path.join(self.preset_dir, preset_file)
+        """Load + coerce a preset file (ref :901-932). Raises on missing file
+        and on traversal-shaped names."""
+        path = self._member_path(preset_file)
+        if path is None:
+            raise ValueError(f"invalid preset filename: {preset_file!r}")
         with open(path, "r", encoding="utf-8") as f:
             data = json.load(f)
         self.save_last(preset_file)
         return RenderParams.from_preset_dict(data)
 
     def delete(self, preset_file: str) -> bool:
-        """Delete; clears the last-used pointer if it referenced it (ref :934-946)."""
-        path = os.path.join(self.preset_dir, preset_file)
-        if not os.path.exists(path):
+        """Delete; clears the last-used pointer if it referenced it (ref :934-946).
+        Traversal-shaped names are treated as not-found."""
+        path = self._member_path(preset_file)
+        if path is None or not os.path.exists(path):
             return False
         os.remove(path)
         if self.load_last() == preset_file:

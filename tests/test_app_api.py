@@ -147,6 +147,20 @@ class TestAnalysis:
         assert np.allclose(f_s, f_d) and sxx_s.shape == np.asarray(sxx_d).shape
         np.testing.assert_allclose(np.asarray(sxx_d), sxx_s, rtol=1e-3, atol=1e-9)
 
+    def test_device_stft_odd_nperseg_matches_scipy(self, rng):
+        """Odd nfft (a short clip clamps nperseg to the signal length) has no
+        pure-Nyquist bin — scipy doubles the last onesided bin there, and the
+        device path must too (it used to read 3 dB low)."""
+        from audio_raytracing_studio_tpu.analysis.visualize import compute_spectrogram
+
+        rate = 8000
+        n = 1023  # odd
+        x = (0.3 * rng.standard_normal(n)).astype(np.float32)
+        f_s, _, sxx_s = compute_spectrogram(x, rate, n, use_device=False)
+        f_d, _, sxx_d = compute_spectrogram(x, rate, n, use_device=True)
+        assert np.allclose(f_s, f_d)
+        np.testing.assert_allclose(np.asarray(sxx_d), sxx_s, rtol=1e-3, atol=1e-10)
+
     def test_visualizer_error_png(self):
         path = plot_waveform_and_spectrogram("/nonexistent.wav", "Test")
         assert path and path.endswith(".png")  # error-PNG fallback
@@ -312,6 +326,32 @@ class TestCLIPresetFlow:
 
         rc = main([wav_file, str(tmp_path / "z{i}.wav"), "--sweep", "z_pos=0.1,0.9"])
         assert rc == 2
+
+    def test_sweep_bad_values_clean_error(self, wav_file, tmp_path, capsys):
+        """Malformed or empty sweep value lists must exit 2 with a message,
+        not escape as raw tracebacks."""
+        from audio_raytracing_studio_tpu.cli.render import main
+
+        rc = main([wav_file, str(tmp_path / "s{i}.wav"),
+                   "--sweep", "diffusion=0.1,abc"])
+        assert rc == 2
+        assert "numbers" in capsys.readouterr().err
+        rc = main([wav_file, str(tmp_path / "s{i}.wav"), "--sweep", "diffusion="])
+        assert rc == 2
+        assert "at least one value" in capsys.readouterr().err
+
+    def test_sweep_flag_flipping_values(self, wav_file, tmp_path, capsys):
+        """Sweeps crossing stage on/off thresholds (eq/air/early) batch fine
+        (the spec flags widen batch-wide in parallel.sharding)."""
+        from audio_raytracing_studio_tpu.cli.render import main
+
+        for sweep in ("bass_gain=1.0,1.5", "air_absorption=0.0,0.5",
+                      "early_level=0,0.5"):
+            rc = main([wav_file, str(tmp_path / (sweep[:3] + "{i}.wav")),
+                       "--sweep", sweep, "--room-size", "50",
+                       "--layout", "Stereo", "--json"])
+            assert rc == 0, sweep
+            capsys.readouterr()
 
     def test_sweep_without_placeholder_rejected(self, wav_file, tmp_path, capsys):
         """Review regression: without '{i}' every sweep value would

@@ -261,6 +261,28 @@ def test_set_cannot_plant_servable_path(served):
     assert _by_label(data["components"], "📝 Preset-Name")["value"] == "harmless_name"
 
 
+def test_preset_delete_cannot_traverse(served):
+    """A traversal-shaped preset name posted over the wire must not delete
+    files outside presets_v4/ — '../evil.json' is not an existing file
+    relative to the server cwd (so the /set gate passes it), but resolves
+    to one from inside the preset dir."""
+    server, _, root = served
+    evil = root / "evil.json"
+    evil.write_text("{}")
+    comps = _state(server)
+    plist = _by_label(comps, "📂 Presets (v4)")
+    delete = _by_label(comps, "🗑️ Löschen")
+    status, data = _post_json(
+        server,
+        "/event",
+        {"id": delete["id"], "event": "click",
+         "set": {str(plist["id"]): "../evil.json"}},
+    )
+    assert status == 200
+    assert evil.exists(), "path traversal deleted a file outside presets_v4/"
+    assert "nicht gefunden" in str(_by_label(data["components"], "Status")["value"])
+
+
 def test_handler_keyerror_is_500_not_400(served):
     """KeyErrors raised INSIDE an application handler must surface as
     handler errors (500), not be mistaken for a missing listener (400)."""

@@ -167,6 +167,30 @@ class TestBatchedRender:
         )
         assert np.array_equal(q, host)
 
+    @pytest.mark.parametrize(
+        "field,values",
+        [
+            ("bass_gain", (1.0, 1.6)),
+            ("air_absorption", (0.0, 0.6)),
+            ("early_level", (0.0, 0.7)),
+            ("late_level", (0.0, 0.8)),
+        ],
+    )
+    def test_value_flag_sweep_batches(self, rng, field, values):
+        """Sweeps flipping value-derived stage flags (eq/air/early/late on-off)
+        must batch — the flags widen batch-wide — and each clip must match
+        its solo render (zero weights / identity gain curves are exact or
+        roundoff-level, so the widened graph preserves per-clip semantics)."""
+        clips, rate = short_clips(rng, 2, seconds=0.4)
+        params = [
+            RenderParams(target_layout="Stereo", room_size=50.0, **{field: v})
+            for v in values
+        ]
+        out = sharding.render_batch(clips, rate, params, seeds=[0, 1])
+        for i in range(2):
+            solo = np.asarray(pipeline.render(clips[i], rate, params[i], seed=i))
+            np.testing.assert_allclose(out[i], solo, atol=1e-4)
+
     def test_quantize_pcm16_nonfinite_matches_host_contract(self):
         """Device quantize mirrors the host path (app/api.py:154-157):
         clip bounds ±inf, NaN → 0 — not XLA's implementation-defined

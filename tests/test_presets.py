@@ -97,3 +97,39 @@ def test_zip_export(store, tmp_path):
 
 def test_zip_export_empty(store):
     assert store.export_zip() is None
+
+
+def test_traversal_names_rejected(store, tmp_path):
+    """Traversal-shaped names must never escape preset_dir: the HTTP studio
+    passes client-controlled strings straight into load/delete."""
+    victim = tmp_path / "victim.json"
+    victim.write_text("{}")
+    outside = tmp_path / "outside.txt"
+    outside.write_text("keep me")
+
+    store.ensure_dir()
+    for name in (
+        "../victim.json",
+        "../outside.txt",
+        "..",
+        "a/b.json",
+        "a\\b.json",
+        "no_extension",
+        "",
+        None,
+    ):
+        with pytest.raises((ValueError, TypeError)):
+            store.load(name)
+        assert store.delete(name) is False
+    assert victim.exists() and outside.exists()
+
+    # the last-used pointer is also validated through the same gate
+    with open(store.last_preset_file, "w", encoding="utf-8") as f:
+        f.write("../victim.json")
+    assert store.load_last() is None
+    assert victim.exists()
+
+    # legit names still round-trip
+    _, fname = store.save("ok", RenderParams())
+    assert isinstance(store.load(fname), RenderParams)
+    assert store.delete(fname) is True

@@ -109,3 +109,11 @@ class TestStreamingEQ:
         x = jnp.zeros((1, 8), jnp.float32)
         with pytest.raises(ValueError, match="2\\^30"):
             shelf_eq_streaming(x, 1 << 30, 48000, 1.5, 1.0)
+
+    def test_non_pow2_d_rows_rejected(self, rng):
+        """A d_rows that does not divide the pow2 m would silently run the
+        Bluestein convolution at a truncated length (aliasing) and hand the
+        backend a non-pow2 complex FFT — refuse instead."""
+        x = jnp.asarray(rng.standard_normal((1, 512)).astype(np.float32))
+        with pytest.raises(ValueError, match="power of two"):
+            shelf_eq_streaming(x, 500, 8000, 1.5, 0.7, d_rows=12)
