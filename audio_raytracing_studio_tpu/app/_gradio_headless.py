@@ -134,6 +134,11 @@ class Component:
     def submit(self, fn=None, inputs=None, outputs=None, **_):
         return self._listen("submit", fn, inputs, outputs)
 
+    def release(self, fn=None, inputs=None, outputs=None, **_):
+        # gradio's idiomatic end-of-drag event for sliders; EVENTS advertises
+        # it, so the registration method must exist too
+        return self._listen("release", fn, inputs, outputs)
+
     def __repr__(self):
         return f"<{type(self).__name__} label={self.label!r} value={self.value!r}>"
 

@@ -59,11 +59,16 @@ def build_demo():
         path = getattr(file, "name", file)
         import tempfile
 
-        out_path = tempfile.mktemp(suffix=f".{fmt}")
+        with tempfile.NamedTemporaryFile(delete=False, suffix=f".{fmt}") as tmp:
+            out_path = tmp.name
         try:
             core.convert(path, out_path, bitrate)
             return out_path, f"Konvertierung abgeschlossen: {out_path}"
         except Exception as e:  # noqa: BLE001 — surfaced to the UI
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
             return None, f"Konvertierung fehlgeschlagen: {e}"
 
     with gr.Blocks(title="Audio Analyzer Studio") as demo:
@@ -91,6 +96,13 @@ def build_demo():
 
 
 def main():
+    # bounded, cwd-tolerant backend init BEFORE the first metering request:
+    # raw plugin init hangs forever when the device tunnel is down and only
+    # registers from certain working directories (every other entry point
+    # already routes through ensure_backend)
+    from ..utils.runtime import ensure_backend
+
+    ensure_backend()
     build_demo().launch(server_name="0.0.0.0", server_port=8862)
 
 

@@ -130,7 +130,13 @@ def convert(input_path: str, output_path: str, bitrate: str = "256",
 
         data, rate = wavio.read(input_path)
         data, rate = _maybe_resample(data, rate)
-        vorbisenc.write(output_path, data, rate)
+        # the encoder is quality-mode (like libvorbis -q); honor the bitrate
+        # request through the measured kbps→quality mapping instead of
+        # silently ignoring it
+        vorbisenc.write(
+            output_path, data, rate,
+            quality=vorbisenc.quality_for_bitrate(int(bitrate)),
+        )
         return output_path
     if output_path.lower().endswith(".mp3"):
         from ..utils import mp3io

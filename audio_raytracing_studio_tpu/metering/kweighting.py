@@ -40,11 +40,17 @@ def channel_weights(num_channels: int) -> np.ndarray:
     """BS.1770-4 G weights for THIS repo's channel orders
     (config.CHANNEL_LAYOUTS: FL FR C LFE RL RR [SL SR | TFL TFR]): the LFE
     channel (index 3) is excluded from the measurement entirely, and
-    rear/side/height channels weigh +1.5 dB (1.41)."""
+    rear/side/height channels weigh +1.5 dB (1.41).
+
+    The layout assumption only holds for the repo's own channel counts
+    (6 = 5.1, 8 = 7.1 / 5.1.2).  Arbitrary input files with other counts
+    (quad, 5.0, …) carry no LFE at index 3 — silencing a rear channel or
+    boosting the wrong ones there misreads LUFS by several dB, so unknown
+    counts weigh every channel 1.0 (the BS.1770 default for unlabelled
+    channels)."""
     w = np.ones(num_channels, dtype=np.float64)
-    if num_channels >= 4:
+    if num_channels in (6, 8):
         w[3] = 0.0  # LFE
-    if num_channels >= 5:
         w[4:] = 1.41
     return w
 

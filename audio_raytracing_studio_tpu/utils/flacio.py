@@ -534,6 +534,14 @@ def read(path_or_file: Union[str, os.PathLike, BinaryIO]) -> Tuple[np.ndarray, i
         if r.pos >= r.bits.size:
             break
     if not frames:
+        if info.total_samples == 0:
+            # a zero-frame stream is legal when STREAMINFO says 0 samples —
+            # our own write() of empty audio produces one; mirror WAV's
+            # empty round-trip instead of erroring
+            return (
+                np.zeros((0, info.channels), dtype=np.float32),
+                info.sample_rate,
+            )
         raise ValueError("FLAC stream contains no audio frames")
     samples = np.concatenate(frames, axis=0)
     if info.total_samples and total < info.total_samples:

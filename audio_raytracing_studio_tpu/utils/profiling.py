@@ -54,14 +54,20 @@ class TimingResult:
 
 
 def _force_sync(out) -> None:
-    """Force device completion via a scalar readback of the first real
-    float leaf (falls back to block_until_ready for non-float pytrees)."""
+    """Force device completion via a scalar readback of the first numeric
+    leaf — float OR integer (the device-side PCM16 path returns int16, and
+    block_until_ready lies on axon for donated-arg jits) — falling back to
+    block_until_ready only for pytrees with no numeric leaves at all."""
     import jax.numpy as jnp
     import numpy as np
 
     for leaf in jax.tree_util.tree_leaves(out):
         dt = getattr(leaf, "dtype", None)
-        if dt is not None and np.issubdtype(dt, np.floating):
+        # complex leaves are excluded: eager complex arithmetic (the sum)
+        # is itself UNIMPLEMENTED on axon
+        if dt is not None and (
+            np.issubdtype(dt, np.floating) or np.issubdtype(dt, np.integer)
+        ):
             float(jnp.sum(leaf))
             return
     jax.block_until_ready(out)

@@ -737,6 +737,20 @@ def encode(
             fh.write(blob)
 
 
-def write(path: Union[str, os.PathLike], data: np.ndarray, rate: int) -> None:
+def write(
+    path: Union[str, os.PathLike],
+    data: np.ndarray,
+    rate: int,
+    quality: float = 0.5,
+) -> None:
     """File-writing convenience mirroring flacio.write's signature."""
-    encode(data, rate, path)
+    encode(data, rate, path, quality=quality)
+
+
+def quality_for_bitrate(bitrate_kbps: int) -> float:
+    """Map a nominal bitrate request (the analyzer CLI/UI contract, mirroring
+    the reference's pydub ``bitrate=`` export arg) onto the encoder's
+    quality knob.  The encoder is quality-mode only (like libvorbis -q);
+    anchor points measured on broadband stereo 44.1 kHz content:
+    q0 ≈ 90 kbps, q0.5 ≈ 160 kbps, q1 ≈ 260 kbps."""
+    return float(np.clip((float(bitrate_kbps) - 90.0) / 170.0, 0.0, 1.0))

@@ -664,12 +664,21 @@ def probe(path: Union[str, os.PathLike]) -> dict:
 def info(path: Union[str, os.PathLike]) -> dict:
     """Basic file info: rate, channels, frames, duration (analyser.py:50-58).
 
-    Routes through ``read`` so non-WAV containers work wherever decode does.
+    Delegates to the header-only ``probe`` — decoding a whole clip to read
+    four header fields would cost hundreds of MB on an hour-long file.
+    Falls back to a full decode only where probe cannot help but read can
+    (e.g. the ffmpeg-binary tier for formats the native probes don't cover).
     """
-    data, rate = read(path)
+    try:
+        meta = probe(path)
+        rate, frames = meta["samplerate"], meta["frames"]
+        channels = meta["channels"]
+    except (OSError, ValueError):
+        data, rate = read(path)
+        frames, channels = data.shape[0], data.shape[1]
     return {
         "samplerate": rate,
-        "channels": data.shape[1],
-        "frames": data.shape[0],
-        "duration": data.shape[0] / rate if rate > 0 else 0.0,
+        "channels": channels,
+        "frames": frames,
+        "duration": frames / rate if rate > 0 else 0.0,
     }

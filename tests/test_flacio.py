@@ -548,3 +548,15 @@ class TestExternalInterop:
         assert rate == 22050
         ref, _ = wavio.read(src_wav)
         np.testing.assert_array_equal(decoded, ref)
+
+
+def test_empty_audio_roundtrip(tmp_path):
+    """write() of zero samples produces a legal zero-frame FLAC that read()
+    must accept (it used to raise 'contains no audio frames')."""
+    from audio_raytracing_studio_tpu.utils import flacio
+
+    p = tmp_path / "empty.flac"
+    flacio.write(p, np.zeros((0, 2), np.float32), 48000)
+    data, rate = flacio.read(p)
+    assert rate == 48000
+    assert data.shape == (0, 2)

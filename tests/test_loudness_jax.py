@@ -124,3 +124,16 @@ def test_oversampled_true_peak_exceeds_sample_peak():
     tp = float(jl.oversampled_true_peak_dbfs(jnp.asarray(x)))
     assert tp >= sp - 1e-4
     assert tp == pytest.approx(20 * np.log10(0.9), abs=0.05)
+
+
+def test_channel_weights_unknown_counts_are_unweighted():
+    """Index-3-is-LFE only holds for this repo's 6/8-channel layouts; a quad
+    or 5.0 file must not get a rear channel silenced or boosted."""
+    from audio_raytracing_studio_tpu.metering import kweighting as kw
+
+    assert np.allclose(kw.channel_weights(4), 1.0)
+    assert np.allclose(kw.channel_weights(5), 1.0)
+    w6 = kw.channel_weights(6)
+    assert w6[3] == 0.0 and np.allclose(w6[4:], 1.41)
+    w8 = kw.channel_weights(8)
+    assert w8[3] == 0.0 and np.allclose(w8[4:], 1.41)

@@ -285,3 +285,26 @@ class TestProductSurface:
         dec, r = wavio.read(p)  # sniff chain routes back through vorbisio
         assert r == rate
         assert dec.shape == x.shape
+
+
+def test_bitrate_maps_to_quality(tmp_path):
+    """The analyzer's --bitrate request must change the .ogg encoding
+    (the encoder is quality-mode; the mapping makes the knob real)."""
+    from audio_raytracing_studio_tpu.utils import vorbisenc, vorbisio
+
+    assert vorbisenc.quality_for_bitrate(64) == 0.0
+    assert vorbisenc.quality_for_bitrate(320) == 1.0
+    assert 0.0 < vorbisenc.quality_for_bitrate(160) < 1.0
+
+    rng = np.random.default_rng(3)
+    t = np.arange(11025) / 11025
+    x = (0.3 * np.sin(2 * np.pi * 440 * t)
+         + 0.1 * rng.standard_normal(t.size)).astype(np.float32)
+    lo = tmp_path / "lo.ogg"
+    hi = tmp_path / "hi.ogg"
+    vorbisenc.write(lo, x, 11025, quality=vorbisenc.quality_for_bitrate(64))
+    vorbisenc.write(hi, x, 11025, quality=vorbisenc.quality_for_bitrate(320))
+    assert hi.stat().st_size > lo.stat().st_size  # more bits at higher quality
+    for p in (lo, hi):  # both stay decodable
+        out, rate = vorbisio.decode(str(p))
+        assert rate == 11025 and out.shape[0] > 0
