@@ -82,22 +82,41 @@ def adjust_parameters_for_3d(
     z_pos = float(z_pos)
     base = hall_base_parameters(hall_type)
 
-    if not np.isfinite(room_size) or room_size <= 0:
-        # negative sizes would go through complex powers (float() silently
-        # drops the imaginary part) and NaN crashes the int() below; the
-        # reference wrapped this block in try/except and fell back to the
-        # hall's base parameters (raytracer_studio.py:211-236)
+    if np.isnan(room_size):
+        # reference: int(nan·…) raises inside its try block and the except
+        # returns adjust_reverb_parameters_by_hall(DEFAULT_HALL_TYPE) — the
+        # DEFAULT hall's base parameters, NOT the requested hall's
+        # (raytracer_studio.py:236).  ±inf does NOT raise there: +inf rides
+        # the formula into the high clips (handled below) and −inf goes
+        # complex like any negative (the ≤ 0 branch)
+        fb = hall_base_parameters(config.DEFAULT_HALL_TYPE)
         return (
-            float(base.ir_duration_s),
-            int(base.reflection_count),
-            float(base.max_early_delay_s),
-            float(base.early_late_split_s),
+            float(fb.ir_duration_s),
+            int(fb.reflection_count),
+            float(fb.max_early_delay_s),
+            float(fb.early_late_split_s),
         )
+    if not np.isfinite(z_pos):
+        # a NaN z would poison adj_max_delay and crash derive_ir_geometry's
+        # int(); the reference degrades via its IR-generation fallback —
+        # neutral z (no delay modulation) keeps a proper render instead
+        z_pos = 0.5
 
-    size_factor_dur = np.clip((room_size / 100.0) ** config.SIZE_DUR_EXP, *config.SIZE_DUR_CLIP)
-    size_factor_delay = np.clip(
-        (room_size / 100.0) ** config.SIZE_DELAY_EXP, *config.SIZE_DELAY_CLIP
-    )
+    if room_size <= 0:
+        # reference: a negative size raised to fractional powers goes
+        # COMPLEX; the clipped factors resolve to the LOW bounds for all
+        # practical magnitudes (verified: np.clip((-0.05)**0.33, .5, 2.5)
+        # → 0.5+0j), so use the low clips directly with real math — the
+        # ref-count factor below stays real either way
+        size_factor_dur = config.SIZE_DUR_CLIP[0]
+        size_factor_delay = config.SIZE_DELAY_CLIP[0]
+    else:
+        size_factor_dur = np.clip(
+            (room_size / 100.0) ** config.SIZE_DUR_EXP, *config.SIZE_DUR_CLIP
+        )
+        size_factor_delay = np.clip(
+            (room_size / 100.0) ** config.SIZE_DELAY_EXP, *config.SIZE_DELAY_CLIP
+        )
     size_factor_ref = np.clip(
         1 + (room_size - 100) / config.SIZE_REF_DIVISOR, *config.SIZE_REF_CLIP
     )

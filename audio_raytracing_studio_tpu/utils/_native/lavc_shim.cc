@@ -58,6 +58,8 @@ struct DecodeCtx {
     SwrContext *swr = nullptr;
     AVPacket *pkt = nullptr;
     AVFrame *frame = nullptr;
+    int swr_rate = 0;   // the rate/format the swr was configured for —
+    int swr_fmt = -1;   // mid-stream changes must be refused, not garbled
     ~DecodeCtx() {
         if (swr) swr_free(&swr);
         if (dec) avcodec_free_context(&dec);
@@ -118,6 +120,14 @@ int append_frame(DecodeCtx &c, AVFrame *f, std::vector<float> &out,
             set_err(err, errlen, "cannot initialize resampler", ret);
             return -1;
         }
+        c.swr_rate = f->sample_rate;
+        c.swr_fmt = f->format;
+    } else if (f->sample_rate != c.swr_rate || f->format != c.swr_fmt) {
+        // chained streams (e.g. concatenated Ogg) can switch rate/format
+        // mid-file; converting with the stale swr config would silently
+        // play sections at the wrong pitch or produce garbage samples
+        set_err(err, errlen, "sample rate/format changed mid-stream");
+        return -1;
     }
     size_t base = out.size();
     out.resize(base + (size_t)f->nb_samples * channels);
@@ -158,6 +168,18 @@ int lavc_decode_file(const char *path, float **out_data, long long *out_frames,
     std::vector<float> samples;
     int ret;
     bool draining = false;
+    auto take_frame = [&]() -> int {
+        // a mid-stream channel-count change would silently corrupt the
+        // interleave; refuse it (none of the target formats do this)
+        if (c.frame->ch_layout.nb_channels != channels) {
+            set_err(err, errlen, "channel count changed mid-stream");
+            return -1;
+        }
+        if (append_frame(c, c.frame, samples, channels, err, errlen) < 0)
+            return -1;
+        av_frame_unref(c.frame);
+        return 0;
+    };
     while (true) {
         if (!draining) {
             ret = av_read_frame(c.fmt, c.pkt);
@@ -171,24 +193,33 @@ int lavc_decode_file(const char *path, float **out_data, long long *out_frames,
                 av_packet_unref(c.pkt);
                 continue;
             } else {
-                ret = avcodec_send_packet(c.dec, c.pkt);
+                // EAGAIN from send_packet means the decoder's input queue
+                // is full until output is consumed: drain one frame and
+                // RE-SEND the same packet (dropping it would silently
+                // truncate audio — same contract as the encoder below)
+                for (;;) {
+                    ret = avcodec_send_packet(c.dec, c.pkt);
+                    if (ret != AVERROR(EAGAIN)) break;
+                    int r2 = avcodec_receive_frame(c.dec, c.frame);
+                    if (r2 < 0) {
+                        av_packet_unref(c.pkt);
+                        set_err(err, errlen, "decoder stalled (EAGAIN, no output)", r2);
+                        return -1;
+                    }
+                    if (take_frame() < 0) {
+                        av_packet_unref(c.pkt);
+                        return -1;
+                    }
+                }
                 av_packet_unref(c.pkt);
-                if (ret < 0 && ret != AVERROR(EAGAIN)) {
+                if (ret < 0) {
                     set_err(err, errlen, "decode error", ret);
                     return -1;
                 }
             }
         }
         while ((ret = avcodec_receive_frame(c.dec, c.frame)) >= 0) {
-            // a mid-stream channel-count change would silently corrupt the
-            // interleave; refuse it (none of the target formats do this)
-            if (c.frame->ch_layout.nb_channels != channels) {
-                set_err(err, errlen, "channel count changed mid-stream");
-                return -1;
-            }
-            if (append_frame(c, c.frame, samples, channels, err, errlen) < 0)
-                return -1;
-            av_frame_unref(c.frame);
+            if (take_frame() < 0) return -1;
         }
         if (ret == AVERROR_EOF && draining) break;
         if (ret != AVERROR(EAGAIN) && ret != AVERROR_EOF) {

@@ -29,21 +29,4 @@ void decode_pcm16(const int16_t* in, float* out, int64_t n) {
   }
 }
 
-// Interleave a channels-leading (C, N) float32 block into (N, C) while
-// quantizing — fused fast path for callers holding channels-leading render
-// output (saves the separate host transpose copy).
-void encode_pcm16_interleave(const float* in, int16_t* out, int64_t channels,
-                             int64_t frames) {
-  for (int64_t c = 0; c < channels; ++c) {
-    const float* src = in + c * frames;
-    for (int64_t i = 0; i < frames; ++i) {
-      float v = src[i] * 32768.0f;
-      long r = lrintf(v);
-      if (r > 32767) r = 32767;
-      if (r < -32768) r = -32768;
-      out[i * channels + c] = static_cast<int16_t>(r);
-    }
-  }
-}
-
 }  // extern "C"

@@ -19,11 +19,23 @@ _LIB = os.path.join(_HERE, "libflac_core.so")
 
 
 def _build() -> None:
-    subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
-        check=True,
-        capture_output=True,
-    )
+    # build to a temp path then atomically replace: concurrent importers
+    # (e.g. the two-process distributed dryrun) must never dlopen a
+    # half-written .so or have their output clobbered mid-link
+    tmp = f"{_LIB}.build-{os.getpid()}"
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
@@ -76,8 +88,14 @@ def rice_encode(u: np.ndarray, k: int, total_bits: int) -> np.ndarray:
 
 
 def lpc_reconstruct(signal: np.ndarray, coeffs_oldest_first: np.ndarray,
-                    shift: int) -> None:
-    """In-place integer LPC reconstruction (signal holds warmup + residual)."""
+                    shift: int) -> np.ndarray:
+    """Integer LPC reconstruction (signal holds warmup + residual).
+
+    USE THE RETURN VALUE: for non-int64 or non-contiguous input,
+    ascontiguousarray COPIES and the kernel mutates the copy — a caller
+    relying on in-place mutation of its own array would silently get no
+    reconstruction at all.  int64 contiguous input is reconstructed
+    in place and returned as-is."""
     signal = np.ascontiguousarray(signal, dtype=np.int64)
     co = np.ascontiguousarray(coeffs_oldest_first, dtype=np.int64)
     _lib.flac_lpc_reconstruct(

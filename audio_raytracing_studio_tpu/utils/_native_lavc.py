@@ -19,14 +19,26 @@ _LIB = os.path.join(_HERE, "liblavc_shim.so")
 
 
 def _build() -> None:
-    subprocess.run(
-        [
-            "g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC,
-            "-lavformat", "-lavcodec", "-lavutil", "-lswresample",
-        ],
-        check=True,
-        capture_output=True,
-    )
+    # build to a temp path then atomically replace: concurrent importers
+    # (e.g. the two-process distributed dryrun) must never dlopen a
+    # half-written .so or have their output clobbered mid-link
+    tmp = f"{_LIB}.build-{os.getpid()}"
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC,
+                "-lavformat", "-lavcodec", "-lavutil", "-lswresample",
+            ],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):

@@ -20,11 +20,23 @@ _LIB = os.path.join(_HERE, "libpcm_codec.so")
 
 
 def _build() -> None:
-    subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
-        check=True,
-        capture_output=True,
-    )
+    # build to a temp path then atomically replace: concurrent importers
+    # (e.g. the two-process distributed dryrun) must never dlopen a
+    # half-written .so or have their output clobbered mid-link
+    tmp = f"{_LIB}.build-{os.getpid()}"
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
@@ -41,14 +53,6 @@ _lib.decode_pcm16.argtypes = [
     ctypes.POINTER(ctypes.c_float),
     ctypes.c_int64,
 ]
-_lib.encode_pcm16_interleave.argtypes = [
-    ctypes.POINTER(ctypes.c_float),
-    ctypes.POINTER(ctypes.c_int16),
-    ctypes.c_int64,
-    ctypes.c_int64,
-]
-
-
 def encode_pcm16(x: np.ndarray) -> np.ndarray:
     """float32 array → int16 with libsndfile semantics (shape preserved)."""
     x = np.ascontiguousarray(x, dtype=np.float32)
@@ -68,19 +72,5 @@ def decode_pcm16(raw: np.ndarray) -> np.ndarray:
         raw.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         raw.size,
-    )
-    return out
-
-
-def encode_pcm16_interleave(x_cn: np.ndarray) -> np.ndarray:
-    """(C, N) float32 channels-leading → (N, C) interleaved int16 (fused)."""
-    x_cn = np.ascontiguousarray(x_cn, dtype=np.float32)
-    channels, frames = x_cn.shape
-    out = np.empty((frames, channels), dtype=np.int16)
-    _lib.encode_pcm16_interleave(
-        x_cn.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-        channels,
-        frames,
     )
     return out

@@ -19,11 +19,23 @@ _LIB = os.path.join(_HERE, "libvorbis_core.so")
 
 
 def _build() -> None:
-    subprocess.run(
-        ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
-        check=True,
-        capture_output=True,
-    )
+    # build to a temp path then atomically replace: concurrent importers
+    # (e.g. the two-process distributed dryrun) must never dlopen a
+    # half-written .so or have their output clobbered mid-link
+    tmp = f"{_LIB}.build-{os.getpid()}"
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, _SRC],
+            check=True,
+            capture_output=True,
+        )
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
 
 if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
@@ -59,15 +71,24 @@ class BookHandle:
         self.scratch_ptr = self.scratch.ctypes.data_as(_f32p)
 
 
-def vq_run(data: bytes, bitpos: int, handle: BookHandle, count: int) -> int:
+def vq_run(
+    data: bytes, bitpos: int, handle: BookHandle, count: int,
+    fast_bits: int = 10,
+) -> int:
     """Decode `count` VQ entries into handle.scratch (count·dims float32).
+
+    ``fast_bits`` is the width of the caller's fast lookup table — it MUST
+    equal vorbisio._FAST_BITS (the table builder): a mismatch indexes the
+    wrong half of the table and decodes plausible-but-wrong VQ entries
+    instead of reporting a miss.  Callers pass their constant explicitly
+    so the two cannot silently drift.
 
     Returns the new absolute bit position, or -1 (fast-table miss or
     packet exhaustion — caller falls back to the Python path)."""
     return int(
         _lib.vorbis_vq_run(
             data, len(data), bitpos,
-            handle.fast_ptr, 10,
+            handle.fast_ptr, int(fast_bits),
             handle.vec_ptr, handle.dims, count,
             handle.scratch_ptr,
         )

@@ -694,7 +694,10 @@ class Residue:
                 if handle is None or len(handle.scratch) < count * dims:
                     handle = _native.BookHandle(book.fast, book.vectors, count)
                     book._native_handle = handle
-                newpos = _native.vq_run(r.data, r.bits_consumed(), handle, count)
+                newpos = _native.vq_run(
+                    r.data, r.bits_consumed(), handle, count,
+                    fast_bits=_FAST_BITS,
+                )
                 if newpos >= 0:
                     v[off : off + count * dims] += handle.scratch[: count * dims]
                     r.seek_bits(newpos)

@@ -25,13 +25,6 @@ def test_decode_roundtrip(rng):
     assert np.array_equal(native.encode_pcm16(back), q)
 
 
-def test_interleave_fused(rng):
-    cn = rng.uniform(-0.9, 0.9, size=(6, 4800)).astype(np.float32)
-    fused = native.encode_pcm16_interleave(cn)
-    assert fused.shape == (4800, 6)
-    assert np.array_equal(fused, native.encode_pcm16(cn.T.copy()))
-
-
 def test_wavio_uses_native_path(tmp_path, rng):
     from audio_raytracing_studio_tpu.utils import wavio
 

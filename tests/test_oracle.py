@@ -70,20 +70,49 @@ class TestParamMath:
         assert e == pytest.approx(0.8 * 0.3)
         assert l == pytest.approx(0.6 * 1.6)
 
-    def test_invalid_room_size_falls_back_to_hall_base(self):
-        """Review regression: negative room_size went through complex powers
-        (imaginary part silently dropped) and NaN crashed int(); the
-        reference fell back to the hall's base parameters on any error."""
+    def test_invalid_room_size_mirrors_reference(self):
+        """Degenerate room_size follows the reference's actual math:
+        NaN raises inside its try and falls back to the DEFAULT hall's base
+        params (NOT the requested hall's); negative sizes resolve to the
+        LOW-clip scale factors (the complex powers clip to the low bound);
+        +inf rides the formula into the HIGH clips without raising."""
+        import numpy as np
+
+        from audio_raytracing_studio_tpu import config
         from audio_raytracing_studio_tpu.params import (
             adjust_parameters_for_3d,
             hall_base_parameters,
         )
 
-        base = hall_base_parameters("Room")
-        for bad in (-5.0, 0.0, float("nan"), float("inf")):
-            dur, cnt, dly, split = adjust_parameters_for_3d("Room", bad, 0.5)
-            assert dur == base.ir_duration_s and cnt == base.reflection_count
-            assert dly == base.max_early_delay_s and split == base.early_late_split_s
+        room = hall_base_parameters(config.DEFAULT_HALL_TYPE)
+        cath = hall_base_parameters("Cathedral")
+
+        # NaN → DEFAULT hall base, even when Cathedral was requested
+        dur, cnt, dly, split = adjust_parameters_for_3d("Cathedral", float("nan"), 0.5)
+        assert (dur, cnt, dly, split) == (
+            room.ir_duration_s, room.reflection_count,
+            room.max_early_delay_s, room.early_late_split_s,
+        )
+
+        # negative / zero → low-clip factors applied to the REQUESTED hall
+        for bad in (-5.0, 0.0, float("-inf")):
+            dur, cnt, dly, split = adjust_parameters_for_3d("Cathedral", bad, 0.5)
+            assert dur == pytest.approx(
+                np.clip(cath.ir_duration_s * config.SIZE_DUR_CLIP[0], *config.DURATION_CLIP)
+            )
+            assert dly == pytest.approx(
+                np.clip(cath.max_early_delay_s * config.SIZE_DELAY_CLIP[0], *config.MAX_DELAY_CLIP)
+            )
+
+        # +inf → high-clip factors, no exception
+        dur, cnt, dly, split = adjust_parameters_for_3d("Room", float("inf"), 0.5)
+        assert dur == pytest.approx(
+            np.clip(room.ir_duration_s * config.SIZE_DUR_CLIP[1], *config.DURATION_CLIP)
+        )
+
+        # NaN z_pos must not crash the geometry derivation downstream
+        dur, cnt, dly, split = adjust_parameters_for_3d("Room", 100.0, float("nan"))
+        assert np.isfinite(dly) and dly > 0
 
     def test_channel_weights_exclude_lfe(self):
         from audio_raytracing_studio_tpu.metering import kweighting as kw

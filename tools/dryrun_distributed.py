@@ -135,7 +135,22 @@ def main() -> int:
         )
         for i in range(NUM_PROCESSES)
     ]
-    outs = [p.communicate(timeout=600) for p in procs]
+    try:
+        outs = [p.communicate(timeout=600) for p in procs]
+    except subprocess.TimeoutExpired:
+        # one worker dying pre-barrier leaves the other blocked forever in
+        # the gloo/grpc coordination — kill and reap BOTH or the orphan
+        # pegs this 1-core host (the documented suite-killing failure mode)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        outs = [p.communicate() for p in procs]
+        for i, (o, e) in enumerate(outs):
+            sys.stderr.write(
+                f"--- worker {i} timed out/killed (rc={procs[i].returncode}) ---\n"
+                f"{o}\n{e[-3000:]}\n"
+            )
+        return 1
     rcs = [p.returncode for p in procs]
     if any(rcs):
         for i, (o, e) in enumerate(outs):

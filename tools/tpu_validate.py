@@ -27,6 +27,10 @@ def main() -> int:
     from audio_raytracing_studio_tpu.utils.runtime import ensure_backend
 
     backend = ensure_backend()
+    # explicit backend line on EVERY path (CLAUDE.md: TPU scripts print the
+    # backend — a log without it cannot prove the run happened on hardware
+    # rather than a silent CPU-fallback twin)
+    print(f"backend: {backend} devices: {jax.devices()}", flush=True)
     if backend != "tpu":
         print(json.dumps({"check": "backend", "ok": False, "got": backend}))
         return 1
