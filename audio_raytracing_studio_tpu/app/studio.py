@@ -13,6 +13,7 @@ All compute routes through app.api (the jitted TPU pipeline).
 
 from __future__ import annotations
 
+import functools
 import logging
 
 from .. import config
@@ -34,6 +35,108 @@ except ImportError:  # headless images: the executable in-repo UI runtime
     GRADIO_AVAILABLE = False
 
 
+# --- module-level event handlers -----------------------------------------
+# The same callables serve build_demo's event graph and the reference-API
+# façade (compat.py): handlers that touch the preset store take it as an
+# explicit first argument and are bound with functools.partial below.
+
+
+def update_hall_info(selected: str) -> str:
+    """Hall-description markdown (ref :147-155)."""
+    texts = config.HALL_INFO_TEXTS
+    return (
+        "ℹ️ **Beschreibung:** "
+        f"{texts.get(selected, texts[config.DEFAULT_HALL_TYPE])}"
+    )
+
+
+def toggle_ir_controls(use_external):
+    """Interactivity updates [external_ir_input] + 7 hall controls (ref :1293-1303)."""
+    is_external = bool(use_external)
+    internal_update = gr.update(interactive=not is_external)
+    return (gr.update(interactive=is_external),) + (internal_update,) * 7
+
+
+def on_map_click(evt):
+    """Map click → (x-slider, y-slider, marker-image) updates (ref :841-854)."""
+    if not evt or not hasattr(evt, "index") or len(evt.index) < 2:
+        return gr.update(), gr.update(), gr.update()
+    norm = marker.click_to_normalized(evt.index[0], evt.index[1])
+    if norm is None:
+        return gr.update(), gr.update(), gr.update(value=None)
+    x, y = norm
+    path = marker.update_marker_image(x, y)
+    return gr.update(value=x), gr.update(value=y), (
+        gr.update(value=path) if path else gr.update()
+    )
+
+
+def on_slider_change(x, y):
+    """X/Y slider move → marker-image update (ref :856-862)."""
+    path = marker.update_marker_image(x, y)
+    return gr.update(value=path) if path else gr.update()
+
+
+def save_preset(store: PresetStore, name, *values):
+    """Save the 16 control values as a v4 preset (ref :870-899)."""
+    try:
+        params = RenderParams.from_preset_dict(dict(zip(config.PRESET_KEYS, values)))
+        msg, filename = store.save(name, params)
+        return f"✅ {msg}", gr.update(choices=store.list_presets(), value=filename)
+    except ValueError:
+        return "⚠️ Ungültiger Preset-Name.", gr.update()
+    except Exception as e:  # noqa: BLE001
+        return f"❌ Fehler beim Speichern: {e}", gr.update()
+
+
+def load_preset(store: PresetStore, preset_file):
+    """Load a preset → 16 control-value updates in v4 key order (ref :901-932)."""
+    if not preset_file:
+        return [gr.update()] * len(config.PRESET_KEYS)
+    try:
+        p = store.load(preset_file)
+        return [gr.update(value=getattr(p, k)) for k in config.PRESET_KEYS]
+    except Exception as e:  # noqa: BLE001
+        log.warning("preset load failed: %s", e)
+        return [gr.update()] * len(config.PRESET_KEYS)
+
+
+def delete_preset(store: PresetStore, preset_file):
+    """Delete a preset → (status, dropdown update) (ref :934-946)."""
+    if not preset_file:
+        return "⚠️ Kein Preset zum Löschen gewählt!", gr.update()
+    ok = store.delete(preset_file)
+    msg = (
+        f"🗑️ Preset '{preset_file}' gelöscht!"
+        if ok
+        else f"⚠️ Preset '{preset_file}' nicht gefunden."
+    )
+    return msg, gr.update(choices=store.list_presets(), value=None)
+
+
+def on_start(store: PresetStore):
+    """Startup initializer → the 28 ordered updates (ref :1333-1384)."""
+    store.ensure_dir()
+    marker.ensure_map_asset()
+    available = store.list_presets()
+    last = store.load_last()
+    p = RenderParams()
+    preset_to_select = None
+    if last:
+        try:
+            p = store.load(last)
+            preset_to_select = last
+        except Exception:  # noqa: BLE001
+            store.save_last("")
+    marker_path = marker.update_marker_image(p.x_pos, p.y_pos)
+    updates = [gr.update(choices=available, value=preset_to_select)]
+    updates += [gr.update(value=getattr(p, k)) for k in config.PRESET_KEYS]
+    updates.append(gr.update(value=config.BASE_SURROUND_MAP_PATH))
+    updates.append(gr.update(value=marker_path))
+    updates.append(gr.update(value=update_hall_info(p.hall_type)))
+    updates.extend(list(toggle_ir_controls(p.use_external_ir)))
+    updates.append(gr.update(value="Bereit. Bitte Audio laden."))
+    return updates
 
 
 def build_demo(store: PresetStore | None = None):
@@ -49,21 +152,6 @@ def build_demo(store: PresetStore | None = None):
         secondary_hue=gr.themes.colors.blue,
         neutral_hue=gr.themes.colors.slate,
     )
-
-    hall_info = {
-        "Plate": "Klassischer Studioplate-Hall. Dicht, hell, relativ kurze "
-        "Nachhallzeit, stark gerichtet (wenig diffus). Gut für Vocals, Snares.",
-        "Room": "Natürlicher Raumklang. Ausgewogene frühe Reflexionen und "
-        "Nachhall, mittlere Gerichtetheit. Universell einsetzbar für Realismus.",
-        "Cathedral": "Große Kathedrale. Sehr langer, diffuser Nachhall, späte "
-        "Reflexionen dominant, geringe Gerichtetheit. Für Ambient, orchestrale Sounds.",
-    }
-
-    def update_hall_info(selected: str) -> str:
-        return (
-            "ℹ️ **Beschreibung:** "
-            f"{hall_info.get(selected, hall_info[config.DEFAULT_HALL_TYPE])}"
-        )
 
     with gr.Blocks(theme=theme, title=f"Audio Raytracing Studio {config.APP_VERSION}") as demo:
         # --- Tab 1: processing & positioning ---
@@ -177,35 +265,14 @@ def build_demo(store: PresetStore | None = None):
             surround_x, surround_y, surround_z, target_layout_dropdown,
         ]
 
-        # --- event handlers ---
+        # --- event handlers (module-level callables, see top of file) ---
         hall_type.change(fn=update_hall_info, inputs=[hall_type], outputs=[hall_info_text])
-
-        def toggle_ir_controls(use_external):
-            is_external = bool(use_external)
-            internal_update = gr.update(interactive=not is_external)
-            return (gr.update(interactive=is_external),) + (internal_update,) * 7
 
         interactive_outputs = [
             external_ir_input, hall_type, material_choice, room_size_slider,
             diffusion_slider, air_absorption_slider, early_level, late_level,
         ]
         use_external_ir.change(fn=toggle_ir_controls, inputs=[use_external_ir], outputs=interactive_outputs)
-
-        def on_map_click(evt: gr.SelectData):
-            if not evt or not hasattr(evt, "index") or len(evt.index) < 2:
-                return gr.update(), gr.update(), gr.update()
-            norm = marker.click_to_normalized(evt.index[0], evt.index[1])
-            if norm is None:
-                return gr.update(), gr.update(), gr.update(value=None)
-            x, y = norm
-            path = marker.update_marker_image(x, y)
-            return gr.update(value=x), gr.update(value=y), (
-                gr.update(value=path) if path else gr.update()
-            )
-
-        def on_slider_change(x, y):
-            path = marker.update_marker_image(x, y)
-            return gr.update(value=path) if path else gr.update()
 
         surround_image.select(fn=on_map_click, inputs=None, outputs=[surround_x, surround_y, surround_output_image])
         surround_x.input(fn=on_slider_change, inputs=[surround_x, surround_y], outputs=[surround_output_image])
@@ -218,42 +285,15 @@ def build_demo(store: PresetStore | None = None):
         load_last_result_prof.click(fn=lambda x: x, inputs=[download], outputs=[profiler_input_processed])
 
         # --- preset events ---
-        def save_preset(name, *values):
-            try:
-                params = RenderParams.from_preset_dict(dict(zip(config.PRESET_KEYS, values)))
-                msg, filename = store.save(name, params)
-                return f"✅ {msg}", gr.update(choices=store.list_presets(), value=filename)
-            except ValueError:
-                return "⚠️ Ungültiger Preset-Name.", gr.update()
-            except Exception as e:  # noqa: BLE001
-                return f"❌ Fehler beim Speichern: {e}", gr.update()
-
-        def load_preset(preset_file):
-            if not preset_file:
-                return [gr.update()] * len(config.PRESET_KEYS)
-            try:
-                p = store.load(preset_file)
-                return [gr.update(value=getattr(p, k)) for k in config.PRESET_KEYS]
-            except Exception as e:  # noqa: BLE001
-                log.warning("preset load failed: %s", e)
-                return [gr.update()] * len(config.PRESET_KEYS)
-
-        def delete_preset(preset_file):
-            if not preset_file:
-                return "⚠️ Kein Preset zum Löschen gewählt!", gr.update()
-            ok = store.delete(preset_file)
-            msg = f"🗑️ Preset '{preset_file}' gelöscht!" if ok else f"⚠️ Preset '{preset_file}' nicht gefunden."
-            return msg, gr.update(choices=store.list_presets(), value=None)
-
-        save_preset_button.click(fn=save_preset, inputs=[preset_name_input] + all_preset_controls, outputs=[save_status, preset_list])
-        load_preset_button.click(fn=load_preset, inputs=[preset_list], outputs=all_preset_controls
+        save_preset_button.click(fn=functools.partial(save_preset, store), inputs=[preset_name_input] + all_preset_controls, outputs=[save_status, preset_list])
+        load_preset_button.click(fn=functools.partial(load_preset, store), inputs=[preset_list], outputs=all_preset_controls
             ).then(fn=on_slider_change, inputs=[surround_x, surround_y], outputs=[surround_output_image]
             ).then(fn=update_hall_info, inputs=[hall_type], outputs=[hall_info_text]
             ).then(fn=toggle_ir_controls, inputs=[use_external_ir], outputs=interactive_outputs
             ).then(lambda p: f"Preset '{p}' geladen." if p else "Kein Preset gewählt.", inputs=[preset_list], outputs=save_status)
         refresh_presets_button.click(fn=lambda: gr.update(choices=store.list_presets()), inputs=[], outputs=[preset_list]
             ).then(lambda: "Presetliste aktualisiert.", inputs=None, outputs=save_status)
-        delete_preset_button.click(fn=delete_preset, inputs=[preset_list], outputs=[save_status, preset_list])
+        delete_preset_button.click(fn=functools.partial(delete_preset, store), inputs=[preset_list], outputs=[save_status, preset_list])
         export_presets_button.click(fn=store.export_zip, inputs=[], outputs=[zip_download]
             ).then(lambda x: gr.update(value="ZIP Export erfolgreich." if x else "Export fehlgeschlagen."), inputs=[zip_download], outputs=save_status)
 
@@ -264,36 +304,13 @@ def build_demo(store: PresetStore | None = None):
         )
 
         # --- startup initializer (ref :1333-1384) ---
-        def on_start():
-            store.ensure_dir()
-            marker.ensure_map_asset()
-            available = store.list_presets()
-            last = store.load_last()
-            p = RenderParams()
-            preset_to_select = None
-            if last:
-                try:
-                    p = store.load(last)
-                    preset_to_select = last
-                except Exception:  # noqa: BLE001
-                    store.save_last("")
-            marker_path = marker.update_marker_image(p.x_pos, p.y_pos)
-            updates = [gr.update(choices=available, value=preset_to_select)]
-            updates += [gr.update(value=getattr(p, k)) for k in config.PRESET_KEYS]
-            updates.append(gr.update(value=config.BASE_SURROUND_MAP_PATH))
-            updates.append(gr.update(value=marker_path))
-            updates.append(gr.update(value=update_hall_info(p.hall_type)))
-            updates.extend(list(toggle_ir_controls(p.use_external_ir)))
-            updates.append(gr.update(value="Bereit. Bitte Audio laden."))
-            return updates
-
         on_start_outputs = (
             [preset_list] + all_preset_controls
             + [surround_image, surround_output_image, hall_info_text]
             + interactive_outputs
             + [output_metrics_display]
         )
-        demo.load(fn=on_start, inputs=[], outputs=on_start_outputs)
+        demo.load(fn=functools.partial(on_start, store), inputs=[], outputs=on_start_outputs)
 
     return demo
 

@@ -70,6 +70,18 @@ HALL_DIRECTIONALITY_BASE: Dict[str, float] = {
 }
 HALL_DIRECTIONALITY_DEFAULT = 0.65
 
+# Hall-description texts shown under the hall-type dropdown
+# (raytracer_studio.py:147-155) — product strings, shared by the studio UI
+# and the reference-API façade (compat.update_hall_info)
+HALL_INFO_TEXTS: Dict[str, str] = {
+    "Plate": "Klassischer Studioplate-Hall. Dicht, hell, relativ kurze "
+    "Nachhallzeit, stark gerichtet (wenig diffus). Gut für Vocals, Snares.",
+    "Room": "Natürlicher Raumklang. Ausgewogene frühe Reflexionen und "
+    "Nachhall, mittlere Gerichtetheit. Universell einsetzbar für Realismus.",
+    "Cathedral": "Große Kathedrale. Sehr langer, diffuser Nachhall, späte "
+    "Reflexionen dominant, geringe Gerichtetheit. Für Ambient, orchestrale Sounds.",
+}
+
 # --- 3D parameter adaptation clips (raytracer_studio.py:211-236) ---
 SIZE_DUR_EXP = 0.33
 SIZE_DUR_CLIP = (0.5, 2.5)
