@@ -277,3 +277,43 @@ class TestPresetsAndHandlers:
             config.HALL_INFO_TEXTS[config.DEFAULT_HALL_TYPE]
             in rs.update_hall_info("unknown")
         )
+
+
+class TestComposition:
+    def test_facade_composes_to_the_product_render(self):
+        """The reference orchestrator's call order, executed through the
+        façade piece by piece, reproduces models.pipeline.render exactly
+        (same seed → same hash-draw stream → same jitted stages)."""
+        import audio_raytracing_studio_tpu.params as P
+        from audio_raytracing_studio_tpu.models import pipeline
+
+        rng = np.random.default_rng(5)
+        audio = rng.normal(0, 0.15, (6000, 2)).astype(np.float32)
+        rate = 8000
+        p = P.RenderParams(
+            hall_type="Plate", room_size=220.0, diffusion=0.4,
+            air_absorption=0.3, early_level=0.9, late_level=0.7,
+            dry_wet=0.55, dry_wet_kill_start=0.4, bass_gain=1.3,
+            treble_gain=0.8, x_pos=0.3, y_pos=0.65, z_pos=0.45,
+            target_layout="5.1.2 (Atmos Light)",
+        )
+        dur, refs, maxd, split = rs.adjust_parameters_for_3d(
+            p.hall_type, p.room_size, p.z_pos
+        )
+        direc = rs.compute_final_directionality_3d(
+            p.x_pos, p.y_pos, p.z_pos, p.hall_type, p.diffusion, p.dry_wet
+        )
+        e, l = rs.generate_impulse_response_split_3d(
+            rate, dur, refs, maxd, p.material, direc, split, p.diffusion, seed=11
+        )
+        el, ll = rs.adapt_early_late_levels(p.dry_wet, p.early_level, p.late_level)
+        mixed = rs.convolve_audio_split_3d(
+            audio, e, l, el, ll, p.dry_wet, p.bass_gain, p.treble_gain,
+            rate, p.dry_wet_kill_start, p.air_absorption,
+        )
+        six = rs.apply_surround_panning_3d(mixed, p.x_pos, p.y_pos, p.z_pos)
+        mapped, _ = rs.map_channels(six, p.target_layout, rate, p.z_pos)
+
+        out = pipeline.render(audio, rate, p, seed=11)
+        assert mapped.shape == out.shape
+        assert np.array_equal(mapped, out)  # bit-identical, measured 0.0
