@@ -9,6 +9,10 @@ translated.
 
 Reference behavior citations throughout point into
 /root/reference/raytracer_studio.py (studied, not copied).
+
+Migrating call sites from the reference monolith can keep their exact
+function names: ``from audio_raytracing_studio_tpu import compat as
+raytracer_studio`` (see docs/MIGRATION.md).
 """
 
 from . import config
