@@ -20,6 +20,17 @@ import jax
 # the config API reliably forces the CPU backend.
 jax.config.update("jax_platforms", "cpu")
 
+# Persist compiled executables across suite runs (the distributed-EQ and
+# two-process dryrun compiles dominate the ~13-min wall; a warm cache cuts
+# them to disk reads).  Same mechanism the product uses (utils.profiling.
+# enable_compilation_cache), separate directory so TPU executables from
+# bench runs never mix with the 8-device CPU ones.
+from audio_raytracing_studio_tpu.utils.profiling import enable_compilation_cache
+
+enable_compilation_cache(
+    os.path.join(os.path.expanduser("~"), ".cache", "ars_tpu_xla_cputests")
+)
+
 import numpy as np
 import pytest
 

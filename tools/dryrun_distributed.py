@@ -39,6 +39,15 @@ def worker(process_id: int, port: int) -> None:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
+    # persistent executable cache: both workers compile the same modules,
+    # and the CI suite re-runs this dryrun every time — warm runs read the
+    # executables from disk (cache writes are atomic, racing writers safe)
+    from audio_raytracing_studio_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache(
+        os.path.join(os.path.expanduser("~"), ".cache", "ars_tpu_xla_cputests")
+    )
+
     from audio_raytracing_studio_tpu.parallel import mesh as meshlib
 
     meshlib.initialize_distributed(
