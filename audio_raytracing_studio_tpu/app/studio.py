@@ -57,9 +57,13 @@ def toggle_ir_controls(use_external):
     return (gr.update(interactive=is_external),) + (internal_update,) * 7
 
 
-def on_map_click(evt):
-    """Map click → (x-slider, y-slider, marker-image) updates (ref :841-854)."""
-    if not evt or not hasattr(evt, "index") or len(evt.index) < 2:
+def on_map_click(evt: gr.SelectData):
+    """Map click → (x-slider, y-slider, marker-image) updates (ref :841-854).
+
+    The ``gr.SelectData`` annotation is LOAD-BEARING under real gradio: its
+    event-data injection keys on the parameter's type hint (the headless
+    runtime also accepts the parameter name ``evt``)."""
+    if not evt or not getattr(evt, "index", None) or len(evt.index) < 2:
         return gr.update(), gr.update(), gr.update()
     norm = marker.click_to_normalized(evt.index[0], evt.index[1])
     if norm is None:

@@ -322,8 +322,11 @@ def convolve_audio_split_3d(
         layout=config.DEFAULT_CHANNEL_LAYOUT,  # unused by the front half
         eq_on=_eq_on(bass_gain, treble_gain),
         air_on=air_absorption_factor > config.AIR_ABSORPTION_MIN_FACTOR,
-        early_on=early_act,
-        late_on=late_act,
+        # inactivity is enforced by the traced zeroed level scalars below;
+        # constants here keep the flags out of the jit cache key (a flip
+        # would recompile a byte-identical graph — minutes via the tunnel)
+        early_on=False,
+        late_on=False,
     )
     out = _split_front_core(
         jnp.asarray(audio_nc.T),

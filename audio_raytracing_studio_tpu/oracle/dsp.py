@@ -256,19 +256,24 @@ def convolve_audio_split(
         else data
     )
 
+    # each stream writes INTO its zeros(len_out_max) buffer: with IRs of
+    # unequal length (possible through the public compat surface — the
+    # reference always generates equal-length pairs) the shorter stream's
+    # conv result is shorter than len_out_max, and reassigning the variable
+    # to the short stack would crash the level-combine broadcast below
     early_wet = np.zeros((len_out_max, 2), dtype=np.float32)
     if early_ir.size > 1 and np.any(early_ir) and early_level > 1e-6:
         early_left = fftconvolve(data[:, 0], early_ir, mode="full")
         early_right = fftconvolve(data[:, 1], early_ir, mode="full")
-        early_wet = np.stack(
-            (early_left[:len_out_max], early_right[:len_out_max]), axis=1
-        )
+        n = min(len_out_max, early_left.shape[0])
+        early_wet[:n] = np.stack((early_left[:n], early_right[:n]), axis=1)
 
     late_wet = np.zeros((len_out_max, 2), dtype=np.float32)
     if late_ir.size > 1 and np.any(late_ir) and late_level > 1e-6:
         late_left = fftconvolve(data[:, 0], late_ir, mode="full")
         late_right = fftconvolve(data[:, 1], late_ir, mode="full")
-        late_wet = np.stack((late_left[:len_out_max], late_right[:len_out_max]), axis=1)
+        n = min(len_out_max, late_left.shape[0])
+        late_wet[:n] = np.stack((late_left[:n], late_right[:n]), axis=1)
 
     if air_absorption_factor > config.AIR_ABSORPTION_MIN_FACTOR and late_wet.size > 0:
         late_wet = apply_air_absorption(late_wet, rate, air_absorption_factor)

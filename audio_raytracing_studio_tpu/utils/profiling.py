@@ -105,6 +105,15 @@ def time_jitted(
     )
 
 
+def cpu_test_cache_dir() -> str:
+    """The CPU-suite executable cache — ONE definition shared by
+    tests/conftest.py and the two-process dryrun workers, so the dryrun
+    never silently stops sharing the suite's warm cache."""
+    import os
+
+    return os.path.join(os.path.expanduser("~"), ".cache", "ars_tpu_xla_cputests")
+
+
 def enable_compilation_cache(cache_dir: Optional[str] = None) -> None:
     """Persist compiled XLA executables across processes (SURVEY §5.4).
 

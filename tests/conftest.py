@@ -25,11 +25,12 @@ jax.config.update("jax_platforms", "cpu")
 # them to disk reads).  Same mechanism the product uses (utils.profiling.
 # enable_compilation_cache), separate directory so TPU executables from
 # bench runs never mix with the 8-device CPU ones.
-from audio_raytracing_studio_tpu.utils.profiling import enable_compilation_cache
-
-enable_compilation_cache(
-    os.path.join(os.path.expanduser("~"), ".cache", "ars_tpu_xla_cputests")
+from audio_raytracing_studio_tpu.utils.profiling import (
+    cpu_test_cache_dir,
+    enable_compilation_cache,
 )
+
+enable_compilation_cache(cpu_test_cache_dir())
 
 import numpy as np
 import pytest

@@ -114,6 +114,18 @@ class TestDSPParity:
         assert a.shape == b.shape
         assert np.max(np.abs(a - b)) < TOL
 
+    def test_convolve_split_unequal_ir_lengths(self, clip, irs):
+        """IRs of different lengths (possible through the public surface;
+        the reference always generates equal-length pairs) must render on
+        BOTH backends — the oracle used to crash on the level-combine
+        broadcast while jax returned audio."""
+        e, l = irs
+        args = (clip, e[:50], l, 0.8, 0.6, 0.5)
+        a = rs.convolve_audio_split_3d(*args, rate=8000)
+        b = rs.convolve_audio_split_3d(*args, rate=8000, backend="oracle")
+        assert a.shape == b.shape == (clip.shape[0] + l.shape[0] - 1, 2)
+        assert np.max(np.abs(a - b)) < TOL
+
     def test_convolve_split_empty_input(self):
         out = rs.convolve_audio_split_3d(
             np.zeros((0, 2), np.float32), np.ones(4), np.ones(4), 1, 1, 0.5
@@ -255,8 +267,13 @@ class TestPresetsAndHandlers:
         assert abs(x_up["value"] - 0.75) < 0.01
         assert abs(y_up["value"] - 0.25) < 0.01
         assert img_up["value"].endswith(".png")
-        # malformed event → no-op updates
+        # malformed events → no-op updates (index=None is what the HTTP
+        # server constructs for a select payload without coordinates)
         res = rs.update_controls_from_click(None)
+        assert all("value" not in u for u in res)
+        res = rs.update_controls_from_click(hgr.SelectData(index=None))
+        assert all("value" not in u for u in res)
+        res = rs.update_controls_from_click(hgr.SelectData(index=(120,)))
         assert all("value" not in u for u in res)
 
         slider_up = rs.handle_slider_change(0.5, 0.5)

@@ -141,6 +141,6 @@ def test_pure_garbage_and_empty(tmp_path):
     p = str(tmp_path / "empty.bin")
     open(p, "wb").close()
     _assert_clean(p)
-    assert not os.path.exists(str(tmp_path / "missing.wav")) or True
+    assert not os.path.exists(str(tmp_path / "missing.wav"))
     with pytest.raises((ValueError, OSError)):
         wavio.read(str(tmp_path / "missing.wav"))
