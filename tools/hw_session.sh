@@ -1,0 +1,30 @@
+#!/bin/bash
+# One-command hardware validation + bench pass (run when the TPU tunnel is up).
+#
+# Order: bounded probe -> kernel validation -> driver bench -> streaming
+# benches (unity + exact EQ) -> EQ-barrier A/B.  Each step logs to
+# /tmp/hw_<step>.log and the script stops early if the probe fails.
+# REQUIREMENTS (CLAUDE.md): idle host (no concurrent CPU suite), exactly one
+# TPU process at a time — this script runs its steps strictly sequentially.
+cd /root/repo || exit 1
+
+echo "== probe =="
+if ! timeout 120 python -u -c "import os; os.chdir('/root/repo'); import jax; print(jax.devices())"; then
+    echo "TPU tunnel DOWN (probe hung >120s) — aborting hardware session"
+    exit 1
+fi
+
+set -o pipefail
+run() {  # run <name> <timeout_s> <cmd...>
+    local name=$1 to=$2; shift 2
+    echo "== $name (timeout ${to}s) =="
+    timeout "$to" "$@" 2>&1 | tee "/tmp/hw_${name}.log" | tail -20
+    echo "-- $name rc=$? --"
+}
+
+run validate 1800 python tools/tpu_validate.py
+run bench 3600 python bench.py
+run long_unity 5400 python tools/bench_long.py long --minutes 30
+run long_eq 5400 python tools/bench_long.py long --minutes 30 --bass 1.6 --treble 0.7
+run eq_barrier 5400 python tools/measure_eq_barrier.py --minutes 30
+echo "== done — record the numbers in BENCH_HISTORY.md =="
