@@ -75,6 +75,31 @@ def _jsonable(value: Any) -> Any:
     return repr(value)
 
 
+def _iter_strings(value: Any):
+    """Every string anywhere inside a (possibly nested) component value —
+    the SAME traversal the file-serving allowlist uses, so the /set vetting
+    can never see less than ``file_allowed`` will later trust."""
+    if isinstance(value, str):
+        yield value
+    elif isinstance(value, (list, tuple)):
+        for v in value:
+            yield from _iter_strings(v)
+    elif isinstance(value, dict):
+        for v in value.values():
+            yield from _iter_strings(v)
+
+
+def _listener_map(blocks: "hl.Blocks") -> Dict[int, set]:
+    """component index → set of event names with listeners (one definition
+    shared by the JSON state endpoint and the HTML page renderer)."""
+    listeners: Dict[int, set] = {}
+    for dep in blocks._all_deps:
+        for i, c in enumerate(blocks.components):
+            if dep.trigger is c:
+                listeners.setdefault(i, set()).add(dep.event)
+    return listeners
+
+
 class StudioHTTPServer:
     """Serve a headless ``Blocks`` over HTTP.
 
@@ -113,13 +138,17 @@ class StudioHTTPServer:
             self._thread.join(timeout=10)
 
     # --- state / events ---
+    def _component(self, comp_id) -> "hl.Component":
+        """Strict id → component: negative ids must 400, not silently index
+        from the end of the component list."""
+        i = int(comp_id)
+        if not 0 <= i < len(self.blocks.components):
+            raise UnknownRouteTarget(f"no such component: {comp_id}")
+        return self.blocks.components[i]
+
     def component_state(self) -> List[Dict[str, Any]]:
         comps = self.blocks.components
-        listeners: Dict[int, set] = {}
-        for dep in self.blocks._all_deps:
-            for i, c in enumerate(comps):
-                if dep.trigger is c:
-                    listeners.setdefault(i, set()).add(dep.event)
+        listeners = _listener_map(self.blocks)
         out = []
         for i, c in enumerate(comps):
             entry: Dict[str, Any] = {
@@ -144,11 +173,16 @@ class StudioHTTPServer:
 
     def apply_sets(self, sets: Dict[str, Any]):
         for key, value in sets.items():
-            comp = self.blocks.components[int(key)]
-            if isinstance(value, str) and value and not self._set_path_ok(value):
-                raise PermissionError(
-                    f"refusing client-set path for component {key}: {value!r}"
-                )
+            comp = self._component(key)
+            # vet EVERY string inside the value, however nested: file_allowed
+            # later trusts list/tuple component values too, so a bare-string
+            # gate alone would let {"value": ["/etc/passwd"]} smuggle a path
+            # into the serving allowlist
+            for s in _iter_strings(value):
+                if s and not self._set_path_ok(s):
+                    raise PermissionError(
+                        f"refusing client-set path for component {key}: {s!r}"
+                    )
             comp.value = value
 
     def _set_path_ok(self, value: str) -> bool:
@@ -164,14 +198,20 @@ class StudioHTTPServer:
             return True  # plain strings (preset names, text) pass through
         return self.file_allowed(value)
 
+    def ensure_listener(self, comp_id: int, event: str) -> "hl.Component":
+        """Resolve (component, event) or raise UnknownRouteTarget — used to
+        VALIDATE a request before any of its sets mutate server state, so a
+        400 response really means nothing happened."""
+        comp = self._component(comp_id)
+        if not self.blocks.deps_for(comp, event):
+            raise UnknownRouteTarget(f"no {event!r} listener on component {comp_id}")
+        return comp
+
     def fire(self, comp_id: int, event: str, index=None, missing_ok: bool = False) -> bool:
         """Fire listeners on (component, event). Returns False when there is
         no such listener and ``missing_ok`` — never masks KeyErrors raised
         inside application handlers (those surface as handler errors)."""
-        try:
-            comp = self.blocks.components[comp_id]
-        except IndexError:
-            raise UnknownRouteTarget(f"no such component: {comp_id}") from None
+        comp = self._component(comp_id)
         if not self.blocks.deps_for(comp, event):
             if missing_ok:
                 return False
@@ -189,10 +229,17 @@ class StudioHTTPServer:
         path = os.path.join(self._upload_dir, base)
         stem, ext = os.path.splitext(path)
         n = 1
-        while os.path.exists(path):
-            path = f"{stem}_{n}{ext}"
-            n += 1
-        with open(path, "wb") as fh:
+        # O_CREAT|O_EXCL makes the name claim atomic: /upload runs without
+        # the event lock (ThreadingHTTPServer), so an exists()-then-open
+        # sequence would let two same-named concurrent uploads collide
+        while True:
+            try:
+                fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
+                break
+            except FileExistsError:
+                path = f"{stem}_{n}{ext}"
+                n += 1
+        with os.fdopen(fd, "wb") as fh:
             fh.write(body)
         self._uploads.add(os.path.realpath(path))
         return path
@@ -247,7 +294,8 @@ class StudioHTTPServer:
                     self._send(200, page.encode("utf-8"), "text/html; charset=utf-8")
                 elif parsed.path == "/state":
                     with server._lock:
-                        self._send_json({"components": server.component_state()})
+                        state = server.component_state()
+                    self._send_json({"components": state})
                 elif parsed.path == "/file":
                     qs = urllib.parse.parse_qs(parsed.query)
                     path = (qs.get("path") or [""])[0]
@@ -258,19 +306,25 @@ class StudioHTTPServer:
                         self._send_json({"error": "forbidden"}, 403)
                         return
                     ext = os.path.splitext(path)[1].lower()
+                    # stream — hour-scale WAV results are hundreds of MB;
+                    # slurping them per request would OOM this 1-core host
                     with open(path, "rb") as fh:
-                        body = fh.read()
-                    self.send_response(200)
-                    self.send_header(
-                        "Content-Type", _CONTENT_TYPES.get(ext, "application/octet-stream")
-                    )
-                    self.send_header("Content-Length", str(len(body)))
-                    self.send_header(
-                        "Content-Disposition",
-                        f'inline; filename="{os.path.basename(path)}"',
-                    )
-                    self.end_headers()
-                    self.wfile.write(body)
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type",
+                            _CONTENT_TYPES.get(ext, "application/octet-stream"),
+                        )
+                        self.send_header(
+                            "Content-Length", str(os.fstat(fh.fileno()).st_size)
+                        )
+                        self.send_header(
+                            "Content-Disposition",
+                            f'inline; filename="{os.path.basename(path)}"',
+                        )
+                        self.end_headers()
+                        import shutil
+
+                        shutil.copyfileobj(fh, self.wfile, length=1 << 20)
                 else:
                     self._send_json({"error": "not found"}, 404)
 
@@ -280,7 +334,12 @@ class StudioHTTPServer:
                 try:
                     if parsed.path == "/upload":
                         body = self._read_body()
-                        filename = self.headers.get("X-Filename", "upload.bin")
+                        # the client percent-encodes the name: raw fetch()
+                        # headers must be Latin-1, so a CJK/emoji filename
+                        # would otherwise never reach us
+                        filename = urllib.parse.unquote(
+                            self.headers.get("X-Filename", "upload.bin")
+                        )
                         path = server.save_upload(filename, body)
                         self._send_json({"path": path})
                         return
@@ -288,6 +347,8 @@ class StudioHTTPServer:
                     if "id" not in payload and parsed.path in ("/set", "/event"):
                         self._send_json({"error": "missing 'id'"}, 400)
                         return
+                    # serialize the response OUTSIDE the lock: a slow client
+                    # draining wfile must not stall every other request
                     if parsed.path == "/set":
                         with server._lock:
                             server.apply_sets({payload["id"]: payload.get("value")})
@@ -295,16 +356,23 @@ class StudioHTTPServer:
                                 # no change listener → set alone is fine
                                 server.fire(int(payload["id"]), "change",
                                             missing_ok=True)
-                            self._send_json({"components": server.component_state()})
+                            state = server.component_state()
+                        self._send_json({"components": state})
                     elif parsed.path == "/event":
                         with server._lock:
+                            # validate the route BEFORE any set mutates
+                            # state — a 400 must mean "nothing happened"
+                            server.ensure_listener(
+                                int(payload["id"]), payload.get("event", "click")
+                            )
                             server.apply_sets(payload.get("set") or {})
                             server.fire(
                                 int(payload["id"]),
                                 payload.get("event", "click"),
                                 payload.get("index"),
                             )
-                            self._send_json({"components": server.component_state()})
+                            state = server.component_state()
+                        self._send_json({"components": state})
                     else:
                         self._send_json({"error": "not found"}, 404)
                 except UnknownRouteTarget as e:
@@ -376,7 +444,10 @@ function render(c) {
         }
       }
       input.value = c.value == null ? '' : c.value;
-    } else if (document.activeElement !== input) {
+    } else if (input.type !== 'file' && document.activeElement !== input) {
+      // file inputs are render-only here: assigning a non-empty string to
+      // <input type=file>.value throws InvalidStateError and would abort
+      // the whole refresh loop
       input.value = c.value == null ? '' : c.value;
     }
     input.disabled = !c.interactive;
@@ -410,8 +481,11 @@ function collectSets() {
     if (input.type === 'checkbox') sets[c.id] = input.checked;
     else if (input.type === 'range' || input.type === 'number')
       sets[c.id] = parseFloat(input.value);
-    else if (input.dataset.filepath !== undefined)
-      sets[c.id] = input.dataset.filepath || null;
+    else if (input.dataset.filepath !== undefined) {
+      // only send a file value the CLIENT chose; an empty filepath must not
+      // null out server-set values (rendered results, download links)
+      if (input.dataset.filepath) sets[c.id] = input.dataset.filepath;
+    }
     else sets[c.id] = input.value;
   }
   return sets;
@@ -424,7 +498,8 @@ async function post(url, payload) {
     const data = await res.json();
     if (data.error) { alert(data.error); return; }
     await refresh(data);
-  } finally { busy(false); }
+  } catch (e) { alert('Request failed: ' + e); }
+  finally { busy(false); }
 }
 
 function busy(on) { document.getElementById('busy').style.display = on ? 'block' : 'none'; }
@@ -441,8 +516,10 @@ async function uploadFile(id, fileInput) {
   const f = fileInput.files[0]; if (!f) return;
   busy(true);
   try {
+    // percent-encode: raw header values must be Latin-1, so a CJK/emoji
+    // filename would make fetch() throw synchronously with no feedback
     const res = await fetch('/upload', {method: 'POST', body: f,
-      headers: {'X-Filename': f.name}});
+      headers: {'X-Filename': encodeURIComponent(f.name)}});
     const data = await res.json();
     if (data.error) { alert(data.error); return; }
     const root = el(id);
@@ -556,11 +633,7 @@ def _render_component(c: "hl.Component", cid: int, events) -> str:
 
 def render_page(blocks: "hl.Blocks") -> str:
     """The studio page: tabs → component blocks → inline JS client."""
-    listeners: Dict[int, set] = {}
-    for dep in blocks._all_deps:
-        for i, c in enumerate(blocks.components):
-            if dep.trigger is c:
-                listeners.setdefault(i, set()).add(dep.event)
+    listeners = _listener_map(blocks)
     tabs: List[str] = []
     for c in blocks.components:
         if c.tab and c.tab not in tabs:

@@ -233,11 +233,14 @@ def test_set_cannot_plant_servable_path(served):
     server, _, _ = served
     comps = _state(server)
     name = _by_label(comps, "📝 Preset-Name")
+    # the /event case needs a REAL listener: route validation now runs
+    # before sets are applied, so a bad route is a 400 with no side effects
+    refresh = _by_label(comps, "🔄 Liste neu laden")
     secret = "/etc/passwd" if os.path.isfile("/etc/passwd") else os.path.abspath(__file__)
 
     for payload, path in (
         ({"id": name["id"], "value": secret}, "/set"),
-        ({"id": name["id"], "event": "change", "set": {str(name["id"]): secret}},
+        ({"id": refresh["id"], "event": "click", "set": {str(name["id"]): secret}},
          "/event"),
     ):
         try:
@@ -317,3 +320,112 @@ def test_bad_event_is_clean_400(served):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 400
+
+
+def test_set_cannot_smuggle_path_inside_list(served):
+    """file_allowed walks list/tuple component values, so the /set vetting
+    must walk them too — a bare-string-only gate let
+    {"value": ["/etc/passwd"]} plant a servable path (review finding)."""
+    server, _, _ = served
+    comps = _state(server)
+    name = _by_label(comps, "📝 Preset-Name")
+    secret = "/etc/passwd" if os.path.isfile("/etc/passwd") else os.path.abspath(__file__)
+
+    for value in ([secret], [[secret]], {"p": secret}, ("a", secret)):
+        try:
+            status, _ = _post_json(
+                server, "/set", {"id": name["id"], "value": list(value) if isinstance(value, tuple) else value}
+            )
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 403, f"nested path smuggled via {value!r}"
+
+    try:
+        status, _, _ = _get(server, "/file?path=" + urllib.parse.quote(secret))
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status in (403, 404)
+
+
+def test_negative_component_ids_are_400(served):
+    """Negative ids must not resolve via Python negative indexing."""
+    server, _, _ = served
+    for path, payload in (
+        ("/set", {"id": -1, "value": "x"}),
+        ("/event", {"id": -1, "event": "click"}),
+    ):
+        try:
+            status, _ = _post_json(server, path, payload)
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 400, f"{path} accepted a negative id"
+
+
+def test_rejected_event_applies_no_sets(served):
+    """A 400 response must mean nothing happened: /event validates the
+    (component, event) route BEFORE applying the request's sets."""
+    server, _, _ = served
+    comps = _state(server)
+    metrics = _by_label(comps, "📊 Ergebnis-Metriken (Gesamt)")
+    room = _by_label(comps, "📏 Raumgröße (m³)")
+    before = room["value"]
+    try:
+        status, _ = _post_json(
+            server, "/event",
+            {"id": metrics["id"], "event": "click",
+             "set": {str(room["id"]): before + 10}},
+        )
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+    after = _by_label(_state(server), "📏 Raumgröße (m³)")["value"]
+    assert after == before, "rejected event still mutated state"
+
+
+def test_upload_percent_encoded_filename(served, clip):
+    """Non-Latin-1 filenames arrive percent-encoded (fetch headers must be
+    ISO-8859-1); the server decodes and sanitizes them."""
+    server, _, _ = served
+    with open(clip, "rb") as fh:
+        raw = fh.read()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/upload",
+        data=raw,
+        headers={"X-Filename": urllib.parse.quote("🎵 mix.wav")},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        uploaded = json.loads(r.read())["path"]
+    assert os.path.isfile(uploaded)
+    assert uploaded.endswith(".wav")
+    status, _, body = _get(server, "/file?path=" + urllib.parse.quote(uploaded))
+    assert status == 200 and body == raw
+
+
+def test_concurrent_same_name_uploads_do_not_collide(served, clip):
+    """/upload takes no lock; the name claim must be atomic."""
+    import threading as _t
+
+    server, _, _ = served
+    bodies = [b"A" * 4096, b"B" * 4096, b"C" * 4096, b"D" * 4096]
+    results = [None] * len(bodies)
+
+    def up(i):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{server.port}/upload",
+            data=bodies[i],
+            headers={"X-Filename": "same_name.bin"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            results[i] = json.loads(r.read())["path"]
+
+    threads = [_t.Thread(target=up, args=(i,)) for i in range(len(bodies))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(set(results)) == len(bodies), "paths collided"
+    for i, p in enumerate(results):
+        with open(p, "rb") as fh:
+            assert fh.read() == bodies[i], "one upload overwrote another"
