@@ -83,13 +83,22 @@ def normalize_to_lufs(
         raise ValueError("LUFS nicht messbar (Stille oder zu kurz)")
     gain_db = target_lufs - lufs
     gain = 10.0 ** (gain_db / 20.0)
-    out = np.clip(data * gain, -1.0, 1.0)
+    scaled = data * gain
+    clipped = bool(np.any(np.abs(scaled) > 1.0))
+    out = np.clip(scaled, -1.0, 1.0)
     wavio.write_audio(output_path, out, rate, subtype="PCM_16")
-    after = calculate_audio_metrics(out, rate, backend=backend)
+    # constant gain is exact for integrated loudness, so re-metering only
+    # adds information when the clip stage engaged (a second full meter
+    # pass would otherwise double the runtime on hour-scale files)
+    if clipped:
+        output_lufs = calculate_audio_metrics(out, rate, backend=backend)["lufs"]
+    else:
+        output_lufs = target_lufs
     return {
         "input_lufs": round(lufs, 2),
         "gain_db": round(gain_db, 2),
-        "output_lufs": round(after["lufs"], 2),
+        "output_lufs": round(output_lufs, 2),
+        "clipped": clipped,
         "output": output_path,
     }
 
@@ -163,7 +172,16 @@ def convert(input_path: str, output_path: str, bitrate: str = "256",
     cmd = ["ffmpeg", "-y", "-i", str(input_path), "-b:a", f"{bitrate}k"]
     if samplerate is not None:
         cmd += ["-ar", str(int(samplerate))]
-    subprocess.run(cmd + [str(output_path)], check=True, capture_output=True)
+    proc = subprocess.run(
+        cmd + [str(output_path)], capture_output=True, timeout=600
+    )
+    if proc.returncode != 0:
+        # surface ffmpeg's actual diagnostic — CalledProcessError's str()
+        # hides the captured stderr that explains the failure
+        raise ValueError(
+            "ffmpeg-Konvertierung fehlgeschlagen: "
+            f"{proc.stderr.decode('utf-8', 'replace').strip()[:300]}"
+        )
     return output_path
 
 

@@ -136,6 +136,41 @@ def _format_output(template: str, i: int) -> str:
         return template
 
 
+def _finalize_and_write(out, out_path, rate, args, layout, metrics):
+    """Binauralize when asked, clip to the output contract, write — ONE
+    implementation for the sweep/stream/plain branches.  With --binaural the
+    reported metrics are recomputed on the binaural stereo actually written
+    (the surround metrics would describe a signal that never hits disk)."""
+    out = np.asarray(out)
+    if args.binaural:
+        from ..ops.binaural import binauralize
+
+        out = binauralize(out.astype(np.float32, copy=False), rate, layout)
+        out = np.clip(out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP)
+        if metrics is not None:
+            from ..analysis.metrics import calculate_audio_metrics
+
+            metrics = calculate_audio_metrics(out, rate)
+    elif out.dtype != np.int16:  # int16 = device-quantized, already clipped
+        out = np.clip(out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP)
+    wavio.write_audio(out_path, out, rate)
+    return metrics
+
+
+def _json_safe(obj):
+    """json.dumps emits RFC-8259-invalid '-Infinity' for non-finite floats
+    (silent renders meter at lufs=-inf); map them to sentinel strings."""
+    if isinstance(obj, float) and not np.isfinite(obj):
+        if np.isnan(obj):
+            return "nan"
+        return "inf" if obj > 0 else "-inf"
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    return obj
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)  # parse before backend init:
     from ..utils.runtime import ensure_backend  # --help shouldn't pay it
@@ -146,7 +181,11 @@ def main(argv=None) -> int:
     except (OSError, ValueError) as e:
         print(f"error: cannot read {args.input}: {e}", file=sys.stderr)
         return 1
-    base_params = params_from_args(args)
+    try:
+        base_params = params_from_args(args)
+    except (OSError, ValueError, json.JSONDecodeError) as e:
+        print(f"error: cannot load preset: {e}", file=sys.stderr)
+        return 2
 
     external_ir = external_rate = None
     if args.external_ir:
@@ -205,65 +244,74 @@ def main(argv=None) -> int:
             return 2
         from ..parallel.sharding import render_batch
 
+        # the meter is a full extra device pass — only pay for it when the
+        # numbers are actually reported
+        want_metrics = args.metrics or args.json
         param_list = [dataclasses.replace(base_params, **{name: v}) for v in values]
         clips = np.stack([audio] * len(values))
-        outs, metrics = render_batch(
-            clips, rate, param_list,
-            seeds=[args.seed] * len(values), with_metrics=True,
-            external_ir=external_ir, external_ir_rate=external_rate,
-        )
-        for i, v in enumerate(values):
-            out_path = _format_output(args.output, i)
-            clip_out = outs[i]
-            if args.binaural:
-                from ..ops.binaural import binauralize
-
-                clip_out = binauralize(clip_out, rate, base_params.target_layout)
-            wavio.write_audio(out_path, np.clip(clip_out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
-            results.append({"output": out_path, name: v, "metrics": metrics[i]})
+        try:
+            res = render_batch(
+                clips, rate, param_list,
+                seeds=[args.seed] * len(values), with_metrics=want_metrics,
+                external_ir=external_ir, external_ir_rate=external_rate,
+            )
+            outs, metrics = res if want_metrics else (res, None)
+            for i, v in enumerate(values):
+                out_path = _format_output(args.output, i)
+                m = _finalize_and_write(
+                    outs[i], out_path, rate, args, base_params.target_layout,
+                    metrics[i] if metrics is not None else None,
+                )
+                results.append({"output": out_path, name: v, "metrics": m})
+        except (OSError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
     elif args.stream:
         from ..parallel.streaming import render_streaming
 
+        want_metrics = args.metrics or args.json
         try:
             # without binaural post-processing the output contract is PCM16,
             # so quantize on device — halves the result download for long clips
-            out, metrics = render_streaming(
+            res = render_streaming(
                 audio, rate, base_params, seed=args.seed,
-                chunk_seconds=args.chunk_seconds, with_metrics=True,
+                chunk_seconds=args.chunk_seconds, with_metrics=want_metrics,
                 external_ir=external_ir, external_ir_rate=external_rate,
                 pcm16_output=not args.binaural,
             )
-        except ValueError as e:
+            out, metrics = res if want_metrics else (res, None)
+            out_path = _format_output(args.output, 0)
+            metrics = _finalize_and_write(
+                out, out_path, rate, args, base_params.target_layout, metrics
+            )
+        except (OSError, ValueError) as e:
             print(f"error: {e}", file=sys.stderr)
             return 2
-        if args.binaural:
-            from ..ops.binaural import binauralize
-
-            out = binauralize(out, rate, base_params.target_layout)
-            out = np.clip(out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP)
-        out_path = _format_output(args.output, 0)
-        wavio.write_audio(out_path, out, rate)
         results.append({"output": out_path, "metrics": metrics})
     else:
-        out, metrics = pipeline.render(
-            audio, rate, base_params, seed=args.seed,
-            external_ir=external_ir, external_ir_rate=external_rate,
-            return_metrics=True,
-        )
-        if args.binaural:
-            from ..ops.binaural import binauralize
-
-            out = binauralize(out, rate, base_params.target_layout)
-        out_path = _format_output(args.output, 0)
-        wavio.write_audio(out_path, np.clip(out, -config.OUTPUT_CLIP, config.OUTPUT_CLIP), rate)
+        want_metrics = args.metrics or args.json
+        try:
+            res = pipeline.render(
+                audio, rate, base_params, seed=args.seed,
+                external_ir=external_ir, external_ir_rate=external_rate,
+                return_metrics=want_metrics,
+            )
+            out, metrics = res if want_metrics else (res, None)
+            out_path = _format_output(args.output, 0)
+            metrics = _finalize_and_write(
+                out, out_path, rate, args, base_params.target_layout, metrics
+            )
+        except (OSError, ValueError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
         results.append({"output": out_path, "metrics": metrics})
 
     if args.json:
-        print(json.dumps(results))
+        print(json.dumps(_json_safe(results)))
     else:
         for r in results:
             line = r["output"]
-            if args.metrics:
+            if args.metrics and r.get("metrics") is not None:
                 line += "  " + metrics_string(r["metrics"])
             print(line)
     return 0

@@ -157,6 +157,10 @@ def _read_f80(raw: bytes) -> float:
     mantissa = int.from_bytes(raw[2:10], "big")
     if exponent == 0 and mantissa == 0:
         return 0.0
+    if exponent - 16383 - 63 > 1024:
+        # 2.0**e would raise OverflowError (not ValueError) and break the
+        # corrupt-file error contract; no real sample rate gets near this
+        raise ValueError("invalid AIFF extended-float sample rate")
     return sign * mantissa * 2.0 ** (exponent - 16383 - 63)
 
 
@@ -210,16 +214,12 @@ def _read_aiff(path: Union[str, os.PathLike]) -> Tuple[np.ndarray, int]:
         elif bits == 16:
             data = np.frombuffer(ssnd, dtype=f"{endian}i2").astype(np.float32) / 32768.0
         elif bits == 24:
-            b3 = np.frombuffer(ssnd, dtype=np.uint8)
-            b3 = b3[: (len(b3) // 3) * 3].reshape(-1, 3)
-            if comp == b"sowt":
-                as_int = (b3[:, 0].astype(np.int32) | (b3[:, 1].astype(np.int32) << 8)
-                          | (b3[:, 2].astype(np.int32) << 16))
-            else:
-                as_int = ((b3[:, 0].astype(np.int32) << 16)
-                          | (b3[:, 1].astype(np.int32) << 8) | b3[:, 2].astype(np.int32))
-            as_int = np.where(as_int >= 0x800000, as_int - 0x1000000, as_int)
-            data = as_int.astype(np.float32) / 8388608.0
+            usable24 = (len(ssnd) // 3) * 3
+            if comp == b"sowt":  # little-endian: the one shared 24-bit decoder
+                data = _decode_pcm24(ssnd[:usable24], usable24 // 3)
+            else:  # big-endian: reverse the byte order per sample, then share
+                b3 = np.frombuffer(ssnd[:usable24], dtype=np.uint8).reshape(-1, 3)
+                data = _decode_pcm24(b3[:, ::-1].tobytes(), usable24 // 3)
         elif bits == 32:
             data = np.frombuffer(ssnd, dtype=f"{endian}i4").astype(np.float32) / 2147483648.0
         else:
@@ -536,6 +536,13 @@ def write(
     chunks.append((b"data", payload))
 
     total = 4 + sum(8 + len(c) + (len(c) & 1) for _, c in chunks)
+    if total > 0xFFFFFFFF:
+        # RIFF sizes are 32-bit; fail BEFORE open() truncates an existing
+        # file (an hour-scale multichannel render is real data to lose)
+        raise ValueError(
+            f"WAV cannot hold {total} bytes (4 GiB RIFF limit) — "
+            "write FLAC instead or split the render"
+        )
 
     if hasattr(path_or_file, "write"):
         fh = path_or_file

@@ -515,3 +515,95 @@ class TestRenderDir:
         for f in ("a.wav", "b.flac", "c.wav"):
             data, r = wavio.read(out_dir / f)
             assert r == rate and data.shape[1] == 2
+
+
+class TestCLIErrorContracts:
+    """Review round: every render branch keeps the 'error: …' + exit-code
+    contract instead of leaking tracebacks, metrics are only computed when
+    reported, --json stays RFC-8259-valid, and --binaural metrics describe
+    the stereo file actually written."""
+
+    def test_missing_preset_clean_error(self, wav_file, tmp_path, capsys):
+        from audio_raytracing_studio_tpu.cli.render import main
+
+        rc = main([wav_file, str(tmp_path / "o.wav"),
+                   "--preset", "does_not_exist_v4.json",
+                   "--preset-dir", str(tmp_path)])
+        assert rc == 2
+        assert "error:" in capsys.readouterr().err
+
+    def test_external_mode_without_ir_clean_error(self, wav_file, tmp_path, capsys):
+        from audio_raytracing_studio_tpu.cli.render import main
+        from audio_raytracing_studio_tpu.params import RenderParams
+        from audio_raytracing_studio_tpu.utils.presets import PresetStore
+
+        store = PresetStore(str(tmp_path))
+        store.ensure_dir()
+        _, fname = store.save("ext", RenderParams(use_external_ir=True))
+        rc = main([wav_file, str(tmp_path / "o.wav"),
+                   "--preset", fname, "--preset-dir", str(tmp_path)])
+        assert rc == 2
+        err = capsys.readouterr().err
+        assert "error:" in err and "external_ir" in err
+
+    def test_json_is_parseable_for_silent_input(self, tmp_path, capsys):
+        from audio_raytracing_studio_tpu.cli.render import main
+        from audio_raytracing_studio_tpu.utils import wavio as _w
+
+        silent = tmp_path / "silence.wav"
+        _w.write(silent, np.zeros(4000, dtype=np.float32), 8000)
+        out = tmp_path / "o.wav"
+        rc = main([str(silent), str(out), "--layout", "Stereo",
+                   "--room-size", "50", "--json"])
+        assert rc == 0
+        parsed = json.loads(capsys.readouterr().out)  # '-Infinity' would raise
+        assert parsed[0]["metrics"]["lufs"] == "-inf"
+
+    def test_binaural_metrics_describe_written_file(self, wav_file, tmp_path, capsys):
+        from audio_raytracing_studio_tpu.analysis.metrics import (
+            calculate_audio_metrics,
+        )
+        from audio_raytracing_studio_tpu.cli.render import main
+        from audio_raytracing_studio_tpu.utils import wavio as _w
+
+        out = tmp_path / "bin.wav"
+        rc = main([wav_file, str(out), "--layout", "5.1 (Standard)",
+                   "--room-size", "50", "--binaural", "--json"])
+        assert rc == 0
+        reported = json.loads(capsys.readouterr().out)[0]["metrics"]
+        data, rate = _w.read(str(out))
+        assert data.shape[1] == 2  # binaural stereo was written
+        measured = calculate_audio_metrics(data, rate)
+        # PCM16 quantization of the written file costs a hair of precision
+        assert abs(measured["lufs"] - reported["lufs"]) < 0.1
+        assert abs(measured["rms_dbfs"] - reported["rms_dbfs"]) < 0.1
+
+    def test_no_metrics_flag_skips_metrics(self, wav_file, tmp_path, capsys):
+        from audio_raytracing_studio_tpu.cli.render import main
+
+        out = tmp_path / "plain.wav"
+        rc = main([wav_file, str(out), "--layout", "Stereo", "--room-size", "50"])
+        assert rc == 0 and out.exists()
+        assert "LUFS" not in capsys.readouterr().out
+
+
+class TestWavioEdge:
+    def test_f80_overflow_exponent_is_valueerror(self, tmp_path):
+        """A corrupt AIFF COMM exponent must raise ValueError (the CLI /
+        directory-probe error contract), not OverflowError."""
+        import struct
+
+        from audio_raytracing_studio_tpu.utils import wavio as _w
+
+        # COMM with extended-float exponent 0x7FFE → 2.0**huge
+        comm = struct.pack(">hLh", 1, 10, 16) + bytes([0x7F, 0xFE] + [0x80] + [0] * 7)
+        ssnd = b"\x00" * 8 + b"\x00\x01" * 10
+        chunks = (
+            b"COMM" + struct.pack(">L", len(comm)) + comm
+            + b"SSND" + struct.pack(">L", len(ssnd)) + ssnd
+        )
+        form = b"AIFF" + chunks
+        p = tmp_path / "bad_rate.aiff"
+        p.write_bytes(b"FORM" + struct.pack(">L", len(form)) + form)
+        with pytest.raises(ValueError):
+            _w.read(str(p))
