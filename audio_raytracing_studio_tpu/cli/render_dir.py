@@ -20,7 +20,6 @@ from __future__ import annotations
 import argparse
 import concurrent.futures
 import json
-import math
 import os
 import sys
 import time
@@ -35,9 +34,11 @@ from .render import params_from_args
 
 
 def _bucket_length(n: int, rate: int) -> int:
-    """Quantize clip length up to a half-second grid to bound compile count."""
-    step = max(1, rate // 2)
-    return int(math.ceil(n / step)) * step
+    """Quantize clip length up to a half-second grid to bound compile count
+    (one definition, shared with the serving batcher: parallel.sharding)."""
+    from ..parallel.sharding import bucket_length
+
+    return bucket_length(n, rate)
 
 
 # raw .aac (ADTS) is excluded: it carries no frame count, so the header-only

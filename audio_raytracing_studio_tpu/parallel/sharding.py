@@ -32,6 +32,17 @@ from ..params import RenderParams
 from . import mesh as meshlib
 
 
+def bucket_length(n: int, rate: int) -> int:
+    """Quantize a clip length up to a half-second grid.
+
+    One compiled executable per (rate, bucket) instead of per exact length —
+    the shape-bucketing design of SURVEY §7 hard part 3, shared by the
+    directory renderer (cli.render_dir) and the serving batcher
+    (serving.batcher)."""
+    step = max(1, rate // 2)
+    return -(-int(n) // step) * step
+
+
 def _stack_pytrees(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 

@@ -1,0 +1,336 @@
+"""Dynamic micro-batching render service — the TPU serving core.
+
+One render request at a time leaves the MXU mostly idle: the measured
+single-chip throughput (bench.py, BENCH_HISTORY) comes from batched SPMD
+renders, not from per-request graphs.  ``RenderService`` is the serving-side
+answer, the standard TPU inference-serving shape (queue → shape-bucket →
+micro-batch → dispatch) applied to audio renders:
+
+* Concurrent ``RenderJob``s enter one queue.
+* A worker thread groups them by **batch key** — everything that determines
+  the compiled XLA program: sample rate, half-second length bucket
+  (``parallel.sharding.bucket_length``), IR geometry (hall type, room size,
+  z position), target layout, filter mode, metrics flag.  Value-only
+  parameters (material, diffusion, air, positions, mix, EQ gains, seeds)
+  sweep freely **inside** one batch — ``render_batch`` widens their stage
+  flags batch-wide and keeps per-clip semantics through traced scalars.
+* A group dispatches as ONE ``parallel.sharding.render_batch`` call when it
+  reaches ``max_batch`` or its oldest job has waited ``max_wait_ms``.
+  Dispatch runs synchronously on the worker (a chip is one serial device
+  queue); jobs arriving while the device renders batch *i* accumulate into
+  batch *i+1* — batch size adapts to load with no extra tuning.
+* Each job's output is trimmed back to its true span
+  (``clip_len + ir_len − 1``) and, with metrics on, metered ON DEVICE
+  against the true span (masked meter), never the bucket padding.
+
+Padding semantics: zero-padding a clip to its length bucket is exact for
+every linear-convolution stage; the exact-length *circular* filters (shelf
+EQ, exact air) run at the bucketed length, so a padded clip renders as if
+it were ``n_bucket`` samples long — identical to cli.render_dir's contract,
+and measured within the 1e-3 envelope for half-second granularity (see
+tests/test_serving.py::test_padded_clip_parity).
+
+The reference has no counterpart (SURVEY §2.7: no parallelism of any kind —
+one synchronous NumPy pass per Gradio click, raytracer_studio.py:1326-1330).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import logging
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..params import RenderParams
+
+log = logging.getLogger("ars_tpu.serving")
+
+_STOP = object()
+
+
+@dataclasses.dataclass
+class RenderJob:
+    """One render request: a clip plus the 16-parameter surface."""
+
+    audio: np.ndarray  # (N,) or (N, C) float32
+    rate: int
+    params: RenderParams = dataclasses.field(default_factory=RenderParams)
+    seed: int = 0
+    with_metrics: bool = False
+    external_ir: Optional[np.ndarray] = None  # (L, 2) when use_external_ir
+    external_ir_rate: Optional[int] = None
+
+
+@dataclasses.dataclass
+class RenderResult:
+    """Trimmed render output (true span ``clip_len + ir_len − 1``)."""
+
+    audio: np.ndarray  # (len_out, channels) float32 (int16 when pcm16)
+    rate: int
+    metrics: Optional[dict] = None  # lufs / true_peak_dbfs / rms_dbfs
+
+
+@dataclasses.dataclass
+class _Item:
+    job: RenderJob
+    future: Future
+    key: tuple
+    clip: np.ndarray  # stereo-ized, (n_true, 2) float32
+    n_bucket: int
+    prepared_ir: Optional[np.ndarray]  # rate-matched (L, 2), external mode
+
+
+class RenderService:
+    """Queue + micro-batcher over ``parallel.sharding.render_batch``.
+
+    Parameters
+    ----------
+    max_batch:    dispatch a group as soon as it holds this many jobs.
+    max_wait_ms:  dispatch a partial group once its oldest job has waited
+                  this long (latency bound under light load).
+    device_mesh:  optional ``jax.sharding.Mesh`` — batches are padded up to
+                  a multiple of the data axis (pad renders are discarded).
+    ir_backend:   "jnp" or "pallas" (the fused RIR-bank kernel).
+    fast_filters: conv-grid air absorption (≤2e-4 deviation) instead of the
+                  reference's exact-length transform.
+    pcm16_output: quantize to int16 on device (halves the result transfer).
+    start:        spawn the worker immediately (tests pass False to stage
+                  jobs deterministically before the first dispatch).
+    """
+
+    def __init__(
+        self,
+        *,
+        max_batch: int = 16,
+        max_wait_ms: float = 100.0,
+        device_mesh=None,
+        ir_backend: str = "jnp",
+        fast_filters: bool = False,
+        pcm16_output: bool = False,
+        start: bool = True,
+    ):
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1 (got {max_batch})")
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1000.0
+        self.device_mesh = device_mesh
+        self.ir_backend = ir_backend
+        self.fast_filters = bool(fast_filters)
+        self.pcm16_output = bool(pcm16_output)
+        self._q: "queue.Queue" = queue.Queue()
+        self._lock = threading.Lock()
+        self._batch_sizes: List[int] = []
+        self._jobs_done = 0
+        self._jobs_failed = 0
+        self._thread: Optional[threading.Thread] = None
+        if start:
+            self.start()
+
+    # --- lifecycle ---
+    def start(self) -> "RenderService":
+        if self._thread is None or not self._thread.is_alive():
+            self._thread = threading.Thread(
+                target=self._worker, name="ars-serving-batcher", daemon=True
+            )
+            self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 60.0):
+        """Drain: queued jobs still dispatch, then the worker exits."""
+        if self._thread is None:
+            return
+        self._q.put(_STOP)
+        self._thread.join(timeout=timeout)
+        self._thread = None
+
+    def stats(self) -> Dict[str, Any]:
+        with self._lock:
+            sizes = list(self._batch_sizes)
+            return {
+                "batches": len(sizes),
+                "batch_sizes": sizes,
+                "jobs_done": self._jobs_done,
+                "jobs_failed": self._jobs_failed,
+                "queued": self._q.qsize(),
+            }
+
+    # --- submission ---
+    def submit(self, job: RenderJob) -> "Future[RenderResult]":
+        """Validate, key, and enqueue a job.  Invalid jobs raise HERE
+        (fail-fast ValueError), never poison the worker."""
+        item = self._prepare(job)
+        fut: "Future[RenderResult]" = Future()
+        item.future = fut
+        self._q.put(item)
+        return fut
+
+    def render(self, job: RenderJob, timeout: Optional[float] = None) -> RenderResult:
+        """Synchronous convenience: submit + wait."""
+        return self.submit(job).result(timeout=timeout)
+
+    # --- internals ---
+    def _prepare(self, job: RenderJob) -> _Item:
+        from ..models import pipeline
+        from ..parallel.sharding import bucket_length
+
+        audio = np.asarray(job.audio, dtype=np.float32)
+        if audio.ndim == 1:
+            audio = audio[:, None]
+        if audio.ndim != 2 or audio.shape[0] < 1:
+            raise ValueError(
+                f"job audio must be (N,) or (N, C) with N >= 1, got {audio.shape}"
+            )
+        rate = int(job.rate)
+        if rate <= 0:
+            raise ValueError(f"job rate must be positive (got {job.rate})")
+        if not isinstance(job.params, RenderParams):
+            raise ValueError("job.params must be a RenderParams")
+        clip = pipeline._ensure_stereo_host(audio)
+        n_bucket = bucket_length(clip.shape[0], rate)
+
+        if job.params.use_external_ir:
+            if job.external_ir is None:
+                raise ValueError("use_external_ir=True requires job.external_ir")
+            prepared = pipeline.prepare_external_ir(
+                job.external_ir,
+                int(job.external_ir_rate) if job.external_ir_rate else rate,
+                rate,
+            )
+            # jobs sharing the same prepared IR bytes may share one batch
+            # (render_batch convolves the whole batch against ONE IR)
+            ir_digest = hashlib.sha1(prepared.tobytes()).hexdigest()
+            key = (
+                "external", rate, n_bucket, job.params.target_layout,
+                prepared.shape, ir_digest, bool(job.with_metrics),
+            )
+            return _Item(job, None, key, clip, n_bucket, prepared)
+
+        setup = pipeline.build_internal_setup(
+            job.params, rate, n_bucket, fast_filters=self.fast_filters
+        )
+        # value-driven stage flags (EQ on/off, air on/off, early/late levels)
+        # are widened batch-wide by render_batch with exact per-clip
+        # semantics — normalize them out of the key so such jobs batch
+        neutral_spec = setup.spec._replace(
+            eq_on=False, air_on=False, early_on=False, late_on=False
+        )
+        key = ("internal", neutral_spec, setup.ir_shape, bool(job.with_metrics))
+        return _Item(job, None, key, clip, n_bucket, None)
+
+    def _worker(self):
+        pending: Dict[tuple, List[_Item]] = {}
+        deadlines: Dict[tuple, float] = {}
+        draining = False
+        while True:
+            item = None
+            if not draining:
+                timeout = None
+                if deadlines:
+                    timeout = max(0.0, min(deadlines.values()) - time.monotonic())
+                try:
+                    item = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    item = None
+            else:
+                try:
+                    item = self._q.get_nowait()
+                except queue.Empty:
+                    item = None
+            if item is _STOP:
+                draining = True
+                item = None
+            if item is not None:
+                group = pending.setdefault(item.key, [])
+                group.append(item)
+                deadlines.setdefault(item.key, time.monotonic() + self.max_wait_s)
+                if len(group) >= self.max_batch:
+                    deadlines.pop(item.key, None)
+                    self._dispatch(pending.pop(item.key))
+                continue
+            # timeout path (or draining): flush due groups oldest-first
+            now = time.monotonic()
+            due = sorted(
+                (d, k) for k, d in deadlines.items() if draining or d <= now
+            )
+            for _, k in due:
+                deadlines.pop(k, None)
+                self._dispatch(pending.pop(k))
+            if draining and not pending and self._q.empty():
+                return
+
+    def _dispatch(self, items: List[_Item]):
+        items = [it for it in items if it.future.set_running_or_notify_cancel()]
+        if not items:
+            return
+        with self._lock:
+            self._batch_sizes.append(len(items))
+        try:
+            outs, metrics = self._render_group(items)
+        except Exception as e:  # noqa: BLE001 — job error, not worker death
+            log.exception("batch of %d failed", len(items))
+            with self._lock:
+                self._jobs_failed += len(items)
+            for it in items:
+                it.future.set_exception(e)
+            return
+        n_bucket = items[0].n_bucket
+        ir_tail = outs.shape[1] - n_bucket  # = ir_len − 1
+        for i, it in enumerate(items):
+            real_len = it.clip.shape[0] + ir_tail
+            result = RenderResult(
+                audio=np.ascontiguousarray(outs[i, :real_len]),
+                rate=int(it.job.rate),
+                metrics=metrics[i] if metrics is not None else None,
+            )
+            it.future.set_result(result)
+        with self._lock:
+            self._jobs_done += len(items)
+
+    def _render_group(self, items: List[_Item]):
+        from ..parallel import mesh as meshlib
+        from ..parallel.sharding import render_batch
+
+        n_bucket = items[0].n_bucket
+        rate = int(items[0].job.rate)
+        with_metrics = bool(items[0].job.with_metrics)
+        batch = len(items)
+
+        # pad the batch up to the mesh's data axis (discarded after)
+        pad = 0
+        if self.device_mesh is not None:
+            d = self.device_mesh.shape[meshlib.DATA_AXIS]
+            pad = (-batch) % d
+
+        clips = np.zeros((batch + pad, n_bucket, 2), dtype=np.float32)
+        for i, it in enumerate(items):
+            clips[i, : it.clip.shape[0]] = it.clip
+        param_list = [it.job.params for it in items]
+        param_list += [param_list[-1]] * pad
+        seeds = [int(it.job.seed) for it in items] + [0] * pad
+        true_lens = [it.clip.shape[0] for it in items] + [n_bucket] * pad
+
+        kwargs: Dict[str, Any] = dict(
+            seeds=seeds,
+            device_mesh=self.device_mesh,
+            with_metrics=with_metrics,
+            fast_filters=self.fast_filters,
+            pcm16_output=self.pcm16_output,
+            clip_lengths=true_lens if with_metrics else None,
+        )
+        if items[0].key[0] == "external":
+            kwargs["external_ir"] = items[0].prepared_ir
+            kwargs["external_ir_rate"] = rate  # already rate-matched
+        else:
+            kwargs["ir_backend"] = self.ir_backend
+
+        result = render_batch(clips, rate, param_list, **kwargs)
+        if with_metrics:
+            outs, metrics = result
+            return np.asarray(outs)[:batch], metrics[:batch]
+        return np.asarray(result)[:batch], None

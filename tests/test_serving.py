@@ -1,0 +1,388 @@
+"""Serving layer: dynamic micro-batching RenderService + HTTP job API.
+
+The design claim under test: concurrent jobs that share an XLA static
+signature dispatch as ONE ``render_batch`` SPMD program (value parameters
+sweeping freely inside the batch), and every job's output is identical to
+what it would have rendered alone — trimmed to its true span, metered on
+the true span.
+"""
+
+import json
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+
+from audio_raytracing_studio_tpu.models import pipeline
+from audio_raytracing_studio_tpu.params import RenderParams
+from audio_raytracing_studio_tpu.parallel import sharding
+from audio_raytracing_studio_tpu.serving import RenderJob, RenderService
+from audio_raytracing_studio_tpu.serving.service import RenderHTTPService
+from audio_raytracing_studio_tpu.utils import wavio
+
+RATE = 16000
+
+
+def make_clip(i, seconds=0.3, rate=RATE):
+    t = np.arange(int(seconds * rate)) / rate
+    return (0.3 * np.sin(2 * np.pi * (150 + 40 * i) * t)).astype(np.float32)
+
+
+def padded_reference(clip, p, seed, *, external_ir=None):
+    """What a bucketed job must produce: the clip rendered at its padded
+    bucket length, trimmed back to the true span clip_len + ir_len − 1."""
+    n_bucket = sharding.bucket_length(len(clip), RATE)
+    padded = np.pad(clip, (0, n_bucket - len(clip)))
+    out = pipeline.render(padded, RATE, p, seed=seed, external_ir=external_ir)
+    real_len = len(clip) + (out.shape[0] - n_bucket)
+    return np.asarray(out)[:real_len]
+
+
+def wait_all(futures, timeout=300):
+    return [f.result(timeout=timeout) for f in futures]
+
+
+class TestBucketLength:
+    def test_half_second_grid(self):
+        assert sharding.bucket_length(1, 16000) == 8000
+        assert sharding.bucket_length(8000, 16000) == 8000
+        assert sharding.bucket_length(8001, 16000) == 16000
+        assert sharding.bucket_length(4800, 16000) == 8000
+
+
+class TestBatcher:
+    def test_single_job_roundtrip(self):
+        svc = RenderService(max_batch=4, max_wait_ms=20)
+        try:
+            clip = make_clip(0)
+            p = RenderParams(target_layout="Stereo", room_size=50.0)
+            res = svc.render(RenderJob(clip, RATE, p, seed=3), timeout=300)
+            assert res.rate == RATE
+            expect = padded_reference(clip, p, seed=3)
+            assert res.audio.shape == expect.shape
+            np.testing.assert_allclose(res.audio, expect, atol=2e-5)
+        finally:
+            svc.stop()
+
+    def test_value_sweep_batches_into_one_dispatch(self):
+        """Different material/diffusion/position/EQ/seed jobs share one
+        compiled batch — the whole point of the serving layer."""
+        svc = RenderService(max_batch=8, max_wait_ms=50, start=False)
+        p_base = dict(target_layout="Stereo", room_size=50.0)
+        jobs = [
+            RenderParams(material="Stein", diffusion=0.2, **p_base),
+            RenderParams(material="Teppich", diffusion=0.8, x_pos=0.9, **p_base),
+            RenderParams(dry_wet=0.9, **p_base),
+            RenderParams(bass_gain=1.7, treble_gain=0.6, **p_base),  # EQ on
+        ]
+        clips = [make_clip(i) for i in range(4)]
+        futs = [
+            svc.submit(RenderJob(c, RATE, p, seed=i))
+            for i, (c, p) in enumerate(zip(clips, jobs))
+        ]
+        svc.start()
+        results = wait_all(futs)
+        assert svc.stats()["batch_sizes"] == [4]
+        for i, (c, p) in enumerate(zip(clips, jobs)):
+            np.testing.assert_allclose(
+                results[i].audio, padded_reference(c, p, seed=i), atol=2e-5
+            )
+        svc.stop()
+
+    def test_padding_is_exact_on_the_linear_path(self):
+        """With no exact-length circular stage (air off, EQ unity) the
+        bucket padding is mathematically invisible: the trimmed output
+        equals the UNPADDED single render."""
+        svc = RenderService(max_batch=2, max_wait_ms=20)
+        try:
+            clip = make_clip(2)  # 4800 samples → bucket 8000: real padding
+            p = RenderParams(
+                target_layout="Stereo", room_size=50.0, air_absorption=0.0
+            )
+            res = svc.render(RenderJob(clip, RATE, p, seed=5), timeout=300)
+            unpadded = np.asarray(pipeline.render(clip, RATE, p, seed=5))
+            assert res.audio.shape == unpadded.shape
+            np.testing.assert_allclose(res.audio, unpadded, atol=2e-5)
+        finally:
+            svc.stop()
+
+    def test_distinct_specs_split_batches(self):
+        svc = RenderService(max_batch=8, max_wait_ms=50, start=False)
+        room = RenderParams(target_layout="Stereo", room_size=50.0)
+        plate = RenderParams(
+            target_layout="Stereo", room_size=50.0, hall_type="Plate"
+        )
+        futs = [
+            svc.submit(RenderJob(make_clip(i), RATE, p, seed=i))
+            for i, p in enumerate([room, plate, room, plate])
+        ]
+        svc.start()
+        wait_all(futs)
+        assert sorted(svc.stats()["batch_sizes"]) == [2, 2]
+        assert svc.stats()["jobs_done"] == 4
+        svc.stop()
+
+    def test_partial_batch_dispatches_on_deadline(self):
+        svc = RenderService(max_batch=8, max_wait_ms=80)
+        try:
+            p = RenderParams(target_layout="Stereo", room_size=50.0)
+            futs = [
+                svc.submit(RenderJob(make_clip(i), RATE, p, seed=i))
+                for i in range(2)
+            ]
+            wait_all(futs)
+            assert svc.stats()["batch_sizes"] == [2]
+        finally:
+            svc.stop()
+
+    def test_metrics_measured_on_true_span(self):
+        """Metrics must match a direct masked render_batch of the same
+        padded bucket — i.e. the device meter saw the true span, not the
+        zero padding."""
+        clip = make_clip(1, seconds=1.0)
+        p = RenderParams(target_layout="Stereo", room_size=50.0)
+        svc = RenderService(max_batch=2, max_wait_ms=20)
+        try:
+            res = svc.render(
+                RenderJob(clip, RATE, p, seed=7, with_metrics=True), timeout=300
+            )
+        finally:
+            svc.stop()
+        n_bucket = sharding.bucket_length(len(clip), RATE)
+        padded = np.zeros((1, n_bucket), np.float32)
+        padded[0, : len(clip)] = clip
+        _, expect = sharding.render_batch(
+            padded, RATE, p, seeds=[7], with_metrics=True,
+            clip_lengths=[len(clip)],
+        )
+        assert res.metrics is not None
+        for k, v in expect[0].items():
+            assert res.metrics[k] == pytest.approx(float(v), abs=1e-6), k
+
+    def test_failed_batch_is_isolated(self, monkeypatch):
+        svc = RenderService(max_batch=2, max_wait_ms=20, start=False)
+        p = RenderParams(target_layout="Stereo", room_size=50.0)
+
+        def boom(*a, **k):
+            raise RuntimeError("injected device failure")
+
+        monkeypatch.setattr(sharding, "render_batch", boom)
+        futs = [
+            svc.submit(RenderJob(make_clip(i), RATE, p, seed=i)) for i in range(2)
+        ]
+        svc.start()
+        for f in futs:
+            with pytest.raises(RuntimeError, match="injected device failure"):
+                f.result(timeout=60)
+        assert svc.stats()["jobs_failed"] == 2
+        monkeypatch.undo()
+        # the worker survived: a fresh job renders fine
+        res = svc.render(RenderJob(make_clip(9), RATE, p, seed=9), timeout=300)
+        assert np.isfinite(res.audio).all()
+        svc.stop()
+
+    def test_external_ir_jobs_batch_by_ir_digest(self, rng):
+        ir = (0.3 * rng.standard_normal((400, 2))).astype(np.float32)
+        p = RenderParams(use_external_ir=True, target_layout="Stereo")
+        svc = RenderService(max_batch=8, max_wait_ms=50, start=False)
+        clips = [make_clip(i) for i in range(2)]
+        futs = [
+            svc.submit(RenderJob(c, RATE, p, seed=i, external_ir=ir))
+            for i, c in enumerate(clips)
+        ]
+        svc.start()
+        results = wait_all(futs)
+        assert svc.stats()["batch_sizes"] == [2]
+        for i, c in enumerate(clips):
+            expect = padded_reference(c, p, seed=i, external_ir=ir)
+            np.testing.assert_allclose(results[i].audio, expect, atol=2e-5)
+        svc.stop()
+
+    def test_invalid_jobs_fail_fast_at_submit(self, rng):
+        svc = RenderService(max_batch=2, max_wait_ms=20, start=False)
+        p_ext = RenderParams(use_external_ir=True)
+        with pytest.raises(ValueError, match="external_ir"):
+            svc.submit(RenderJob(make_clip(0), RATE, p_ext))
+        mono_ir = rng.standard_normal((400, 1)).astype(np.float32)
+        with pytest.raises(ValueError, match="stereo"):
+            svc.submit(RenderJob(make_clip(0), RATE, p_ext, external_ir=mono_ir))
+        with pytest.raises(ValueError, match="rate"):
+            svc.submit(RenderJob(make_clip(0), 0, RenderParams()))
+        with pytest.raises(ValueError, match="audio"):
+            svc.submit(RenderJob(np.zeros((0,), np.float32), RATE, RenderParams()))
+        svc.start()
+        svc.stop()
+
+    def test_mesh_batch_pads_to_data_axis(self):
+        import jax
+
+        from audio_raytracing_studio_tpu.parallel import mesh as meshlib
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        m = meshlib.make_mesh(data=8, block=1)
+        svc = RenderService(max_batch=8, max_wait_ms=50, device_mesh=m, start=False)
+        p = RenderParams(target_layout="Stereo", room_size=50.0)
+        clips = [make_clip(i) for i in range(3)]  # 3 jobs → padded to 8
+        futs = [
+            svc.submit(RenderJob(c, RATE, p, seed=i)) for i, c in enumerate(clips)
+        ]
+        svc.start()
+        results = wait_all(futs)
+        assert svc.stats()["batch_sizes"] == [3]
+        for i, c in enumerate(clips):
+            np.testing.assert_allclose(
+                results[i].audio, padded_reference(c, p, seed=i), atol=2e-5
+            )
+        svc.stop()
+
+
+@pytest.fixture(scope="module")
+def http_service():
+    svc = RenderService(max_batch=4, max_wait_ms=30)
+    http = RenderHTTPService(svc, host="127.0.0.1", port=0).start()
+    yield http
+    http.stop()
+
+
+def _get(http, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{http.port}{path}") as r:
+        return json.loads(r.read())
+
+
+def _post(http, path, body: bytes, headers=None):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{http.port}{path}", data=body, headers=headers or {}
+    )
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def _poll_done(http, job_id, timeout=300):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        status = _get(http, f"/v1/jobs/{job_id}")
+        if status["status"] != "queued":
+            return status
+        time.sleep(0.1)
+    raise TimeoutError(job_id)
+
+
+class TestHTTPService:
+    def _upload_clip(self, http, i=0):
+        import io
+
+        clip = make_clip(i, seconds=0.4)
+        buf = io.BytesIO()
+        wavio.write(buf, clip[:, None], RATE, subtype="PCM_16")
+        return _post(
+            http, "/v1/upload", buf.getvalue(), {"X-Filename": f"clip{i}.wav"}
+        )["path"], clip
+
+    def test_job_lifecycle(self, http_service):
+        http = http_service
+        path, clip = self._upload_clip(http, 0)
+        payload = {
+            "input": path,
+            "params": {"target_layout": "Stereo", "room_size": 50.0},
+            "seed": 4,
+            "metrics": True,
+        }
+        job = _post(http, "/v1/jobs", json.dumps(payload).encode())
+        assert job["status"] == "queued"
+        status = _poll_done(http, job["job_id"])
+        assert status["status"] == "done", status
+        assert "LUFS" in status["metrics_string"]
+        assert status["rate"] == RATE
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{http.port}/v1/jobs/{job['job_id']}/result"
+        ) as r:
+            raw = r.read()
+        assert raw[:4] == b"RIFF"
+        import io
+
+        rendered, rate = wavio.read(io.BytesIO(raw))
+        assert rate == RATE
+        assert rendered.shape[0] == status["samples"]
+        assert rendered.shape[1] == status["channels"] == 2
+        assert np.isfinite(rendered).all()
+        stats = _get(http, "/v1/stats")
+        assert stats["jobs_done"] >= 1
+
+    def test_result_matches_direct_render(self, http_service):
+        """End-to-end numeric check: serve a clip, re-render the decoded
+        upload directly, compare within the PCM_16 write quantization."""
+        http = http_service
+        path, _ = self._upload_clip(http, 1)
+        decoded, rate = wavio.read(path)
+        p = RenderParams(target_layout="Stereo", room_size=50.0)
+        payload = {
+            "input": path,
+            "params": p.to_preset_dict(),
+            "seed": 11,
+            "metrics": False,
+        }
+        job = _post(http, "/v1/jobs", json.dumps(payload).encode())
+        status = _poll_done(http, job["job_id"])
+        assert status["status"] == "done", status
+        import io
+
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{http.port}/v1/jobs/{job['job_id']}/result"
+        ) as r:
+            rendered, _ = wavio.read(io.BytesIO(r.read()))
+        expect = padded_reference(decoded[:, 0], p, seed=11)
+        # the served file passed the product output contract: ±0.9999 clip
+        # then PCM_16 quantization (app/api.py semantics)
+        expect = np.clip(expect, -0.9999, 0.9999)
+        np.testing.assert_allclose(rendered, expect, atol=1.0 / 32768 + 2e-5)
+
+    def test_flac_result_format(self, http_service):
+        http = http_service
+        path, _ = self._upload_clip(http, 2)
+        payload = {
+            "input": path,
+            "params": {"target_layout": "Stereo", "room_size": 50.0},
+            "format": "flac",
+            "metrics": False,
+        }
+        job = _post(http, "/v1/jobs", json.dumps(payload).encode())
+        status = _poll_done(http, job["job_id"])
+        assert status["status"] == "done", status
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{http.port}/v1/jobs/{job['job_id']}/result"
+        ) as r:
+            raw = r.read()
+        assert raw[:4] == b"fLaC"
+
+    def test_error_contracts(self, http_service):
+        http = http_service
+        # non-upload input path → 403
+        err = self._expect_code(
+            http, "/v1/jobs",
+            {"input": "/etc/passwd", "params": {}}, 403,
+        )
+        assert "upload" in err["error"]
+        # bad format → 400
+        path, _ = self._upload_clip(http, 3)
+        self._expect_code(
+            http, "/v1/jobs", {"input": path, "format": "mp9"}, 400
+        )
+        # missing input → 400
+        self._expect_code(http, "/v1/jobs", {"params": {}}, 400)
+        # unknown job → 404
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(http, "/v1/jobs/" + "0" * 32)
+        assert exc.value.code == 404
+
+    @staticmethod
+    def _expect_code(http, path, payload, code):
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _post(http, path, json.dumps(payload).encode())
+        assert exc.value.code == code
+        return json.loads(exc.value.read())
