@@ -12,11 +12,18 @@ POST /v1/upload        raw audio bytes + X-Filename header → {"path": …}
 POST /v1/jobs          {"input": <uploaded path>, "params": {16 preset keys},
                         "seed": int?, "metrics": bool?,
                         "external_ir": <uploaded path>?}  → {"job_id": …}
-GET  /v1/jobs/<id>     {"status": "queued"|"done"|"error", "metrics"?: …,
-                        "metrics_string"?: …, "error"?: …}
+GET  /v1/jobs/<id>     {"status": "queued"|"done"|"error"|"cancelled",
+                        "metrics"?: …, "metrics_string"?: …, "error"?: …}
 GET  /v1/jobs/<id>/result    the rendered audio (WAV PCM_16; .flac/.ogg by
                              "format" in the job request)
+DELETE /v1/jobs/<id>   cancel a queued job (races the batcher: a job the
+                       worker already picked up completes normally)
 GET  /v1/stats         batcher statistics (batch sizes, jobs done/failed)
+
+Finished jobs are retained up to ``max_jobs`` (default 256): the oldest
+*completed* entries and their result files are evicted first, so a
+long-running service is bounded in memory and disk whatever the client
+polling discipline.
 
 Run:  python -m audio_raytracing_studio_tpu.serving.service --port 8871
 """
@@ -62,12 +69,16 @@ class RenderHTTPService:
         service: Optional[RenderService] = None,
         host: str = "0.0.0.0",
         port: int = 0,
+        max_jobs: int = 256,
     ):
+        if max_jobs < 1:
+            raise ValueError(f"max_jobs must be >= 1 (got {max_jobs})")
         self.service = service or RenderService()
+        self.max_jobs = int(max_jobs)
         self._upload_dir = tempfile.mkdtemp(prefix="ars_serving_uploads_")
         self._result_dir = tempfile.mkdtemp(prefix="ars_serving_results_")
         self._uploads: set = set()
-        self._jobs: Dict[str, _JobEntry] = {}
+        self._jobs: Dict[str, _JobEntry] = {}  # insertion-ordered
         self._jobs_lock = threading.Lock()
         self.httpd = ThreadingHTTPServer((host, port), self._make_handler())
         self.httpd.daemon_threads = True
@@ -150,11 +161,39 @@ class RenderHTTPService:
         job_id = uuid.uuid4().hex
         with self._jobs_lock:
             self._jobs[job_id] = _JobEntry(future, fmt)
+            self._evict_locked()
         return job_id
+
+    def _evict_locked(self):
+        """Bound the registry: evict oldest COMPLETED jobs (and their result
+        files) past ``max_jobs``.  Pending jobs are never evicted — the
+        registry can transiently exceed the cap under a flood of in-flight
+        work, but completed state is strictly bounded."""
+        if len(self._jobs) <= self.max_jobs:
+            return
+        excess = len(self._jobs) - self.max_jobs
+        for job_id in [k for k, e in self._jobs.items() if e.future.done()][:excess]:
+            entry = self._jobs.pop(job_id)
+            if entry.result_path:
+                try:
+                    os.unlink(entry.result_path)
+                except OSError:
+                    pass
+
+    def cancel_job(self, job_id: str) -> Dict[str, Any]:
+        entry = self._entry(job_id)
+        cancelled = entry.future.cancel()  # False once the batcher took it
+        return {
+            "job_id": job_id,
+            "status": "cancelled" if cancelled else self.job_status(job_id)["status"],
+            "cancelled": cancelled,
+        }
 
     def job_status(self, job_id: str) -> Dict[str, Any]:
         entry = self._entry(job_id)
         fut = entry.future
+        if fut.cancelled():
+            return {"job_id": job_id, "status": "cancelled"}
         if not fut.done():
             return {"job_id": job_id, "status": "queued"}
         exc = fut.exception()
@@ -255,6 +294,20 @@ class RenderHTTPService:
                     log.exception("request failed")
                     self._send_json({"error": f"{type(e).__name__}: {e}"}, 500)
 
+            def do_DELETE(self):
+                parsed = urllib.parse.urlparse(self.path)
+                try:
+                    m = re.fullmatch(r"/v1/jobs/([0-9a-f]{32})", parsed.path)
+                    if m:
+                        self._send_json(server.cancel_job(m.group(1)))
+                        return
+                    self._send_json({"error": "not found"}, 404)
+                except KeyError:
+                    self._send_json({"error": "no such job"}, 404)
+                except Exception as e:  # noqa: BLE001
+                    log.exception("request failed")
+                    self._send_json({"error": f"{type(e).__name__}: {e}"}, 500)
+
             def do_GET(self):
                 parsed = urllib.parse.urlparse(self.path)
                 try:
@@ -265,6 +318,9 @@ class RenderHTTPService:
                     m = re.fullmatch(r"/v1/jobs/([0-9a-f]{32})/result", parsed.path)
                     if m:
                         entry = server._entry(m.group(1))
+                        if entry.future.cancelled():
+                            self._send_json({"error": "job was cancelled"}, 410)
+                            return
                         if not entry.future.done():
                             self._send_json({"error": "job still queued"}, 409)
                             return

@@ -386,3 +386,64 @@ class TestHTTPService:
             _post(http, path, json.dumps(payload).encode())
         assert exc.value.code == code
         return json.loads(exc.value.read())
+
+    def test_cancel_queued_job(self):
+        """A queued job cancels cleanly: the batcher skips it, status reads
+        'cancelled', the result endpoint answers 410."""
+        import urllib.error
+
+        svc = RenderService(max_batch=2, max_wait_ms=20, start=False)
+        http = RenderHTTPService(svc, host="127.0.0.1", port=0).start()
+        try:
+            path, _ = self._upload_clip(http, 5)
+            payload = {"input": path, "params": {"target_layout": "Stereo"}}
+            job = _post(http, "/v1/jobs", json.dumps(payload).encode())
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{http.port}/v1/jobs/{job['job_id']}",
+                method="DELETE",
+            )
+            res = json.loads(urllib.request.urlopen(req).read())
+            assert res["cancelled"] is True and res["status"] == "cancelled"
+            assert _get(http, f"/v1/jobs/{job['job_id']}")["status"] == "cancelled"
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _get(http, f"/v1/jobs/{job['job_id']}/result")
+            assert exc.value.code == 410
+            # the worker drains past the cancelled item without dispatching
+            svc.start()
+            svc.stop()
+            assert svc.stats()["batches"] == 0
+        finally:
+            http.stop()
+
+    def test_completed_job_retention_is_bounded(self):
+        """max_jobs evicts the oldest COMPLETED entries and deletes their
+        result files — a long-running service is memory/disk bounded."""
+        import os
+        import urllib.error
+
+        svc = RenderService(max_batch=2, max_wait_ms=20)
+        http = RenderHTTPService(svc, host="127.0.0.1", port=0, max_jobs=2)
+        http.start()
+        try:
+            path, _ = self._upload_clip(http, 6)
+            payload = {"input": path, "params": {"target_layout": "Stereo"}}
+            first = _post(http, "/v1/jobs", json.dumps(payload).encode())
+            _poll_done(http, first["job_id"])
+            # materialize the first job's result file so eviction must unlink it
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{http.port}/v1/jobs/{first['job_id']}/result"
+            ).read()
+            first_path = http._entry(first["job_id"]).result_path
+            assert first_path and os.path.exists(first_path)
+            later = [
+                _post(http, "/v1/jobs", json.dumps(payload).encode())
+                for _ in range(2)
+            ]
+            for j in later:
+                _poll_done(http, j["job_id"])
+            with pytest.raises(urllib.error.HTTPError) as exc:
+                _get(http, f"/v1/jobs/{first['job_id']}")
+            assert exc.value.code == 404
+            assert not os.path.exists(first_path)
+        finally:
+            http.stop()
