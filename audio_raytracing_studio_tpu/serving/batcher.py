@@ -42,6 +42,7 @@ import logging
 import queue
 import threading
 import time
+import uuid
 from concurrent.futures import Future
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -100,6 +101,13 @@ class RenderService:
     fast_filters: conv-grid air absorption (≤2e-4 deviation) instead of the
                   reference's exact-length transform.
     pcm16_output: quantize to int16 on device (halves the result transfer).
+    streaming_threshold_s: clips longer than this route to the
+                  bounded-memory streaming renderer (parallel.streaming)
+                  as singleton jobs instead of the whole-signal batched
+                  path — an hour-scale upload must not attempt one giant
+                  FFT (the single-shot exact path tops out around ~10 min
+                  of 48 kHz audio on a 16 GB chip).  None disables.
+    chunk_seconds: streaming chunk size for routed long jobs.
     start:        spawn the worker immediately (tests pass False to stage
                   jobs deterministically before the first dispatch).
     """
@@ -113,6 +121,8 @@ class RenderService:
         ir_backend: str = "jnp",
         fast_filters: bool = False,
         pcm16_output: bool = False,
+        streaming_threshold_s: Optional[float] = 600.0,
+        chunk_seconds: float = 30.0,
         start: bool = True,
     ):
         if max_batch < 1:
@@ -123,6 +133,8 @@ class RenderService:
         self.ir_backend = ir_backend
         self.fast_filters = bool(fast_filters)
         self.pcm16_output = bool(pcm16_output)
+        self.streaming_threshold_s = streaming_threshold_s
+        self.chunk_seconds = float(chunk_seconds)
         self._q: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()
         self._batch_sizes: List[int] = []
@@ -194,6 +206,11 @@ class RenderService:
         clip = pipeline._ensure_stereo_host(audio)
         n_bucket = bucket_length(clip.shape[0], rate)
 
+        streaming = (
+            self.streaming_threshold_s is not None
+            and clip.shape[0] > self.streaming_threshold_s * rate
+        )
+
         if job.params.use_external_ir:
             if job.external_ir is None:
                 raise ValueError("use_external_ir=True requires job.external_ir")
@@ -202,6 +219,10 @@ class RenderService:
                 int(job.external_ir_rate) if job.external_ir_rate else rate,
                 rate,
             )
+            if streaming:
+                # singleton group; n_bucket = true length → real_len = len_out
+                key = ("streaming", uuid.uuid4().hex)
+                return _Item(job, None, key, clip, clip.shape[0], prepared)
             # jobs sharing the same prepared IR bytes may share one batch
             # (render_batch convolves the whole batch against ONE IR)
             ir_digest = hashlib.sha1(prepared.tobytes()).hexdigest()
@@ -210,6 +231,10 @@ class RenderService:
                 prepared.shape, ir_digest, bool(job.with_metrics),
             )
             return _Item(job, None, key, clip, n_bucket, prepared)
+
+        if streaming:
+            key = ("streaming", uuid.uuid4().hex)
+            return _Item(job, None, key, clip, clip.shape[0], None)
 
         setup = pipeline.build_internal_setup(
             job.params, rate, n_bucket, fast_filters=self.fast_filters
@@ -296,6 +321,9 @@ class RenderService:
         from ..parallel import mesh as meshlib
         from ..parallel.sharding import render_batch
 
+        if items[0].key[0] == "streaming":
+            return self._render_streaming(items[0])
+
         n_bucket = items[0].n_bucket
         rate = int(items[0].job.rate)
         with_metrics = bool(items[0].job.with_metrics)
@@ -334,3 +362,25 @@ class RenderService:
             outs, metrics = result
             return np.asarray(outs)[:batch], metrics[:batch]
         return np.asarray(result)[:batch], None
+
+    def _render_streaming(self, it: _Item):
+        """Singleton long-clip job through the bounded-memory streaming
+        renderer (``n_bucket`` was set to the true length at submit, so the
+        shared trim math reduces to the identity)."""
+        from ..parallel.streaming import render_streaming
+
+        job = it.job
+        kwargs: Dict[str, Any] = dict(
+            seed=int(job.seed),
+            chunk_seconds=self.chunk_seconds,
+            with_metrics=bool(job.with_metrics),
+            pcm16_output=self.pcm16_output,
+        )
+        if it.prepared_ir is not None:
+            kwargs["external_ir"] = it.prepared_ir
+            kwargs["external_ir_rate"] = int(job.rate)  # already rate-matched
+        result = render_streaming(it.clip, int(job.rate), job.params, **kwargs)
+        if job.with_metrics:
+            out, metrics = result
+            return np.asarray(out)[None], [metrics]
+        return np.asarray(result)[None], None

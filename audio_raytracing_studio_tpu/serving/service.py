@@ -381,6 +381,15 @@ def main(argv=None) -> int:
         "--fast-filters", action="store_true",
         help="conv-grid air absorption (≤2e-4 deviation, fastest path)",
     )
+    ap.add_argument(
+        "--streaming-threshold-s", type=float, default=600.0,
+        help="clips longer than this render via the bounded-memory "
+             "streaming path instead of one whole-signal batch",
+    )
+    ap.add_argument(
+        "--chunk-seconds", type=float, default=30.0,
+        help="streaming chunk size for routed long jobs",
+    )
     args = ap.parse_args(argv)
 
     from ..utils.runtime import ensure_backend
@@ -391,6 +400,8 @@ def main(argv=None) -> int:
         max_wait_ms=args.max_wait_ms,
         ir_backend=args.ir_backend,
         fast_filters=args.fast_filters,
+        streaming_threshold_s=args.streaming_threshold_s,
+        chunk_seconds=args.chunk_seconds,
     )
     http = RenderHTTPService(service, args.host, args.port)
     print(f"* Render service on http://{args.host}:{http.port}")

@@ -214,6 +214,34 @@ class TestBatcher:
         svc.start()
         svc.stop()
 
+    def test_long_jobs_route_to_streaming(self):
+        """Clips past streaming_threshold_s render via the bounded-memory
+        streaming path as singleton jobs — identical output and metrics to
+        calling parallel.streaming.render_streaming directly."""
+        from audio_raytracing_studio_tpu.parallel.streaming import (
+            render_streaming,
+        )
+
+        clip = make_clip(4, seconds=0.8)
+        p = RenderParams(target_layout="Stereo", room_size=50.0)
+        svc = RenderService(
+            max_batch=4, max_wait_ms=20,
+            streaming_threshold_s=0.5, chunk_seconds=0.25,
+        )
+        try:
+            res = svc.render(
+                RenderJob(clip, RATE, p, seed=6, with_metrics=True), timeout=600
+            )
+        finally:
+            svc.stop()
+        assert svc.stats()["batch_sizes"] == [1]
+        expect, expect_metrics = render_streaming(
+            clip, RATE, p, seed=6, chunk_seconds=0.25, with_metrics=True
+        )
+        assert res.audio.shape == np.asarray(expect).shape
+        np.testing.assert_allclose(res.audio, np.asarray(expect), atol=0)
+        assert res.metrics == pytest.approx(expect_metrics)
+
     def test_mesh_batch_pads_to_data_axis(self):
         import jax
 
