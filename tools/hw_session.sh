@@ -24,6 +24,7 @@ run() {  # run <name> <timeout_s> <cmd...>
 
 run validate 1800 python tools/tpu_validate.py
 run bench 3600 python bench.py
+run bench_serving 3600 python tools/bench_serving.py
 run long_unity 5400 python tools/bench_long.py long --minutes 30
 run long_eq 5400 python tools/bench_long.py long --minutes 30 --bass 1.6 --treble 0.7
 run eq_barrier 5400 python tools/measure_eq_barrier.py --minutes 30
