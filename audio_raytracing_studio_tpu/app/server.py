@@ -31,8 +31,6 @@ import html
 import json
 import logging
 import os
-import re
-import tempfile
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -108,10 +106,11 @@ class StudioHTTPServer:
     """
 
     def __init__(self, blocks: "hl.Blocks", host: str = "0.0.0.0", port: int = 0):
+        from ..utils.uploads import UploadStore
+
         self.blocks = blocks
         self._lock = threading.Lock()
-        self._upload_dir = tempfile.mkdtemp(prefix="ars_studio_uploads_")
-        self._uploads: set[str] = set()
+        self._uploads = UploadStore(prefix="ars_studio_uploads_")
         handler = self._make_handler()
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
@@ -136,6 +135,7 @@ class StudioHTTPServer:
         self.httpd.server_close()
         if self._thread:
             self._thread.join(timeout=10)
+        self._uploads.cleanup()
 
     # --- state / events ---
     def _component(self, comp_id) -> "hl.Component":
@@ -224,31 +224,15 @@ class StudioHTTPServer:
 
     # --- uploads / downloads ---
     def save_upload(self, filename: str, body: bytes) -> str:
-        base = os.path.basename(filename) or "upload.bin"
-        base = re.sub(r"[^A-Za-z0-9._\-]", "_", base)
-        path = os.path.join(self._upload_dir, base)
-        stem, ext = os.path.splitext(path)
-        n = 1
-        # O_CREAT|O_EXCL makes the name claim atomic: /upload runs without
-        # the event lock (ThreadingHTTPServer), so an exists()-then-open
-        # sequence would let two same-named concurrent uploads collide
-        while True:
-            try:
-                fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
-                break
-            except FileExistsError:
-                path = f"{stem}_{n}{ext}"
-                n += 1
-        with os.fdopen(fd, "wb") as fh:
-            fh.write(body)
-        self._uploads.add(os.path.realpath(path))
-        return path
+        # single shared definition of the sanitize/claim/allowlist logic
+        # (utils.uploads — also used by the render service)
+        return self._uploads.save(filename, body)
 
     def file_allowed(self, path: str) -> bool:
         """Only uploads, current component values, and the map assets are
         servable — never arbitrary filesystem reads."""
         real = os.path.realpath(path)
-        if real in self._uploads:
+        if self._uploads.allowed(real):
             return True
         allowed = {os.path.realpath(config.BASE_SURROUND_MAP_PATH)}
         for c in self.blocks.components:
@@ -283,6 +267,10 @@ class StudioHTTPServer:
             def _read_body(self) -> bytes:
                 length = int(self.headers.get("Content-Length") or 0)
                 if length > _MAX_UPLOAD:
+                    # the unread body would desync this keep-alive
+                    # connection (HTTP/1.1): the next "request line" parsed
+                    # would be raw audio bytes — drop the connection instead
+                    self.close_connection = True
                     raise ValueError(f"body too large ({length} bytes)")
                 return self.rfile.read(length)
 

@@ -312,14 +312,9 @@ class InternalSetup(NamedTuple):
     spec: StaticSpec
 
 
-def build_internal_setup(
-    p: RenderParams, rate: int, n_in: int, fast_filters: bool = False
-) -> InternalSetup:
-    """Derive all host scalars / static config for an internal-hall render.
-
-    Shared by the single-clip renderer and the batched/sharded renderers
-    (parallel.sharding), which stack the traced pytrees across a batch.
-    """
+def _internal_static(p: RenderParams, rate: int, n_in: int, fast_filters: bool):
+    """Host-side static derivation (float64 param math → geometry → spec),
+    shared by ``build_internal_setup`` and ``build_internal_spec``."""
     adj_duration, adj_ref_count, adj_max_delay, adj_split = adjust_parameters_for_3d(
         p.hall_type, p.room_size, p.z_pos
     )
@@ -350,6 +345,34 @@ def build_internal_setup(
         early_on=ir_shape.early_taps_active and early_lvl > 1e-6,
         late_on=ir_shape.late_length > 0 and late_lvl > 1e-6,
         fast_air=fast_filters,
+    )
+    return geometry, early_lvl, late_lvl, ir_shape, spec
+
+
+def build_internal_spec(
+    p: RenderParams, rate: int, n_in: int, fast_filters: bool = False
+):
+    """Shape-only derivation → ``(spec, ir_shape)``.
+
+    No device scalars are materialized — the serving batcher keys every
+    submission with this on the HTTP handler thread, where eagerly
+    allocating IRScalars/MixScalars device arrays per request would be
+    pure waste (they are rebuilt at dispatch by render_batch anyway).
+    """
+    *_, ir_shape, spec = _internal_static(p, rate, n_in, fast_filters)
+    return spec, ir_shape
+
+
+def build_internal_setup(
+    p: RenderParams, rate: int, n_in: int, fast_filters: bool = False
+) -> InternalSetup:
+    """Derive all host scalars / static config for an internal-hall render.
+
+    Shared by the single-clip renderer and the batched/sharded renderers
+    (parallel.sharding), which stack the traced pytrees across a batch.
+    """
+    geometry, early_lvl, late_lvl, ir_shape, spec = _internal_static(
+        p, rate, n_in, fast_filters
     )
     return InternalSetup(
         ir_shape=ir_shape,

@@ -107,7 +107,15 @@ class RenderService:
                   path — an hour-scale upload must not attempt one giant
                   FFT (the single-shot exact path tops out around ~10 min
                   of 48 kHz audio on a 16 GB chip).  None disables.
+                  NOTE: the streaming path always uses the conv-grid
+                  (fast) air filter and the jnp IR backend — with
+                  ``fast_filters=False`` a routed job deviates from the
+                  exact-mode batch by ≤~2e-4 (inside the 1e-3 contract);
+                  a warning is logged once per service when that applies.
     chunk_seconds: streaming chunk size for routed long jobs.
+    max_queued:   submit() raises RuntimeError once this many jobs are
+                  waiting (backpressure — each queued job holds its whole
+                  decoded clip in host RAM; HTTP maps this to 503).
     start:        spawn the worker immediately (tests pass False to stage
                   jobs deterministically before the first dispatch).
     """
@@ -123,10 +131,20 @@ class RenderService:
         pcm16_output: bool = False,
         streaming_threshold_s: Optional[float] = 600.0,
         chunk_seconds: float = 30.0,
+        max_queued: int = 64,
         start: bool = True,
     ):
         if max_batch < 1:
             raise ValueError(f"max_batch must be >= 1 (got {max_batch})")
+        if max_queued < 1:
+            raise ValueError(f"max_queued must be >= 1 (got {max_queued})")
+        if ir_backend == "pallas" and device_mesh is not None and pcm16_output:
+            # render_batch rejects this combination at dispatch — fail at
+            # construction, not on every job
+            raise ValueError(
+                "pcm16_output is not supported on the shard_map Pallas path "
+                "(ir_backend='pallas' with a device_mesh)"
+            )
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self.device_mesh = device_mesh
@@ -135,11 +153,14 @@ class RenderService:
         self.pcm16_output = bool(pcm16_output)
         self.streaming_threshold_s = streaming_threshold_s
         self.chunk_seconds = float(chunk_seconds)
+        self.max_queued = int(max_queued)
         self._q: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()
         self._batch_sizes: List[int] = []
         self._jobs_done = 0
         self._jobs_failed = 0
+        self._stopped = False
+        self._warned_streaming_fast = False
         self._thread: Optional[threading.Thread] = None
         if start:
             self.start()
@@ -154,12 +175,34 @@ class RenderService:
         return self
 
     def stop(self, timeout: float = 60.0):
-        """Drain: queued jobs still dispatch, then the worker exits."""
+        """Drain: queued jobs still dispatch, then the worker exits.
+        Jobs submitted after (or racing) stop() fail with RuntimeError
+        instead of hanging their futures forever."""
+        self._stopped = True
         if self._thread is None:
+            self._flush_orphans()
             return
         self._q.put(_STOP)
         self._thread.join(timeout=timeout)
-        self._thread = None
+        if self._thread.is_alive():
+            log.warning(
+                "batcher worker still busy after %.0fs stop timeout "
+                "(mid-dispatch render?) — leaving the daemon thread to finish",
+                timeout,
+            )
+        else:
+            self._thread = None
+            self._flush_orphans()
+
+    def _flush_orphans(self):
+        """Fail any item that slipped into the queue after the worker left."""
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                return
+            if item is not _STOP and item.future.set_running_or_notify_cancel():
+                item.future.set_exception(RuntimeError("render service stopped"))
 
     def stats(self) -> Dict[str, Any]:
         with self._lock:
@@ -175,7 +218,25 @@ class RenderService:
     # --- submission ---
     def submit(self, job: RenderJob) -> "Future[RenderResult]":
         """Validate, key, and enqueue a job.  Invalid jobs raise HERE
-        (fail-fast ValueError), never poison the worker."""
+        (fail-fast ValueError), never poison the worker; an overloaded or
+        stopped service raises RuntimeError (HTTP: 503)."""
+        if self._stopped:
+            raise RuntimeError("render service stopped")
+        if self._q.qsize() >= self.max_queued:
+            raise RuntimeError(
+                f"render service overloaded ({self.max_queued} jobs queued) — retry later"
+            )
+        if (
+            job.with_metrics
+            and self.ir_backend == "pallas"
+            and self.device_mesh is not None
+        ):
+            # render_batch rejects clip_lengths on the shard_map Pallas
+            # path — fail the one job up front, not the whole batch later
+            raise ValueError(
+                "with_metrics is not supported on the shard_map Pallas path "
+                "(ir_backend='pallas' with a device_mesh)"
+            )
         item = self._prepare(job)
         fut: "Future[RenderResult]" = Future()
         item.future = fut
@@ -233,19 +294,30 @@ class RenderService:
             return _Item(job, None, key, clip, n_bucket, prepared)
 
         if streaming:
+            if not self.fast_filters and not self._warned_streaming_fast:
+                self._warned_streaming_fast = True
+                log.warning(
+                    "long job (%.1f s) routed to the streaming renderer, "
+                    "which always uses the conv-grid (fast) air filter — "
+                    "≤~2e-4 deviation from this service's exact-filter "
+                    "config (inside the 1e-3 parity contract)",
+                    clip.shape[0] / rate,
+                )
             key = ("streaming", uuid.uuid4().hex)
             return _Item(job, None, key, clip, clip.shape[0], None)
 
-        setup = pipeline.build_internal_setup(
+        # shape-only derivation: no device scalars on the submit thread
+        # (render_batch rebuilds the full setup at dispatch)
+        spec, ir_shape = pipeline.build_internal_spec(
             job.params, rate, n_bucket, fast_filters=self.fast_filters
         )
         # value-driven stage flags (EQ on/off, air on/off, early/late levels)
         # are widened batch-wide by render_batch with exact per-clip
         # semantics — normalize them out of the key so such jobs batch
-        neutral_spec = setup.spec._replace(
+        neutral_spec = spec._replace(
             eq_on=False, air_on=False, early_on=False, late_on=False
         )
-        key = ("internal", neutral_spec, setup.ir_shape, bool(job.with_metrics))
+        key = ("internal", neutral_spec, ir_shape, bool(job.with_metrics))
         return _Item(job, None, key, clip, n_bucket, None)
 
     def _worker(self):

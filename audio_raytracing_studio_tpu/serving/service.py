@@ -70,14 +70,21 @@ class RenderHTTPService:
         host: str = "0.0.0.0",
         port: int = 0,
         max_jobs: int = 256,
+        max_uploads: int = 64,
     ):
+        from ..utils.uploads import UploadStore
+
         if max_jobs < 1:
             raise ValueError(f"max_jobs must be >= 1 (got {max_jobs})")
         self.service = service or RenderService()
         self.max_jobs = int(max_jobs)
-        self._upload_dir = tempfile.mkdtemp(prefix="ars_serving_uploads_")
+        # uploads are decoded into the job at POST /v1/jobs time, so
+        # evicting old upload FILES never breaks a queued render — the cap
+        # only bounds how long an upload stays referencable for new jobs
+        self._uploads = UploadStore(
+            prefix="ars_serving_uploads_", max_files=max_uploads
+        )
         self._result_dir = tempfile.mkdtemp(prefix="ars_serving_results_")
-        self._uploads: set = set()
         self._jobs: Dict[str, _JobEntry] = {}  # insertion-ordered
         self._jobs_lock = threading.Lock()
         self.httpd = ThreadingHTTPServer((host, port), self._make_handler())
@@ -101,30 +108,21 @@ class RenderHTTPService:
         if self._thread:
             self._thread.join(timeout=10)
         self.service.stop()
+        self._uploads.cleanup()
+        import shutil
+
+        shutil.rmtree(self._result_dir, ignore_errors=True)
 
     # --- job handling ---
     def save_upload(self, filename: str, body: bytes) -> str:
-        base = os.path.basename(filename) or "upload.bin"
-        base = re.sub(r"[^A-Za-z0-9._\-]", "_", base)
-        path = os.path.join(self._upload_dir, base)
-        stem, ext = os.path.splitext(path)
-        n = 1
-        while True:
-            try:
-                fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o600)
-                break
-            except FileExistsError:
-                path = f"{stem}_{n}{ext}"
-                n += 1
-        with os.fdopen(fd, "wb") as fh:
-            fh.write(body)
-        self._uploads.add(os.path.realpath(path))
-        return path
+        # single shared definition of the sanitize/claim/allowlist logic
+        # (utils.uploads — also used by the studio server)
+        return self._uploads.save(filename, body)
 
     def _read_upload(self, path: str) -> tuple:
         """Only previously-uploaded files are readable — the same
         no-arbitrary-filesystem-reads posture as the studio server."""
-        if os.path.realpath(path) not in self._uploads:
+        if not self._uploads.allowed(os.path.realpath(path)):
             raise PermissionError(f"input is not an uploaded file: {path!r}")
         from ..utils import wavio
 
@@ -168,17 +166,30 @@ class RenderHTTPService:
         """Bound the registry: evict oldest COMPLETED jobs (and their result
         files) past ``max_jobs``.  Pending jobs are never evicted — the
         registry can transiently exceed the cap under a flood of in-flight
-        work, but completed state is strictly bounded."""
+        work, but completed state is strictly bounded.
+
+        Entries whose result file is being materialized right now
+        (``job_result_path`` holds ``entry.lock``) are skipped this round —
+        evicting mid-write would orphan the file it is about to create."""
         if len(self._jobs) <= self.max_jobs:
             return
         excess = len(self._jobs) - self.max_jobs
-        for job_id in [k for k, e in self._jobs.items() if e.future.done()][:excess]:
-            entry = self._jobs.pop(job_id)
-            if entry.result_path:
-                try:
-                    os.unlink(entry.result_path)
-                except OSError:
-                    pass
+        for job_id in [k for k, e in self._jobs.items() if e.future.done()]:
+            if excess <= 0:
+                break
+            entry = self._jobs[job_id]
+            if not entry.lock.acquire(blocking=False):
+                continue
+            try:
+                del self._jobs[job_id]
+                excess -= 1
+                if entry.result_path:
+                    try:
+                        os.unlink(entry.result_path)
+                    except OSError:
+                        pass
+            finally:
+                entry.lock.release()
 
     def cancel_job(self, job_id: str) -> Dict[str, Any]:
         entry = self._entry(job_id)
@@ -272,6 +283,10 @@ class RenderHTTPService:
                 try:
                     length = int(self.headers.get("Content-Length") or 0)
                     if length > _MAX_UPLOAD:
+                        # the unread body would desync this keep-alive
+                        # connection — drop it instead of letting the next
+                        # "request line" be parsed out of raw audio bytes
+                        self.close_connection = True
                         self._send_json({"error": "body too large"}, 413)
                         return
                     body = self.rfile.read(length)
@@ -288,6 +303,9 @@ class RenderHTTPService:
                         self._send_json({"error": "not found"}, 404)
                 except PermissionError as e:
                     self._send_json({"error": str(e)}, 403)
+                except RuntimeError as e:
+                    # queue backpressure / stopped service → retryable 503
+                    self._send_json({"error": str(e)}, 503)
                 except (ValueError, json.JSONDecodeError) as e:
                     self._send_json({"error": str(e)}, 400)
                 except Exception as e:  # noqa: BLE001
@@ -330,7 +348,13 @@ class RenderHTTPService:
                             )
                             return
                         path = server.job_result_path(m.group(1))
-                        with open(path, "rb") as fh:
+                        try:
+                            fh = open(path, "rb")
+                        except FileNotFoundError:
+                            # evicted between path resolution and open
+                            self._send_json({"error": "result evicted"}, 410)
+                            return
+                        with fh:
                             size = os.fstat(fh.fileno()).st_size
                             self.send_response(200)
                             self.send_header(

@@ -242,6 +242,39 @@ class TestBatcher:
         np.testing.assert_allclose(res.audio, np.asarray(expect), atol=0)
         assert res.metrics == pytest.approx(expect_metrics)
 
+    def test_backpressure_and_stopped_service(self):
+        svc = RenderService(max_batch=2, max_wait_ms=20, max_queued=2, start=False)
+        p = RenderParams(target_layout="Stereo", room_size=50.0)
+        svc.submit(RenderJob(make_clip(0), RATE, p))
+        svc.submit(RenderJob(make_clip(1), RATE, p))
+        with pytest.raises(RuntimeError, match="overloaded"):
+            svc.submit(RenderJob(make_clip(2), RATE, p))
+        # stop() without ever starting: queued futures fail, not hang
+        f1 = svc._q.queue[0].future  # peek — both items still queued
+        svc.stop()
+        with pytest.raises(RuntimeError, match="stopped"):
+            f1.result(timeout=5)
+        with pytest.raises(RuntimeError, match="stopped"):
+            svc.submit(RenderJob(make_clip(3), RATE, p))
+
+    def test_pallas_mesh_limits_fail_fast(self):
+        import jax
+
+        from audio_raytracing_studio_tpu.parallel import mesh as meshlib
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        m = meshlib.make_mesh(data=8, block=1)
+        with pytest.raises(ValueError, match="pcm16_output"):
+            RenderService(
+                device_mesh=m, ir_backend="pallas", pcm16_output=True, start=False
+            )
+        svc = RenderService(device_mesh=m, ir_backend="pallas", start=False)
+        with pytest.raises(ValueError, match="with_metrics"):
+            svc.submit(
+                RenderJob(make_clip(0), RATE, RenderParams(), with_metrics=True)
+            )
+
     def test_mesh_batch_pads_to_data_axis(self):
         import jax
 
@@ -414,6 +447,26 @@ class TestHTTPService:
             _post(http, path, json.dumps(payload).encode())
         assert exc.value.code == code
         return json.loads(exc.value.read())
+
+    def test_upload_retention_bounded(self):
+        """max_uploads evicts the oldest upload files — disk stays bounded."""
+        import os
+
+        svc = RenderService(max_batch=2, max_wait_ms=20, start=False)
+        http = RenderHTTPService(svc, host="127.0.0.1", port=0, max_uploads=2)
+        http.start()
+        try:
+            paths = [self._upload_clip(http, i)[0] for i in range(3)]
+            assert not os.path.exists(paths[0])  # evicted
+            assert os.path.exists(paths[1]) and os.path.exists(paths[2])
+            # an evicted upload is no longer referencable for new jobs
+            err = self._expect_code(
+                http, "/v1/jobs", {"input": paths[0], "params": {}}, 403
+            )
+            assert "upload" in err["error"]
+        finally:
+            http.stop()
+        assert not os.path.exists(paths[1])  # stop() removed the dirs
 
     def test_cancel_queued_job(self):
         """A queued job cancels cleanly: the batcher skips it, status reads
