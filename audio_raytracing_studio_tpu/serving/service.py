@@ -9,9 +9,13 @@ zero-dependency posture as the studio server.
 Endpoints
 ---------
 POST /v1/upload        raw audio bytes + X-Filename header → {"path": …}
-POST /v1/jobs          {"input": <uploaded path>, "params": {16 preset keys},
-                        "seed": int?, "metrics": bool?,
-                        "external_ir": <uploaded path>?}  → {"job_id": …}
+POST /v1/jobs          {"input": <uploaded path>, "params": {16 preset keys}?,
+                        "preset": "<name>_v4.json"?, "seed": int?,
+                        "metrics": bool?, "external_ir": <uploaded path>?}
+                        → {"job_id": …} — "preset" loads a saved studio
+                        preset (v4 JSON) as the base; "params" keys
+                        override it
+GET  /v1/presets       {"presets": [...]} — the studio's preset files
 GET  /v1/jobs/<id>     {"status": "queued"|"done"|"error"|"cancelled",
                         "metrics"?: …, "metrics_string"?: …, "error"?: …}
 GET  /v1/jobs/<id>/result    the rendered audio (WAV PCM_16; .flac/.ogg by
@@ -71,7 +75,9 @@ class RenderHTTPService:
         port: int = 0,
         max_jobs: int = 256,
         max_uploads: int = 64,
+        preset_dir: str = ".",
     ):
+        from ..utils.presets import PresetStore
         from ..utils.uploads import UploadStore
 
         if max_jobs < 1:
@@ -85,6 +91,7 @@ class RenderHTTPService:
             prefix="ars_serving_uploads_", max_files=max_uploads
         )
         self._result_dir = tempfile.mkdtemp(prefix="ars_serving_results_")
+        self._presets = PresetStore(preset_dir)
         self._jobs: Dict[str, _JobEntry] = {}  # insertion-ordered
         self._jobs_lock = threading.Lock()
         self.httpd = ThreadingHTTPServer((host, port), self._make_handler())
@@ -135,7 +142,17 @@ class RenderHTTPService:
         fmt = str(payload.get("format", "wav")).lower()
         if fmt not in _FORMATS:
             raise ValueError(f"unknown format {fmt!r} (use wav/flac/ogg)")
-        params = RenderParams.from_preset_dict(payload.get("params") or {})
+        base: Dict[str, Any] = {}
+        preset = payload.get("preset")
+        if preset:
+            try:
+                # remember=False: a service render must not move the
+                # studio's last-used pointer
+                base = self._presets.load(str(preset), remember=False).to_preset_dict()
+            except FileNotFoundError:
+                raise ValueError(f"no such preset: {preset!r}") from None
+        base.update(payload.get("params") or {})
+        params = RenderParams.from_preset_dict(base)
         audio, rate = self._read_upload(input_path)
 
         external_ir = None
@@ -371,6 +388,11 @@ class RenderHTTPService:
 
                             shutil.copyfileobj(fh, self.wfile, length=1 << 20)
                         return
+                    if parsed.path == "/v1/presets":
+                        self._send_json(
+                            {"presets": server._presets.list_presets()}
+                        )
+                        return
                     if parsed.path == "/v1/stats":
                         stats = server.service.stats()
                         with server._jobs_lock:
@@ -414,6 +436,11 @@ def main(argv=None) -> int:
         "--chunk-seconds", type=float, default=30.0,
         help="streaming chunk size for routed long jobs",
     )
+    ap.add_argument(
+        "--preset-dir", default=".",
+        help="directory containing the studio's presets_v4/ (for "
+             '\'{"preset": "<name>_v4.json"}\' job payloads)',
+    )
     args = ap.parse_args(argv)
 
     from ..utils.runtime import ensure_backend
@@ -427,7 +454,7 @@ def main(argv=None) -> int:
         streaming_threshold_s=args.streaming_threshold_s,
         chunk_seconds=args.chunk_seconds,
     )
-    http = RenderHTTPService(service, args.host, args.port)
+    http = RenderHTTPService(service, args.host, args.port, preset_dir=args.preset_dir)
     print(f"* Render service on http://{args.host}:{http.port}")
     try:
         http.serve_forever()

@@ -126,15 +126,19 @@ class PresetStore:
             return None
         return os.path.join(self.preset_dir, name)
 
-    def load(self, preset_file: str) -> RenderParams:
+    def load(self, preset_file: str, remember: bool = True) -> RenderParams:
         """Load + coerce a preset file (ref :901-932). Raises on missing file
-        and on traversal-shaped names."""
+        and on traversal-shaped names.
+
+        ``remember=False`` skips the last-used pointer update — the render
+        service reads presets without mutating the studio's UI state."""
         path = self._member_path(preset_file)
         if path is None:
             raise ValueError(f"invalid preset filename: {preset_file!r}")
         with open(path, "r", encoding="utf-8") as f:
             data = json.load(f)
-        self.save_last(preset_file)
+        if remember:
+            self.save_last(preset_file)
         return RenderParams.from_preset_dict(data)
 
     def delete(self, preset_file: str) -> bool:

@@ -448,6 +448,59 @@ class TestHTTPService:
         assert exc.value.code == code
         return json.loads(exc.value.read())
 
+    def test_preset_job(self, tmp_path):
+        """A job can reference a saved studio preset by filename; 'params'
+        keys override it; the studio's last-used pointer is untouched."""
+        from audio_raytracing_studio_tpu.utils.presets import PresetStore
+
+        store = PresetStore(str(tmp_path))
+        p_saved = RenderParams(
+            target_layout="Stereo", room_size=50.0, diffusion=0.77
+        )
+        _, fname = store.save("ServePreset", p_saved)
+        store.save_last("")  # known state
+        svc = RenderService(max_batch=2, max_wait_ms=20)
+        http = RenderHTTPService(
+            svc, host="127.0.0.1", port=0, preset_dir=str(tmp_path)
+        ).start()
+        try:
+            path, clip = self._upload_clip(http, 7)
+            payload = {
+                "input": path,
+                "preset": fname,
+                "params": {"x_pos": 0.9},  # override on top of the preset
+                "seed": 2,
+                "metrics": False,
+            }
+            job = _post(http, "/v1/jobs", json.dumps(payload).encode())
+            status = _poll_done(http, job["job_id"])
+            assert status["status"] == "done", status
+            import dataclasses
+            import io
+
+            decoded, _ = wavio.read(path)
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{http.port}/v1/jobs/{job['job_id']}/result"
+            ) as r:
+                rendered, _ = wavio.read(io.BytesIO(r.read()))
+            # numeric check: preset + override == the merged RenderParams
+            merged = dataclasses.replace(p_saved, x_pos=0.9)
+            expect = np.clip(
+                padded_reference(decoded[:, 0], merged, seed=2), -0.9999, 0.9999
+            )
+            np.testing.assert_allclose(rendered, expect, atol=1.0 / 32768 + 2e-5)
+            # listed over HTTP
+            assert fname in _get(http, "/v1/presets")["presets"]
+            # unknown preset → 400
+            err = self._expect_code(
+                http, "/v1/jobs", {"input": path, "preset": "nope_v4.json"}, 400
+            )
+            assert "preset" in err["error"]
+            # the service did NOT move the studio's last-used pointer
+            assert store.load_last() in (None, "")
+        finally:
+            http.stop()
+
     def test_upload_retention_bounded(self):
         """max_uploads evicts the oldest upload files — disk stays bounded."""
         import os
