@@ -13,6 +13,11 @@ Reference behavior citations throughout point into
 Migrating call sites from the reference monolith can keep their exact
 function names: ``from audio_raytracing_studio_tpu import compat as
 raytracer_studio`` (see docs/MIGRATION.md).
+
+Production serving: ``serving.RenderService`` micro-batches concurrent
+render jobs into single SPMD device programs;
+``python -m audio_raytracing_studio_tpu.serving.service`` serves the
+HTTP job API (docs/MIGRATION.md "Level 2").
 """
 
 from . import config
