@@ -51,7 +51,9 @@ def calculate_audio_metrics(data: np.ndarray, rate: int, backend: str = "jax") -
     x = np.asarray(data, dtype=np.float32)
     if x.ndim == 1:
         x = x[:, np.newaxis]
-    if x.size == 0 or rate <= 0:
+    # >2-D input: the reference warns and returns the None-metrics dict
+    # (raytracer_studio.py:674-711 error path) — never raises
+    if x.ndim != 2 or x.size == 0 or rate <= 0:
         return {"lufs": None, "true_peak_dbfs": None, "rms_dbfs": None}
     m = loudness.audio_metrics(jnp.asarray(x.T), int(rate))
     return {k: float(v) for k, v in m.items()}

@@ -66,8 +66,10 @@ def run_audio_profiler(
         )
     rate = rate_orig
     ch_orig, ch_proc = data_orig.shape[1], data_proc.shape[1]
-    dur_orig = data_orig.shape[0] / rate
-    dur_proc = data_proc.shape[0] / rate
+    # a WAV may declare rate 0 — the reference degrades to duration 0
+    # instead of dividing by zero (raytracer_studio.py duration guard)
+    dur_orig = data_orig.shape[0] / rate if rate > 0 else 0.0
+    dur_proc = data_proc.shape[0] / rate if rate > 0 else 0.0
     proc_names = detect_layout_names(ch_proc)
 
     m_orig = calculate_audio_metrics(data_orig, rate, backend=backend)

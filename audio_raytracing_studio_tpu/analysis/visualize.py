@@ -10,6 +10,7 @@ run on device via the JAX path.
 
 from __future__ import annotations
 
+import functools
 import os
 import tempfile
 import traceback
@@ -42,12 +43,39 @@ def spectrogram_nperseg(duration: float) -> int:
     return 1024
 
 
+def _stft_power_jit(frames, window, scale, double_even: bool):
+    """scipy-density STFT power — module-level jit body (CLAUDE.md: per-call
+    jit closures re-trace every call and closure-captured scalars bake into
+    HLO literals, defeating both executable caches).  ``scale`` arrives as a
+    traced f32 argument; only ``double_even`` (bin-doubling layout) is static.
+
+    Jitted because eager complex arithmetic (the |rfft|²) is UNIMPLEMENTED
+    on the axon TPU backend."""
+    import jax.numpy as jnp
+
+    # scipy's default detrend='constant': remove each segment's mean
+    fr = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    sx = jnp.abs(jnp.fft.rfft(fr * window, axis=-1)) ** 2 * scale
+    # scipy doubles every onesided bin except DC — and except Nyquist
+    # ONLY when nfft is even (an odd nfft has no pure-Nyquist bin); a
+    # short clip clamps nperseg to the odd signal length, where always
+    # excluding the last bin would read it 3 dB low vs use_device=False
+    hi = -1 if double_even else None
+    return sx.at[..., 1:hi].multiply(2.0)
+
+
+@functools.lru_cache(maxsize=1)
+def _stft_power_compiled():
+    import jax
+
+    return jax.jit(_stft_power_jit, static_argnames=("double_even",))
+
+
 def compute_spectrogram(
     data: np.ndarray, rate: int, nperseg: int, use_device: bool = False
 ):
     """Hann spectrogram (f, t, Sxx).  use_device routes the STFT through JAX."""
     if use_device:
-        import jax
         import jax.numpy as jnp
 
         hop = nperseg // 2
@@ -60,26 +88,14 @@ def compute_spectrogram(
         from scipy.signal import get_window
 
         win_np = get_window("hann", nperseg).astype(np.float32)
-        window = jnp.asarray(win_np)
-        # scipy 'density' scaling: |X|²/(fs·Σw²), interior bins doubled.
-        # jitted: eager complex arithmetic (the |rfft|²) is UNIMPLEMENTED
-        # on the axon TPU backend.
+        # scipy 'density' scaling: |X|²/(fs·Σw²), interior bins doubled
         scale = 1.0 / (rate * float(np.sum(win_np.astype(np.float64) ** 2)))
-
-        # scipy doubles every onesided bin except DC — and except Nyquist
-        # ONLY when nfft is even (an odd nfft has no pure-Nyquist bin); a
-        # short clip clamps nperseg to the odd signal length, where always
-        # excluding the last bin would read it 3 dB low vs use_device=False
-        double_hi = -1 if nperseg % 2 == 0 else None
-
-        @jax.jit
-        def stft_power(fr, w):
-            # scipy's default detrend='constant': remove each segment's mean
-            fr = fr - jnp.mean(fr, axis=-1, keepdims=True)
-            sx = jnp.abs(jnp.fft.rfft(fr * w, axis=-1)) ** 2 * scale
-            return sx.at[..., 1:double_hi].multiply(2.0)
-
-        sxx = stft_power(frames, window)
+        sxx = _stft_power_compiled()(
+            frames,
+            jnp.asarray(win_np),
+            jnp.float32(scale),
+            double_even=(nperseg % 2 == 0),
+        )
         f = np.fft.rfftfreq(nperseg, 1.0 / rate)
         t = (np.arange(num_frames) * hop + nperseg / 2) / rate
         return f, t, np.asarray(sxx).T

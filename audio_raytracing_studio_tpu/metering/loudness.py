@@ -53,19 +53,26 @@ def _block_bounds(num_samples: int, rate: int) -> tuple[np.ndarray, np.ndarray, 
     return lo, hi, num_blocks
 
 
-def _k_weight_impl(signal: jnp.ndarray, rate: int) -> jnp.ndarray:
+def _k_weight_impl(signal: jnp.ndarray, rate: int, pow2: bool = False) -> jnp.ndarray:
     n = signal.shape[-1]
     fir = jnp.asarray(k_weighting_fir(rate).astype(np.float32))
-    nfft = convolution.fast_fft_length(n + int(fir.shape[0]) - 1)
+    need = n + int(fir.shape[0]) - 1
+    # pow2: batched/vmapped meters must avoid 3·2^k grids — under vmap the
+    # per-example trace can't see the batch dim, and a 3·2^k minor dim
+    # mis-tiles 8-16× past ~4 batch rows on this TPU backend (CLAUDE.md;
+    # same rule as StaticSpec.pow2_conv on the render conv)
+    from ..ops.fftops import next_power_of_two
+
+    nfft = next_power_of_two(need) if pow2 else convolution.fast_fft_length(need)
     sig_f = jnp.fft.rfft(signal, n=nfft, axis=-1)
     out = jnp.fft.irfft(sig_f * jnp.fft.rfft(fir, n=nfft), n=nfft, axis=-1)
     return out[..., :n].astype(jnp.float32)
 
 
-_k_weight_jit = jax.jit(_k_weight_impl, static_argnames=("rate",))
+_k_weight_jit = jax.jit(_k_weight_impl, static_argnames=("rate", "pow2"))
 
 
-def k_weight(signal: jnp.ndarray, rate: int) -> jnp.ndarray:
+def k_weight(signal: jnp.ndarray, rate: int, pow2: bool = False) -> jnp.ndarray:
     """Apply the K-weighting prefilter over the last axis (causal FIR form).
 
     One kernel FFT broadcast against all channels (a per-channel kernel
@@ -76,7 +83,7 @@ def k_weight(signal: jnp.ndarray, rate: int) -> jnp.ndarray:
     hardware would crash while CPU CI stays green.  Under an enclosing jit
     the nested jit inlines.
     """
-    return _k_weight_jit(jnp.asarray(signal), rate=int(rate))
+    return _k_weight_jit(jnp.asarray(signal), rate=int(rate), pow2=bool(pow2))
 
 
 def _block_mean_squares_impl(
@@ -156,11 +163,11 @@ def gated_loudness_from_blocks(
     return jnp.where((abs_count > 0) & (count > 0), loud, -jnp.inf).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("rate",))
+@functools.partial(jax.jit, static_argnames=("rate", "pow2"))
 def _integrated_loudness_jit(
-    signal: jnp.ndarray, w: jnp.ndarray, *, rate: int
+    signal: jnp.ndarray, w: jnp.ndarray, *, rate: int, pow2: bool = False
 ) -> jnp.ndarray:
-    filtered = _k_weight_impl(signal, rate)
+    filtered = _k_weight_impl(signal, rate, pow2=pow2)
     z = block_mean_squares(filtered, rate)  # (C, J)
     if z.shape[-1] == 0:
         return jnp.float32(-jnp.inf)
@@ -168,7 +175,10 @@ def _integrated_loudness_jit(
 
 
 def integrated_loudness(
-    signal: jnp.ndarray, rate: int, weights: np.ndarray | None = None
+    signal: jnp.ndarray,
+    rate: int,
+    weights: np.ndarray | None = None,
+    pow2: bool = False,
 ) -> jnp.ndarray:
     """Gated integrated loudness (LUFS) of (n,) mono or (C, n) multichannel.
 
@@ -187,7 +197,7 @@ def integrated_loudness(
     if weights is None:
         weights = kw.channel_weights(num_channels)  # LFE excluded (BS.1770-4)
     w = jnp.asarray(np.asarray(weights).astype(np.float32))
-    return _integrated_loudness_jit(signal, w, rate=int(rate))
+    return _integrated_loudness_jit(signal, w, rate=int(rate), pow2=bool(pow2))
 
 
 def _masked_block_mean_squares(
@@ -207,6 +217,7 @@ def audio_metrics_masked(
     rate: int,
     valid_len: jnp.ndarray,
     valid_blocks: jnp.ndarray,
+    pow2: bool = False,
 ) -> dict:
     """``audio_metrics`` of ``data_cn[:, :valid_len]`` without slicing —
     shape-static, so a batch of clips padded to one bucket length can meter
@@ -227,7 +238,7 @@ def audio_metrics_masked(
 
     # _impl, not the jitted wrapper: this function always runs under an
     # enclosing jit/vmap (parallel.sharding's batched meter)
-    filtered = _k_weight_impl(mono[None, :], rate)
+    filtered = _k_weight_impl(mono[None, :], rate, pow2=pow2)
     z = _masked_block_mean_squares(filtered, rate, valid_len)
     if z.shape[-1] == 0:
         lufs = jnp.float32(-jnp.inf)
@@ -314,11 +325,11 @@ def oversampled_true_peak_dbfs(
     ).astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("rate",))
-def _audio_metrics_jit(data_cn: jnp.ndarray, *, rate: int) -> dict:
+@functools.partial(jax.jit, static_argnames=("rate", "pow2"))
+def _audio_metrics_jit(data_cn: jnp.ndarray, *, rate: int, pow2: bool = False) -> dict:
     num_channels = data_cn.shape[0]
     mono = data_cn[0] if num_channels == 1 else jnp.mean(data_cn[:2], axis=0)
-    lufs = integrated_loudness(mono, rate, weights=np.array([1.0]))
+    lufs = integrated_loudness(mono, rate, weights=np.array([1.0]), pow2=pow2)
     lufs = jnp.where(jnp.max(jnp.abs(mono)) < 1e-6, -jnp.inf, lufs)
     return {
         "lufs": lufs,
@@ -327,7 +338,7 @@ def _audio_metrics_jit(data_cn: jnp.ndarray, *, rate: int) -> dict:
     }
 
 
-def audio_metrics(data_cn: jnp.ndarray, rate: int) -> dict:
+def audio_metrics(data_cn: jnp.ndarray, rate: int, pow2: bool = False) -> dict:
     """LUFS / sample-peak / RMS with the reference's conventions.
 
     data_cn: (C, n) channels-leading.  LUFS meters the mean of the first ≤2
@@ -340,4 +351,4 @@ def audio_metrics(data_cn: jnp.ndarray, rate: int) -> dict:
     analyzer CLI) would crash on hardware while CPU-backend CI stays green.
     Under an enclosing jit (batched/sharded meters) the call inlines.
     """
-    return _audio_metrics_jit(jnp.asarray(data_cn), rate=int(rate))
+    return _audio_metrics_jit(jnp.asarray(data_cn), rate=int(rate), pow2=bool(pow2))

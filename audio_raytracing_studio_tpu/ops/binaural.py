@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config
-from .convolution import fast_fft_length
+from .fftops import next_power_of_two
 
 HEAD_RADIUS_M = 0.0875
 SPEED_OF_SOUND = 343.0
@@ -124,6 +124,14 @@ def binauralize(data_nc: np.ndarray, rate: int, layout_name: str) -> np.ndarray:
         )
     names = tuple(layout["names"])
     n = data_nc.shape[0]
+    # Bucket the static shape to the half-second grid: every distinct clip
+    # length would otherwise be a fresh trace + compile (minutes through
+    # the tunnel on hardware, cli.render_dir renders many lengths) and a
+    # fresh 100+ MB ear-table cache entry.  Zero-padding is exact here —
+    # the mix is linear and the output is trimmed back to n.
+    from ..parallel.sharding import bucket_length
+
+    n_bucket = bucket_length(n, rate)
     # FFT headroom: the ITD delay in SAMPLES scales with the rate (~0.00073 s
     # for a fully lateral source — 35 samples at 48 kHz but ~280 at 384 kHz),
     # so a fixed pad would wrap the delayed contralateral tail into the clip
@@ -132,13 +140,19 @@ def binauralize(data_nc: np.ndarray, rate: int, layout_name: str) -> np.ndarray:
         _itd_seconds(math.radians(CHANNEL_ANGLES.get(nm, (0.0, 0.0))[0]))
         for nm in names
     )
-    nfft = fast_fft_length(n + int(math.ceil(max_itd * rate)) + 256)
+    # power of two ONLY: this rfft runs over 6-8 channel rows, past the ~4-row
+    # threshold where a 3·2^k minor dim mis-tiles 8-16× on this TPU backend
+    # (CLAUDE.md "batched 3·2^k rfft/irfft mis-tiles")
+    nfft = next_power_of_two(n_bucket + int(math.ceil(max_itd * rate)) + 256)
 
+    padded = data_nc.astype(np.float32)
+    if n_bucket > n:
+        padded = np.pad(padded, ((0, n_bucket - n), (0, 0)))
     table = _binaural_table(names, int(rate), nfft)
     out = _binaural_mix(
-        jnp.asarray(data_nc.astype(np.float32).T),
+        jnp.asarray(padded.T),
         jnp.asarray(np.ascontiguousarray(table.real, dtype=np.float32)),
         jnp.asarray(np.ascontiguousarray(table.imag, dtype=np.float32)),
-        nfft, n,
+        nfft, n_bucket,
     )
-    return np.asarray(out, dtype=np.float32).T
+    return np.asarray(out, dtype=np.float32).T[:n]

@@ -54,10 +54,15 @@ def _metrics_and_quantize(out, spec, with_metrics, pcm16, vlen, vblocks):
     device (halves the device→host result transfer)."""
     metrics = None
     if with_metrics:
+        # pow2: the meter's K-weighting FFT runs under the batch vmap, where
+        # a 3·2^k grid mis-tiles past ~4 batch rows (same rule as the conv's
+        # spec.pow2_conv — CLAUDE.md)
         metrics = (
-            loudness.audio_metrics_masked(out, spec.rate, vlen, vblocks)
+            loudness.audio_metrics_masked(
+                out, spec.rate, vlen, vblocks, pow2=spec.pow2_conv
+            )
             if vlen is not None
-            else loudness.audio_metrics(out, spec.rate)
+            else loudness.audio_metrics(out, spec.rate, pow2=spec.pow2_conv)
         )
     if pcm16:
         out = pipeline.quantize_pcm16(out)

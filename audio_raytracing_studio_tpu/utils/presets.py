@@ -60,14 +60,22 @@ class PresetStore:
     # --- CRUD (ref :864-988) ---
 
     @staticmethod
+    def _safe_base(stripped_name: str) -> str:
+        """The reference's pre-underscore ``safe_filename_base`` (ref :874):
+        filtered to alnum/space/_/- and stripped, SPACES STILL PRESENT —
+        both the filename and the ``_source_name`` comparison derive from
+        this exact intermediate."""
+        return "".join(
+            c for c in stripped_name if c.isalnum() or c in (" ", "_", "-")
+        ).strip()
+
+    @staticmethod
     def sanitize_name(preset_name: str) -> Optional[str]:
         """``<safe>_v4.json`` filename or None if nothing survives (ref :874-876)."""
         preset_name = preset_name.strip() if isinstance(preset_name, str) else ""
         if not preset_name:
             return None
-        base = "".join(
-            c for c in preset_name if c.isalnum() or c in (" ", "_", "-")
-        ).strip()
+        base = PresetStore._safe_base(preset_name)
         filename = base.replace(" ", "_") + "_v4.json"
         if not base or filename == "_v4.json":
             return None
@@ -97,8 +105,14 @@ class PresetStore:
         path = os.path.join(self.preset_dir, filename)
 
         data = params.to_preset_dict()
-        base = filename[: -len("_v4.json")]
-        data["_source_name"] = preset_name if base != preset_name else None
+        # the reference compares the PRE-underscore safe base against the
+        # STRIPPED name (ref :891): "My Preset" keeps _source_name null —
+        # comparing the filename base ("My_Preset") here would write the
+        # name for every spaced preset, different JSON bytes
+        stripped = preset_name.strip() if isinstance(preset_name, str) else ""
+        data["_source_name"] = (
+            stripped if self._safe_base(stripped) != stripped else None
+        )
         data["_version"] = config.APP_VERSION
 
         with open(path, "w", encoding="utf-8") as f:

@@ -128,6 +128,28 @@ class TestAnalysis:
         assert path and path.endswith(".png") and os.path.getsize(path) > 1000
         os.remove(path)
 
+    def test_metrics_3d_input_returns_none_dict(self):
+        """The reference API returns the None-metrics dict for malformed
+        input (raytracer_studio.py error path), never raises."""
+        from audio_raytracing_studio_tpu.analysis.metrics import (
+            calculate_audio_metrics,
+        )
+
+        m = calculate_audio_metrics(np.zeros((4, 3, 2), np.float32), 48000)
+        assert m == {"lufs": None, "true_peak_dbfs": None, "rms_dbfs": None}
+
+    def test_profiler_rate_zero_degrades(self, wav_file, monkeypatch):
+        """A WAV declaring sample rate 0 must produce the degraded report
+        (duration 0), not ZeroDivisionError (reference's rate>0 guard)."""
+        from audio_raytracing_studio_tpu.analysis import profiler
+
+        real_read = profiler.wavio.read
+        monkeypatch.setattr(
+            profiler.wavio, "read", lambda p: (real_read(p)[0], 0)
+        )
+        report = profiler.run_audio_profiler(wav_file, wav_file)
+        assert "0.00s @ 0 Hz" in report
+
     def test_visualizer_device_stft(self, wav_file):
         path = plot_waveform_and_spectrogram(wav_file, "Test", use_device_stft=True)
         assert path and os.path.getsize(path) > 1000

@@ -68,6 +68,27 @@ def test_high_rate_itd_does_not_wrap():
     assert np.max(np.abs(out)) > 0.05  # the click itself survived
 
 
+def test_lengths_share_one_compile_bucket():
+    """Clip lengths quantize to the half-second grid before the jitted mix:
+    every distinct length would otherwise be a fresh trace + compile
+    (minutes through the TPU tunnel when render_dir processes a directory
+    of odd-length clips) — and results must be identical to the unbucketed
+    linear convolution (zero-padding is exact)."""
+    from audio_raytracing_studio_tpu.ops.binaural import _binaural_mix
+
+    rate = 48000
+    before = _binaural_mix._cache_size()
+    outs = []
+    for n in (4700, 4800, 4850):  # all bucket to 24000 @ 48 kHz
+        x = np.zeros((n, 6), np.float32)
+        x[n // 2, 0] = 1.0
+        outs.append(binauralize(x, rate, "5.1 (Standard)"))
+    assert _binaural_mix._cache_size() - before <= 1
+    for n, out in zip((4700, 4800, 4850), outs):
+        assert out.shape == (n, 2)
+        assert np.max(np.abs(out)) > 0.1
+
+
 def test_layout_mismatch_rejected():
     with pytest.raises(ValueError, match="does not match"):
         binauralize(np.zeros((100, 6), np.float32), 48000, "Stereo")
