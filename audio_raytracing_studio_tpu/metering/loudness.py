@@ -116,9 +116,11 @@ def block_mean_squares(signal: jnp.ndarray, rate: int) -> jnp.ndarray:
     Precision envelope: XLA lowers the float32 cumsum as a log-depth scan,
     so a block energy (difference of two prefixes) carries ~log2(n)·eps of
     the *total* energy — ≈0.01 dB at the ~10-minute ceiling of the single-
-    shot render path.  Hour-scale clips go through the streaming/sequence-
-    parallel meters, which carry the running energy in host float64
-    (parallel/streaming.py, parallel/long_render.py).
+    shot render path.  Hour-scale clips go through the streaming meter
+    (30 s chunk prefixes + host-float64 running carry,
+    parallel/streaming.py) or the sequence-parallel meter (segmented
+    per-shard prefixes bounded to one gating block span,
+    parallel/long_render.py) — both bound the prefix magnitude instead.
     """
     return _block_mean_squares_impl(signal, rate)
 

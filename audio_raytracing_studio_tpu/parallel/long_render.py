@@ -155,13 +155,27 @@ def _sharded_metrics(
     )[0]
 
     # gating-block energies as per-shard contributions: each shard sums its
-    # own overlap with every block (eloc differences of *local* magnitude),
-    # one psum of a (J,) vector assembles the exact totals.  No unbounded
-    # running carry — the old exclusive-prefix scheme added the whole-clip
-    # energy to every boundary in float32, losing ~ulp(total) per block at
-    # hour scale (the CLAUDE.md cumsum-precision hazard).
-    local_energy = jnp.cumsum(jnp.square(kw_local))
-    eloc = jnp.concatenate([jnp.zeros(1, jnp.float32), local_energy])
+    # own overlap with every block, one psum of a (J,) vector assembles the
+    # exact totals.  The prefixes are SEGMENTED: a flat cumsum over the whole
+    # shard would make every block energy the difference of two prefixes up
+    # to shard magnitude — ~ulp(shard energy) of error per block, ~0.05 dB
+    # at hour scale on a 2-block mesh (the CLAUDE.md cumsum-precision
+    # hazard).  With segments of L ≥ one gating block, every difference is
+    # intra-segment (a block touches ≤ 2 segments), so the error is bounded
+    # by ~log2(L)·eps·segment_energy regardless of clip or shard length —
+    # the same bounding idea as the streaming meter's 30 s chunks.
+    sq = jnp.square(kw_local)
+    max_block = max(1, int(np.ceil(kwc.BLOCK_SECONDS * rate)))
+    seg_len = 1 << (max_block - 1).bit_length()  # pow2 ≥ one block span
+    n_seg = -(-block_len // seg_len)
+    sq_seg = jnp.pad(sq, (0, n_seg * seg_len - block_len)).reshape(n_seg, seg_len)
+    # E[s, k] = energy of the first k samples of segment s (k in 0..L)
+    eseg = jnp.concatenate(
+        [jnp.zeros((n_seg, 1), jnp.float32), jnp.cumsum(sq_seg, axis=-1)],
+        axis=-1,
+    )
+    eflat = eseg.reshape(-1)
+    row = seg_len + 1
 
     from ..metering.loudness import _block_bounds
 
@@ -171,9 +185,23 @@ def _sharded_metrics(
     else:
         lo_d = jnp.asarray(lo[:jblocks])  # (J,) host-static bounds
         hi_d = jnp.asarray(hi[:jblocks])
-        lo_loc = jnp.clip(lo_d - offset, 0, block_len)
-        hi_loc = jnp.clip(hi_d - offset, 0, block_len)
-        contrib = eloc[hi_loc] - eloc[lo_loc]  # this shard's slice of each block
+        a = jnp.clip(lo_d - offset, 0, block_len)
+        b = jnp.clip(hi_d - offset, 0, block_len)
+        sa = jnp.minimum(a // seg_len, n_seg - 1)
+        # this shard's slice of block j = [a, cut) in segment sa
+        #                               + [sb·L, b) in segment sb (if b spills)
+        cut = jnp.clip(b, a, (sa + 1) * seg_len)
+        part1 = eflat[sa * row + (cut - sa * seg_len)] - eflat[
+            sa * row + (a - sa * seg_len)
+        ]
+        # segment of the block's last sample; min() guards the a == b ==
+        # block_len edge (a shard the block lies entirely past), where an
+        # unclamped index would gather out of bounds
+        sb = jnp.minimum(jnp.maximum(b - 1, a) // seg_len, n_seg - 1)
+        part2 = jnp.where(
+            sb > sa, eflat[sb * row + (b - sb * seg_len)], 0.0
+        )
+        contrib = part1 + part2
         block_energy = jax.lax.psum(contrib, axis_name)  # (J,) exact totals
         z = block_energy / (kwc.BLOCK_SECONDS * rate)
         lufs = gated_loudness_from_blocks(z[None, :], jnp.ones(1, jnp.float32))

@@ -15,6 +15,7 @@ north star asks for, not a translation.
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -73,6 +74,29 @@ def padded_length(n_in: int, ir_length: int, num_blocks: int) -> int:
     return block * num_blocks
 
 
+@functools.lru_cache(maxsize=32)
+def _partitioned_fn(device_mesh: Mesh, axis_name: str, block_len: int, l: int):
+    """Jitted shard_map program for one (mesh, block, kernel-length) — built
+    ONCE (rebuilding the wrapper per call re-traces the whole ring program
+    on every dispatch; the cache holds function objects only)."""
+    num_blocks = device_mesh.shape[axis_name]
+
+    def local(block_cn: jnp.ndarray, ker: jnp.ndarray) -> jnp.ndarray:
+        out_len = block_len + l - 1
+        conv = convolution.convolve_full(block_cn, ker, out_len)  # (K, C, out)
+        local_out = conv[..., :block_len]
+        tail = conv[..., block_len:]
+        return _ring_overlap_add(local_out, tail, axis_name, num_blocks, block_len)
+
+    shard = jax.shard_map(
+        local,
+        mesh=device_mesh,
+        in_specs=(P(None, axis_name), P(None, None)),
+        out_specs=P(None, None, axis_name),
+    )
+    return jax.jit(shard)
+
+
 def partitioned_convolve(
     signal_cn: jnp.ndarray,
     kernels: jnp.ndarray,
@@ -91,19 +115,6 @@ def partitioned_convolve(
     if n_total % num_blocks:
         raise ValueError(f"signal length {n_total} not divisible by {num_blocks}")
     block_len = n_total // num_blocks
-    k, l = kernels.shape
-
-    def local(block_cn: jnp.ndarray, ker: jnp.ndarray) -> jnp.ndarray:
-        out_len = block_len + l - 1
-        conv = convolution.convolve_full(block_cn, ker, out_len)  # (K, C, out)
-        local_out = conv[..., :block_len]
-        tail = conv[..., block_len:]
-        return _ring_overlap_add(local_out, tail, axis_name, num_blocks, block_len)
-
-    shard = jax.shard_map(
-        local,
-        mesh=device_mesh,
-        in_specs=(P(None, axis_name), P(None, None)),
-        out_specs=P(None, None, axis_name),
-    )
-    return shard(signal_cn, kernels)
+    _k, l = kernels.shape
+    fn = _partitioned_fn(device_mesh, axis_name, block_len, int(l))
+    return fn(signal_cn, kernels)

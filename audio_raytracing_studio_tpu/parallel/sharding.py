@@ -113,6 +113,7 @@ def _batched_external(
     pcm16: bool = False,
 ):
     """Batched external-IR render: every clip convolved with the shared IR."""
+    spec = spec._replace(pow2_conv=True)  # 3·2^k grids mis-tile under vmap
 
     def one(audio_cn, mix_sc, vlen, vblocks):
         out = pipeline.external_graph(audio_cn, ir_cn, mix_sc, spec=spec)
@@ -154,6 +155,45 @@ def _batched_internal_pallas(
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _sharded_pallas_fn(
+    device_mesh: Mesh,
+    ir_shape: ir_synth.IRShape,
+    spec: pipeline.StaticSpec,
+    with_metrics: bool,
+):
+    """Jitted shard_map program for one (mesh, shape, spec) — built ONCE.
+
+    Rebuilding the closure + shard_map wrapper per call re-traces the full
+    per-shard render graph on every dispatch (the CLAUDE.md per-call-jit
+    host tax); the cache holds function objects only, never arrays.
+    """
+    from ..ops.ir_synth_pallas import fused_rir_bank
+
+    def local(audio_shard, seed_shard, ir_sc_shard, mix_shard):
+        early_bank, late_bank = fused_rir_bank(seed_shard, ir_shape, ir_sc_shard)
+
+        def one(audio_cn, early_ir, late_ir, mix_sc):
+            out = pipeline.internal_graph_with_irs(
+                audio_cn, early_ir, late_ir, mix_sc, spec=spec
+            )
+            # pcm16/masked metering are rejected upstream on this path —
+            # the shared epilogue threads spec.pow2_conv into the meter
+            return _metrics_and_quantize(out, spec, with_metrics, False, None, None)
+
+        return jax.vmap(one)(audio_shard, early_bank, late_bank, mix_shard)
+
+    data_spec = P(meshlib.DATA_AXIS)
+    shard = jax.shard_map(
+        local,
+        mesh=device_mesh,
+        in_specs=(data_spec, data_spec, data_spec, data_spec),
+        out_specs=data_spec,  # pytree-prefix: both outputs batch-sharded
+        check_vma=False,  # pallas_call outputs don't carry vma annotations
+    )
+    return jax.jit(shard)
+
+
 def _sharded_internal_pallas(
     device_mesh: Mesh,
     audio_bcn: jnp.ndarray,
@@ -170,32 +210,9 @@ def _sharded_internal_pallas(
     A Pallas custom call does not SPMD-partition under plain jit sharding, so
     each device runs its own bank + render over its batch shard explicitly.
     """
-    from ..ops.ir_synth_pallas import fused_rir_bank
-
     spec = spec._replace(pow2_conv=True)  # 3·2^k grids mis-tile under vmap
-
-    def local(audio_shard, seed_shard, ir_sc_shard, mix_shard):
-        early_bank, late_bank = fused_rir_bank(seed_shard, ir_shape, ir_sc_shard)
-
-        def one(audio_cn, early_ir, late_ir, mix_sc):
-            out = pipeline.internal_graph_with_irs(
-                audio_cn, early_ir, late_ir, mix_sc, spec=spec
-            )
-            if with_metrics:
-                return out, loudness.audio_metrics(out, spec.rate)
-            return out, None
-
-        return jax.vmap(one)(audio_shard, early_bank, late_bank, mix_shard)
-
-    data_spec = P(meshlib.DATA_AXIS)
-    shard = jax.shard_map(
-        local,
-        mesh=device_mesh,
-        in_specs=(data_spec, data_spec, data_spec, data_spec),
-        out_specs=data_spec,  # pytree-prefix: both outputs batch-sharded
-        check_vma=False,  # pallas_call outputs don't carry vma annotations
-    )
-    return shard(audio_bcn, seeds, ir_scalars, mix_scalars)
+    fn = _sharded_pallas_fn(device_mesh, ir_shape, spec, with_metrics)
+    return fn(audio_bcn, seeds, ir_scalars, mix_scalars)
 
 
 def render_batch(
@@ -297,6 +314,13 @@ def render_batch(
         )
         vlens, vblocks = _mask_arrays(ir.shape[0])
         if device_mesh is not None:
+            num_devices = device_mesh.shape[meshlib.DATA_AXIS]
+            if batch % num_devices:
+                # same clear contract as the internal path — not a low-level
+                # sharding error deep inside device_put
+                raise ValueError(
+                    f"batch {batch} not divisible by data axis {num_devices}"
+                )
             bs = meshlib.batch_sharding(device_mesh)
             audio_bcn = jax.device_put(audio_bcn, bs)
             mix_scalars = jax.device_put(mix_scalars, bs)

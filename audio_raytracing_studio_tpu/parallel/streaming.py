@@ -88,16 +88,22 @@ def _conv_pass_slab_body(
             wet = conv[..., :chunk]
             tail = conv[..., chunk:]
         else:
-            conv = convolution.convolve_full(
-                audio_chunk, kers, out_len_local, kernel_gains=gains
-            )
-            if early_on and late_on:
-                wet_full = conv[0] * scal.early_level + conv[1] * scal.late_level
-            elif early_on or late_on:
-                wet_full = conv[0] * (
-                    scal.early_level if early_on else scal.late_level
+            if early_on or late_on:
+                conv = convolution.convolve_full(
+                    audio_chunk, kers, out_len_local, kernel_gains=gains
                 )
+                if early_on and late_on:
+                    wet_full = (
+                        conv[0] * scal.early_level + conv[1] * scal.late_level
+                    )
+                else:
+                    wet_full = conv[0] * (
+                        scal.early_level if early_on else scal.late_level
+                    )
             else:
+                # dry-only: no FFT work at all — convolving every chunk
+                # against the all-zero placeholder kernel just to discard
+                # it would waste an rfft+irfft per chunk of the whole clip
                 wet_full = jnp.zeros((2, out_len_local), jnp.float32)
             wet = wet_full[..., :chunk]
             tail = wet_full[..., chunk:]

@@ -93,6 +93,17 @@ class TestBatchedRender:
             single = pipeline.render(clips[i], rate, p, seed=7)
             np.testing.assert_allclose(out[i], single, atol=2e-5)
 
+    def test_external_mesh_batch_divisibility_rejected(self, rng, eight_devices):
+        """The external-IR mesh path must give the same clear ValueError as
+        the internal path for an uneven batch — not a low-level sharding
+        error from device_put."""
+        clips, rate = short_clips(rng, 3)
+        ir = rng.standard_normal((400, 2)).astype(np.float32)
+        m = meshlib.make_mesh(data=8, block=1)
+        p = RenderParams(use_external_ir=True, target_layout="Stereo")
+        with pytest.raises(ValueError, match="not divisible"):
+            sharding.render_batch(clips, rate, p, device_mesh=m, external_ir=ir)
+
     def test_shape_mismatch_rejected(self, rng):
         clips, rate = short_clips(rng, 2)
         params = [
