@@ -14,7 +14,7 @@ framework modules.  Numeric outputs match the reference within the project
 parity contract (≤1e-3 max-abs; see PARITY.md — the measured margins are
 ~2e-6 on the pipeline configs).
 
-Two deliberate, documented deviations:
+Three deliberate, documented deviations:
 
 * ``generate_impulse_response_split_3d`` takes an optional ``seed`` keyword
   (default 0).  The reference uses the **unseeded global NumPy RNG**
@@ -26,6 +26,12 @@ Two deliberate, documented deviations:
   runs the jitted device path; ``"oracle"`` runs the float64 NumPy
   reference-semantics implementation (oracle/dsp.py) — the same switch
   analysis.metrics.calculate_audio_metrics already exposes.
+* ``generate_impulse_response_split_3d`` honors at most **80 early
+  reflections** (``ops.ir_synth.MAX_REFLECTIONS`` — the static tap budget
+  of the compiled kernels, and the reference's own product-path clip at
+  raytracer_studio.py:224).  The bare reference function would loop an
+  arbitrary ``reflection_count``; here counts above 80 are capped on both
+  backends (consistently, so parity between them holds).
 
 UI-handler functions that the reference defines over gradio types
 (``gr.update`` / ``gr.SelectData``) return objects from the same ``gr``
@@ -212,8 +218,9 @@ def _external_front_core(
 
 
 def _eq_on(bass_gain, treble_gain) -> bool:
-    # the reference's host-visible EQ skip (ref :389)
-    return not (np.isclose(bass_gain, 1.0) and np.isclose(treble_gain, 1.0))
+    # ONE definition of the reference's host-visible EQ skip (ref :389) —
+    # params.eq_enabled, shared with the pipeline's jit cache key
+    return params.eq_enabled(bass_gain, treble_gain)
 
 
 # --- DSP core (ref :84-571) --------------------------------------------------

@@ -39,6 +39,7 @@ from ..params import (
     compute_final_directionality_3d,
     derive_ir_geometry,
     dry_kill_factor,
+    eq_enabled,
 )
 
 
@@ -334,7 +335,7 @@ def _internal_static(p: RenderParams, rate: int, n_in: int, fast_filters: bool):
     early_lvl, late_lvl = adapt_early_late_levels(p.dry_wet, p.early_level, p.late_level)
 
     ir_shape = ir_synth.IRShape.from_geometry(geometry)
-    eq_on = not (np.isclose(p.bass_gain, 1.0) and np.isclose(p.treble_gain, 1.0))
+    eq_on = eq_enabled(p.bass_gain, p.treble_gain)
     spec = StaticSpec(
         n_in=n_in,
         ir_length=geometry.length,
@@ -411,7 +412,7 @@ def render(
         ir = prepare_external_ir(
             external_ir, external_ir_rate if external_ir_rate else rate, rate
         )
-        eq_on = not (np.isclose(p.bass_gain, 1.0) and np.isclose(p.treble_gain, 1.0))
+        eq_on = eq_enabled(p.bass_gain, p.treble_gain)
         spec = StaticSpec(
             n_in=n_in,
             ir_length=ir.shape[0],

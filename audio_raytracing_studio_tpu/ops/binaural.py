@@ -87,9 +87,13 @@ def _ear_filters(
     return out[0], out[1]
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=4)
 def _binaural_table(layout_key: tuple, rate: int, nfft: int) -> np.ndarray:
-    """(num_channels, 2, nfft//2+1) complex64 ear-filter table (host)."""
+    """(num_channels, 2, nfft//2+1) complex64 ear-filter table (host).
+
+    maxsize stays SMALL: one entry is ~nfft·C·16 bytes (~0.8 GB at a
+    3-minute 48 kHz clip), so a large cache could pin tens of GB of host
+    RAM on this 1-core box when render_dir sweeps many length buckets."""
     freqs = np.fft.rfftfreq(nfft, 1.0 / rate)
     table = np.zeros((len(layout_key), 2, len(freqs)), dtype=np.complex64)
     for i, name in enumerate(layout_key):

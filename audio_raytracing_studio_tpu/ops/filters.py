@@ -144,6 +144,12 @@ def _apply_affine_circular(
         wrap = fftops.ifft_fast(Z * H)[..., n : 2 * n]
         wrap = jnp.stack([jnp.real(wrap), jnp.imag(wrap)], axis=-2)
         return (x + wrap).astype(jnp.float32)
+    # force pow2 past 4 leading rows even when the caller didn't ask: a
+    # 3·2^k real FFT over >4 rows (a 6/8-channel clip, or any batch) hits
+    # the measured 8-16× mis-tile whatever the batch flag says (CLAUDE.md;
+    # same rule as ops.binaural's 6-8-row transform)
+    rows = int(np.prod(x.shape[:-1])) if x.ndim >= 2 else 1
+    pow2 = pow2 or rows > 4
     specs = [_wrap_spectrum(k, n, rate, pow2) for k, _ in terms]
     m = specs[0][1]
     X = jnp.fft.rfft(x, n=m, axis=-1)

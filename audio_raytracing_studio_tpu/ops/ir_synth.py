@@ -89,7 +89,9 @@ def hash_draws(
 
     Uses the full static MAX_REFLECTIONS budget; taps beyond the shape's
     reflection_count are masked out downstream, so the same seed gives the
-    same IR regardless of the configured tap count.
+    same IR for any tap count up to the budget (counts above
+    MAX_REFLECTIONS cap there — the reference product path clips to the
+    same 80, raytracer_studio.py:224).
     """
     from . import rng
 
@@ -117,6 +119,16 @@ def hash_draws(
 def draws_to_device(draws: IRDraws) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Pad host IRDraws to the static tap budget and move to device arrays."""
     n = len(draws.delays)
+    if n > MAX_REFLECTIONS:
+        # derive_ir_geometry does not clip reflection_count (only the
+        # product path's adjust_parameters_for_3d does, ref :224) — a
+        # >80-tap injection must fail clearly, not as a broadcast error
+        raise ValueError(
+            f"injected draws carry {n} early taps; the compiled kernels' "
+            f"static budget is MAX_REFLECTIONS={MAX_REFLECTIONS} "
+            "(the reference product path clips to the same range, "
+            "raytracer_studio.py:224)"
+        )
     delays = np.zeros(MAX_REFLECTIONS, dtype=np.int32)
     strengths = np.zeros(MAX_REFLECTIONS, dtype=np.float32)
     delays[:n] = draws.delays

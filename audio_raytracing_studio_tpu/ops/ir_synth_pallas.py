@@ -361,10 +361,21 @@ def _rir_bank_kernel(
         w = shape.noise_smooth_width
         if w > 1 and shape.late_length >= w:
             lead = w // 2
+            total = SUBLANE * cols
             acc = jnp.zeros_like(noise)
             for k in range(w):
-                # np.convolve 'same': tap k reads noise[p + k - lead]
-                acc = acc + _flat_shift(noise, lead - k)
+                # np.convolve 'same': tap k reads noise[p + k - lead].
+                # _flat_shift wraps circularly over the padded tile — mask
+                # every out-of-range SOURCE index to zero explicitly.  The
+                # zeroed-tail trick alone is not enough: when the pad
+                # headroom (l_pad − late_length) is smaller than the
+                # smoothing half-window, the wrap reads REAL tail noise
+                # from the opposite end of the tile (measured 0.30 max-abs
+                # vs the oracle at split_point=1, length=4096, w=10).
+                s = lead - k
+                src = pos - s
+                in_src = jnp.logical_and(src >= 0, src < total)
+                acc = acc + jnp.where(in_src, _flat_shift(noise, s), 0.0)
             smoothed = acc / float(w)
             # variance re-scale over the tail window (ref :289-290)
             n_f = float(shape.late_length)

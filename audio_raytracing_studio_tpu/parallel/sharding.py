@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..metering import loudness
 from ..models import pipeline
 from ..ops import ir_synth
-from ..params import RenderParams
+from ..params import RenderParams, eq_enabled
 from . import mesh as meshlib
 
 
@@ -300,10 +300,7 @@ def render_batch(
         ir = pipeline.prepare_external_ir(
             external_ir, external_ir_rate if external_ir_rate else rate, rate
         )
-        eq_on = any(
-            not (np.isclose(p.bass_gain, 1.0) and np.isclose(p.treble_gain, 1.0))
-            for p in param_list
-        )
+        eq_on = any(eq_enabled(p.bass_gain, p.treble_gain) for p in param_list)
         spec0 = pipeline.StaticSpec(
             n_in=n_in, ir_length=ir.shape[0], rate=int(rate),
             layout=param_list[0].target_layout, eq_on=eq_on,

@@ -51,7 +51,7 @@ from ..metering import kweighting as kwc
 from ..metering.loudness import gated_loudness_from_blocks, k_weighting_fir
 from ..models import pipeline
 from ..ops import convolution, filters, ir_synth, spatial
-from ..params import RenderParams
+from ..params import RenderParams, eq_enabled
 
 DEFAULT_CHUNK_SECONDS = 30.0
 
@@ -222,7 +222,7 @@ def _build_kernels(p: RenderParams, rate: int, n_in: int, seed: int,
         ir = pipeline.prepare_external_ir(
             external_ir, external_ir_rate if external_ir_rate else rate, rate
         )
-        eq_on = not (np.isclose(p.bass_gain, 1.0) and np.isclose(p.treble_gain, 1.0))
+        eq_on = eq_enabled(p.bass_gain, p.treble_gain)
         spec = pipeline.StaticSpec(
             n_in=n_in, ir_length=ir.shape[0], rate=int(rate),
             layout=p.target_layout, eq_on=eq_on,

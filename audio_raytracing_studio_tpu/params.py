@@ -208,6 +208,17 @@ def dry_kill_factor(dry_wet: float, kill_start: float) -> float:
     return factor
 
 
+def eq_enabled(bass_gain, treble_gain) -> bool:
+    """The reference's host-visible shelf-EQ skip (raytracer_studio.py:389):
+    EQ runs unless BOTH gains are numerically unity.
+
+    Parity-bearing AND a jit-cache-key input (StaticSpec.eq_on) — ONE
+    definition, shared by models.pipeline and the compat facade; a
+    tolerance or semantics tweak must change every surface together.
+    """
+    return not (np.isclose(bass_gain, 1.0) and np.isclose(treble_gain, 1.0))
+
+
 @dataclasses.dataclass(frozen=True)
 class IRGeometry:
     """Static (shape-determining) geometry of one internal IR synthesis.

@@ -70,6 +70,35 @@ class TestInjectedParity:
             np.testing.assert_allclose(early_k[b], np.asarray(e_j), atol=3e-6)
             np.testing.assert_allclose(late_k[b], np.asarray(l_j), atol=3e-6)
 
+    def test_tile_boundary_smoothing_no_wrap(self, rng):
+        """Pad headroom smaller than the smoothing half-window must not
+        wrap tail noise back into the valid region (regression: at
+        split_point=1 and length=4096 — an exact tile multiple, zero
+        headroom — the unmasked roll measured 0.30 max-abs vs jnp)."""
+        rate = 16000
+        g = derive_ir_geometry(
+            rate, 4096 / rate, 25, 0.06, "Holz", 0.5, 1.0 / rate, 0.5
+        )
+        shape = ir_synth.IRShape.from_geometry(g)
+        scalars = ir_synth.IRScalars.from_geometry(g)
+        assert shape.length == 4096 and shape.split_point == 1
+        assert shape.noise_smooth_width > 1
+        delays, strengths, noise = make_draws(rng, shape, 1)
+        early_k, late_k = fused_rir_bank(
+            np.zeros(1, np.int32), shape, scalars,
+            interpret=True,
+            injected_draws=pack_draws(shape, delays, strengths, noise),
+        )
+        e_j, l_j = ir_synth.synthesize(
+            shape,
+            jnp.asarray(delays[0]),
+            jnp.asarray(strengths[0]),
+            jnp.asarray(noise[0]),
+            scalars,
+        )
+        np.testing.assert_allclose(np.asarray(early_k)[0], np.asarray(e_j), atol=3e-6)
+        np.testing.assert_allclose(np.asarray(late_k)[0], np.asarray(l_j), atol=3e-6)
+
     def test_norms_and_structure(self, rng, room_shape):
         shape, scalars = room_shape
         delays, strengths, noise = make_draws(rng, shape, 1)

@@ -159,6 +159,20 @@ class TestParityEdgeCases:
             pipeline.render(x, rate, p, external_ir=np.zeros((100, 1), np.float32))
 
 
+def test_injected_draws_over_budget_rejected(rng, tone48k):
+    """derive_ir_geometry does not clip reflection_count (only the product
+    path does, ref :224): a >80-tap injection must fail with a clear error
+    on the pipeline side, not a NumPy broadcast crash."""
+    from audio_raytracing_studio_tpu.params import IRDraws, derive_ir_geometry
+
+    x, rate = tone48k
+    g = derive_ir_geometry(rate, 0.5, 200, 0.06, "Holz", 0.5, 0.03, 0.5)
+    draws = IRDraws.sample(rng, g)
+    assert len(draws.delays) == 200
+    with pytest.raises(ValueError, match="MAX_REFLECTIONS"):
+        pipeline.render(x, rate, RenderParams(), draws=draws)
+
+
 class TestDeterminism:
     def test_same_seed_same_output(self, tone48k):
         x, rate = tone48k
