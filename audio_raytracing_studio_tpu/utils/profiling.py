@@ -61,6 +61,7 @@ def _force_sync(out) -> None:
     import jax.numpy as jnp
     import numpy as np
 
+    synced = False
     for leaf in jax.tree_util.tree_leaves(out):
         dt = getattr(leaf, "dtype", None)
         # complex leaves are excluded: eager complex arithmetic (the sum)
@@ -68,9 +69,14 @@ def _force_sync(out) -> None:
         if dt is not None and (
             np.issubdtype(dt, np.floating) or np.issubdtype(dt, np.integer)
         ):
+            # EVERY numeric leaf: a host composition of several jitted
+            # calls yields leaves from independent executables, and syncing
+            # only the first would stop the clock while later dispatches
+            # are still running
             float(jnp.sum(leaf))
-            return
-    jax.block_until_ready(out)
+            synced = True
+    if not synced:
+        jax.block_until_ready(out)
 
 
 def time_jitted(

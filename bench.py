@@ -63,26 +63,42 @@ def _probe_tpu(timeout_s: float) -> str | None:
     return None
 
 
+def _error_line(reason: str) -> None:
+    print(
+        json.dumps(
+            {
+                "metric": "realtime_factor_60s48k_batched_per_chip",
+                "value": 0.0,
+                "unit": "audio_seconds_per_second",
+                "vs_baseline": 0.0,
+                "error": reason,
+            }
+        )
+    )
+
+
 def main() -> None:
+    # The axon plugin only registers from certain working directories
+    # (CLAUDE.md) — the probe subprocess already runs from REPO; the main
+    # process must too, or it silently falls back to CPU and the headline
+    # number measures the wrong backend.
+    os.chdir(REPO)
+
     # Never hang the driver: if the TPU backend can't come up within the
     # bound, still print the one contract JSON line (value 0 + error note).
-    if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
+    want_cpu = os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
+    if not want_cpu:
         reason = _probe_tpu(float(os.environ.get("BENCH_PROBE_TIMEOUT", "180")))
         if reason is not None:
-            print(
-                json.dumps(
-                    {
-                        "metric": "realtime_factor_60s48k_batched_per_chip",
-                        "value": 0.0,
-                        "unit": "audio_seconds_per_second",
-                        "vs_baseline": 0.0,
-                        "error": reason,
-                    }
-                )
-            )
+            _error_line(reason)
             return
 
     import jax
+
+    if want_cpu:
+        # the axon plugin ignores the JAX_PLATFORMS env var — only the
+        # config path forces CPU before backend init (CLAUDE.md)
+        jax.config.update("jax_platforms", "cpu")
 
     try:  # warm-restart: persist compiled executables across bench runs
         from audio_raytracing_studio_tpu.utils.profiling import enable_compilation_cache
@@ -91,8 +107,16 @@ def main() -> None:
     except Exception:
         pass
 
+    backend = jax.default_backend()
+    print(f"backend: {backend}", file=sys.stderr)
+    if not want_cpu and backend != "tpu":
+        # the probe said the plugin responds, yet this process came up on
+        # CPU (wrong cwd / registration failure): a CPU number labelled as
+        # the per-chip headline would be worse than no number
+        _error_line(f"expected TPU backend, got {backend!r}")
+        return
+
     from audio_raytracing_studio_tpu.models import pipeline
-    from audio_raytracing_studio_tpu.ops import ir_synth
     from audio_raytracing_studio_tpu.parallel import sharding
     from audio_raytracing_studio_tpu.params import RenderParams
 

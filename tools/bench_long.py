@@ -174,7 +174,14 @@ def main() -> int:
         enable_compilation_cache()
     except Exception:
         pass
-    print(json.dumps({"backend": ensure_backend()}), flush=True)
+    backend = ensure_backend()
+    print(json.dumps({"backend": backend}), flush=True)
+    if backend != "tpu":
+        # a silent CPU fallback would launch multi-hour 30-min streaming
+        # renders on the 1-core host AND starve any real TPU process's
+        # dispatch loop (CLAUDE.md) — same guard as tpu_validate
+        print(json.dumps({"error": f"needs the TPU backend, got {backend!r}"}))
+        return 1
     if args.which in ("long", "all"):
         print(json.dumps(bench_long(args.minutes, args.bass, args.treble)), flush=True)
     if args.which in ("pallas", "all"):

@@ -74,7 +74,10 @@ def main() -> int:
         return orig(buf, n0, r, bg, tg, d_rows)
 
     # warm both arms' executables (identical device graphs; the barrier is
-    # host-side only, but warm twice anyway to be safe)
+    # host-side only) — TWICE, so any residual first-run cost (persistent-
+    # cache population, allocator warmup) cannot land in the first timed
+    # arm and bias the A/B verdict
+    render()
     render()
 
     results = {}
