@@ -97,7 +97,17 @@ def crc16(data: bytes) -> int:
 
 
 class BitReader:
-    """MSB-first bit reader over a bytes buffer."""
+    """MSB-first bit reader over a bytes buffer.
+
+    Memory trade-off (deliberate): the whole buffer is unpacked to one
+    byte per bit up front (~8× the compressed size, e.g. ~3 GB transient
+    for an hour-scale 350 MB FLAC) because the native rice hot loop
+    (utils/_native/flac_core.cc) consumes the unpacked array directly —
+    an incremental word-based reader would bound memory at the file size
+    but serialize the hot loop behind per-call repacking.  Typical product
+    clips (minutes, tens of MB) stay well inside this box's RAM; hour-scale
+    inputs should prefer WAV, which streams.
+    """
 
     def __init__(self, data: bytes):
         self.data = data
@@ -764,6 +774,11 @@ def write(path_or_file: Union[str, os.PathLike, BinaryIO], data: np.ndarray,
         # STREAMINFO stores the blocksize in 16 bits; write_uint would
         # silently mask a larger value into a corrupt header
         raise ValueError(f"FLAC blocksize must be in [16, 65535], got {blocksize}")
+    if not 1 <= int(rate) < (1 << 20):
+        # STREAMINFO stores the rate in 20 bits — the same silent-mask
+        # hazard as the blocksize (a >= 2^20 Hz rate would write a valid
+        # file at the WRONG pitch/duration)
+        raise ValueError(f"FLAC sample rate must be in [1, 1048575], got {rate}")
 
     md5 = hashlib.md5(_samples_to_le_bytes(samples, bits_per_sample))
     frames = []

@@ -995,7 +995,26 @@ def _decode_packet(s: _Setup, packet: bytes):
 
 
 def decode(path_or_file: Union[str, os.PathLike, BinaryIO]) -> Tuple[np.ndarray, int]:
-    """Decode an Ogg/Vorbis file → (float32 (samples, channels), rate)."""
+    """Decode an Ogg/Vorbis file → (float32 (samples, channels), rate).
+
+    Error contract: malformed/adversarial input raises ValueError (or
+    UnsupportedCodec for legal-but-non-Vorbis payloads) — never raw
+    IndexError/ZeroDivisionError/EOFError from deep inside the setup
+    parser (a corrupt setup header can name out-of-range codebooks,
+    zero-dimension lookups, truncated packets …).
+    """
+    try:
+        return _decode_impl(path_or_file)
+    except (UnsupportedCodec, ValueError):
+        raise
+    except (IndexError, KeyError, ZeroDivisionError, EOFError, struct.error,
+            OverflowError, MemoryError) as e:
+        raise ValueError(
+            f"corrupt Ogg/Vorbis stream ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _decode_impl(path_or_file) -> Tuple[np.ndarray, int]:
     if hasattr(path_or_file, "read"):
         data = path_or_file.read()
     else:
@@ -1045,8 +1064,16 @@ def decode(path_or_file: Union[str, os.PathLike, BinaryIO]) -> Tuple[np.ndarray,
     if total_frames == 0:
         raise ValueError("Ogg/Vorbis stream contains no decodable audio")
 
+    # A short final block after a long one ends BEFORE the long frame does
+    # (last_pos + last_width under-sizes the buffer and the long frame's
+    # overlap-add would broadcast-crash); a short→long opening can compute
+    # a negative first position.  Size from the true extents and shift.
+    shift = -min(0, min(p for p, _ in out_chunks))
+    if shift:
+        out_chunks = [(p + shift, f) for p, f in out_chunks]
+        first_center += shift
     last_pos, last_frame = out_chunks[-1]
-    end = last_pos + last_frame.shape[1]
+    end = max(p + f.shape[1] for p, f in out_chunks)
     buf = np.zeros((s.channels, end), dtype=np.float32)
     for p, frame in out_chunks:
         buf[:, p : p + frame.shape[1]] += frame
@@ -1063,24 +1090,81 @@ def decode(path_or_file: Union[str, os.PathLike, BinaryIO]) -> Tuple[np.ndarray,
     return np.ascontiguousarray(out.T), s.rate
 
 
+_PROBE_WINDOW = 1 << 16  # 64 KiB head/tail — bounds probe I/O and CPU
+
+
+def _last_valid_granule(tail: bytes, serial: int) -> int:
+    """Granule of the last CRC-valid page of ``serial`` inside ``tail``,
+    or −1 when no complete page verifies in the window."""
+    i = tail.rfind(b"OggS")
+    while i >= 0:
+        if i + 27 <= len(tail) and tail[i + 4] == 0:
+            nseg = tail[i + 26]
+            hdr_end = i + 27 + nseg
+            if hdr_end <= len(tail):
+                body_len = sum(tail[i + 27 : hdr_end])
+                end = hdr_end + body_len
+                page_serial = struct.unpack_from("<I", tail, i + 14)[0]
+                if end <= len(tail) and page_serial == serial:
+                    page = bytearray(tail[i:end])
+                    crc = struct.unpack_from("<I", page, 22)[0]
+                    page[22:26] = b"\x00\x00\x00\x00"
+                    if ogg_crc(bytes(page)) == crc:
+                        g = struct.unpack_from("<q", tail, i + 6)[0]
+                        if g >= 0:
+                            return g
+        i = tail.rfind(b"OggS", 0, i)
+    return -1
+
+
 def probe(path_or_file: Union[str, os.PathLike, BinaryIO]) -> dict:
-    """Header-only metadata: rate/channels/frames (granule of last page)."""
+    """Bounded metadata probe: rate/channels from the identification header
+    in the HEAD window, frames from the last CRC-valid page granule in the
+    TAIL window.  The full page walk (every page CRC-checked — minutes of
+    pure-Python CRC for hour-long clips) runs only as the fallback when no
+    complete page verifies inside the tail window; directory bucketing
+    (cli.render_dir) probes many files and must stay cheap."""
+    whole = None
     if hasattr(path_or_file, "read"):
-        data = path_or_file.read()
+        whole = path_or_file.read()
+        head, tail = whole[:_PROBE_WINDOW], whole[-_PROBE_WINDOW:]
     else:
         with open(path_or_file, "rb") as fh:
-            data = fh.read()
-    if data[:4] != b"OggS":
+            fh.seek(0, os.SEEK_END)
+            size = fh.tell()
+            fh.seek(0)
+            if size <= 2 * _PROBE_WINDOW:
+                whole = fh.read()
+                head, tail = whole, whole
+            else:
+                head = fh.read(_PROBE_WINDOW)
+                fh.seek(size - _PROBE_WINDOW)
+                tail = fh.read(_PROBE_WINDOW)
+    if head[:4] != b"OggS":
         raise ValueError("not an Ogg stream")
-    packets, final_granule = _ogg_packets(data)
-    idp, _ = packets[0]
+    if len(head) < 28:
+        raise ValueError("truncated Ogg stream")
+    serial = struct.unpack_from("<I", head, 14)[0]
+    seg_count = head[26]
+    segs = head[27 : 27 + seg_count]
+    first_seg = segs[0] if len(segs) else 0
+    idp = head[27 + seg_count : 27 + seg_count + first_seg]
     if len(idp) < 30 or idp[0] != 1 or idp[1:7] != b"vorbis":
         raise UnsupportedCodec("not a Vorbis stream")
     channels = idp[11]
     rate = struct.unpack_from("<I", idp, 12)[0]
+    final_granule = _last_valid_granule(tail, serial)
+    if final_granule < 0:
+        # no verifiable page in the tail window → exact full walk
+        if whole is None:
+            with open(path_or_file, "rb") as fh:
+                whole = fh.read()
+        _, final_granule = _ogg_packets(whole)
+    frames = int(max(final_granule, 0))
     return {
         "samplerate": int(rate),
         "channels": int(channels),
-        "frames": int(max(final_granule, 0)),
+        "frames": frames,
+        "duration": frames / rate if rate > 0 else 0.0,
         "format": "OGG/Vorbis",
     }

@@ -276,12 +276,23 @@ def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndar
 
         if mp3io.decode_available():
             # libmpg123 bound directly (all MPEG layers); decode errors are
-            # terminal — only library ABSENCE falls through to the tiers below
+            # terminal — EXCEPT for ID3-prefixed files: taggers prepend
+            # ID3v2 to any container (FLAC included), so an "MP3" sniffed
+            # only off its tag may not be MPEG audio at all — let the
+            # universal lavc tier inspect the real payload instead
+            try:
+                with open(path, "rb") as fh:
+                    id3_prefixed = fh.read(3) == b"ID3"
+            except OSError:
+                id3_prefixed = False
             try:
                 data, rate = mp3io.decode(path)
                 return np.asarray(data, dtype=np.float32), int(rate)
             except ValueError as e:
-                raise ValueError(f"MP3-Datei beschädigt oder abgeschnitten: {e}")
+                if not id3_prefixed:
+                    raise ValueError(
+                        f"MP3-Datei beschädigt oder abgeschnitten: {e}"
+                    )
     from . import lavcio
 
     if container in ("AAC", "MP4/M4A"):

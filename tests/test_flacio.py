@@ -550,6 +550,37 @@ class TestExternalInterop:
         np.testing.assert_array_equal(decoded, ref)
 
 
+def test_write_rejects_oversized_rate(tmp_path):
+    """STREAMINFO's rate field is 20 bits — a larger rate must raise, not
+    silently mask into a valid file at the wrong pitch (same guard as the
+    16-bit blocksize field)."""
+    with pytest.raises(ValueError, match="sample rate"):
+        flacio.write(tmp_path / "r.flac", np.zeros((16, 1), np.float32), 1 << 20)
+
+
+def test_id3_prefixed_flac_decodes_via_fallback(tmp_path):
+    """Taggers prepend ID3v2 to FLAC too; the MP3 sniff must not make the
+    decode terminal — the universal lavc tier reads the real payload."""
+    from audio_raytracing_studio_tpu.utils import lavcio, wavio
+
+    if not lavcio.decode_available():
+        pytest.skip("FFmpeg libraries not available")
+    t = np.arange(9000) / 22050
+    sig = (0.4 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)[:, None]
+    flac_path = tmp_path / "x.flac"
+    flacio.write(flac_path, sig, 22050)
+    # minimal ID3v2.3 header: 10 bytes + 256 bytes of padding (syncsafe size)
+    tag = b"ID3\x03\x00\x00" + b"\x00\x00\x02\x00" + b"\x00" * 256
+    tagged = tmp_path / "tagged_flac_file"
+    tagged.write_bytes(tag + flac_path.read_bytes())
+    data, rate = wavio.read(tagged)
+    assert rate == 22050
+    assert abs(data.shape[0] - 9000) < 64  # lavc may pad a frame edge
+    ref, _ = wavio.read(flac_path)
+    n = min(len(ref), len(data))
+    np.testing.assert_allclose(data[:n, 0], ref[:n, 0], atol=1e-3)
+
+
 def test_empty_audio_roundtrip(tmp_path):
     """write() of zero samples produces a legal zero-frame FLAC that read()
     must accept (it used to raise 'contains no audio frames')."""

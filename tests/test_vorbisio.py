@@ -207,6 +207,40 @@ class TestRealStream:
         assert meta["format"] == "OGG/Vorbis"
 
 
+class TestRobustness:
+    def test_deep_parse_errors_become_valueerror(self, monkeypatch, tmp_path):
+        """Malformed setup data can surface as IndexError/ZeroDivisionError/
+        EOFError deep in the parser; the public decode() contract is
+        ValueError (wavio maps it to the user-facing corruption message)."""
+        for exc in (IndexError("book 200"), ZeroDivisionError(), EOFError("x")):
+            def boom(_pf, _e=exc):
+                raise _e
+
+            monkeypatch.setattr(vorbisio, "_decode_impl", boom)
+            with pytest.raises(ValueError, match="corrupt Ogg/Vorbis"):
+                vorbisio.decode(OGG_FIXTURE)
+            monkeypatch.undo()
+
+    def test_probe_windowed_matches_decode(self, tmp_path):
+        """A file larger than both probe windows takes the head+tail path:
+        frames must still equal the exact decoded length (render_dir trusts
+        it for bucketing AND trimming)."""
+        from audio_raytracing_studio_tpu.utils import vorbisenc
+
+        rng = np.random.default_rng(5)
+        sig = (0.4 * rng.standard_normal(int(8000 * 40))).astype(np.float32)
+        p = tmp_path / "big.ogg"
+        vorbisenc.write(p, sig, 8000)
+        assert p.stat().st_size > 2 * vorbisio._PROBE_WINDOW, (
+            "fixture too small to exercise the windowed path"
+        )
+        meta = vorbisio.probe(p)
+        decoded, rate = vorbisio.decode(p)
+        assert meta["samplerate"] == rate == 8000
+        assert meta["frames"] == decoded.shape[0]
+        assert meta["duration"] == pytest.approx(decoded.shape[0] / 8000)
+
+
 class TestIntegration:
     def test_wavio_reads_ogg(self):
         data, rate = wavio.read(OGG_FIXTURE)

@@ -229,17 +229,25 @@ class TestNonWavFallback:
             wavio.read(ogg)
 
     def test_corrupt_mp3_clear_error(self, tmp_path, monkeypatch):
-        """MP3 decodes through the in-image libmpg123 now — a tag with no
-        audio frames gets a clean corruption error, not an ffmpeg hint."""
+        """A framesync-sniffed corrupt MP3 gets the clean corruption error;
+        ID3-prefixed garbage instead falls through the tiers (the tag can
+        front ANY container — FLAC included — so corruption can't be
+        attributed to MP3) and ends at the tier-chain error."""
         from audio_raytracing_studio_tpu.utils import mp3io
 
         if not mp3io.decode_available():
             pytest.skip("libmpg123 not present")
         monkeypatch.setenv("PATH", str(tmp_path))  # hide any ffmpeg
         mp3 = tmp_path / "x.mp3"
-        mp3.write_bytes(b"ID3\x04" + b"\x00" * 64)
+        # genuine MPEG framesync (layer III, valid bitrate nibble) + garbage
+        mp3.write_bytes(b"\xff\xfb\x90\x00" + b"\x00" * 64)
         with pytest.raises(ValueError, match="MP3-Datei beschädigt"):
             wavio.read(mp3)
+        tagged = tmp_path / "t.mp3"
+        tagged.write_bytes(b"ID3\x04" + b"\x00" * 64)
+        with pytest.raises(ValueError) as ei:
+            wavio.read(tagged)
+        assert "beschädigt" not in str(ei.value)
 
     def test_mp3_without_codec_lib_keeps_ffmpeg_contract(
         self, tmp_path, monkeypatch
