@@ -172,6 +172,10 @@ class StudioHTTPServer:
         return out
 
     def apply_sets(self, sets: Dict[str, Any]):
+        # TWO phases — vet everything, then assign: a PermissionError after
+        # partial assignment would leave smuggled half-applied state behind
+        # a response that claims nothing happened
+        staged = []
         for key, value in sets.items():
             comp = self._component(key)
             # vet EVERY string inside the value, however nested: file_allowed
@@ -183,19 +187,25 @@ class StudioHTTPServer:
                     raise PermissionError(
                         f"refusing client-set path for component {key}: {s!r}"
                     )
+            staged.append((comp, value))
+        for comp, value in staged:
             comp.value = value
 
     def _set_path_ok(self, value: str) -> bool:
-        """Client-set strings may not name existing files unless already
-        servable (uploads, current component values, the map asset).
+        """Client-set ABSOLUTE paths may not name existing files unless
+        already servable (uploads, current component values, the map asset).
 
-        Without this gate, POST /set could plant any on-disk path into a
+        Without this gate, POST /set could plant an on-disk path into a
         component value and GET /file would then serve it — ``file_allowed``
         trusts component values precisely because only the server's own
-        handlers and vetted client sets can write them.
+        handlers and vetted client sets can write them.  Relative strings
+        pass freely: ``file_allowed`` ignores them (the server's own values
+        are always absolute temp paths), so a textbox value that happens to
+        name a file in the cwd ("bench.py" as a preset name) neither bricks
+        the event path nor becomes servable.
         """
-        if not os.path.isfile(value):
-            return True  # plain strings (preset names, text) pass through
+        if not os.path.isabs(value) or not os.path.isfile(value):
+            return True
         return self.file_allowed(value)
 
     def ensure_listener(self, comp_id: int, event: str) -> "hl.Component":
@@ -238,7 +248,11 @@ class StudioHTTPServer:
         for c in self.blocks.components:
             vals = c.value if isinstance(c.value, (list, tuple)) else [c.value]
             for v in vals:
-                if isinstance(v, str) and v:
+                # ABSOLUTE component values only: the server's own handlers
+                # always produce absolute temp paths, while relative strings
+                # are user text (preset names …) that must never make a
+                # same-named cwd file servable
+                if isinstance(v, str) and v and os.path.isabs(v):
                     allowed.add(os.path.realpath(v))
         return real in allowed
 
@@ -281,8 +295,13 @@ class StudioHTTPServer:
                     page = render_page(server.blocks)
                     self._send(200, page.encode("utf-8"), "text/html; charset=utf-8")
                 elif parsed.path == "/state":
-                    with server._lock:
-                        state = server.component_state()
+                    # NO event lock: a state poll must not hang for the
+                    # whole duration of a render another thread is holding
+                    # the lock for (the module's threading contract).
+                    # Component attributes are plain Python objects; a poll
+                    # during an event may see a transiently mixed view,
+                    # which is fine for a status snapshot.
+                    state = server.component_state()
                     self._send_json({"components": state})
                 elif parsed.path == "/file":
                     qs = urllib.parse.parse_qs(parsed.query)

@@ -103,6 +103,31 @@ def main(argv=None) -> int:
         print("no readable audio files", file=sys.stderr)
         return 1
 
+    # unique OUTPUT name per input, decided up front: song.wav and song.mp3
+    # both map to song.wav otherwise, and concurrent post_chunk threads
+    # would silently overwrite each other's results
+    used_out: set = set()
+
+    def _out_name(name: str) -> str:
+        base, ext = os.path.splitext(name)
+        # keep .wav/.flac/.ogg (write_audio dispatches on extension);
+        # other input formats (AIFF, MP3, M4A …) come back as WAV
+        out = name if ext.lower() in (".wav", ".flac", ".ogg") else base + ".wav"
+        stem, oext = os.path.splitext(out)
+        k = 1
+        while out in used_out:
+            out = f"{stem}_{k}{oext}"
+            k += 1
+        used_out.add(out)
+        return out
+
+    out_names = {
+        name: _out_name(name) for items in buckets.values() for name, _ in items
+    }
+    # the meter is a full extra device pass (host pass for binaural) — only
+    # pay for it when the numbers are reported (cli/render's rule)
+    want_metrics = args.metrics or args.json
+
     io_pool = concurrent.futures.ThreadPoolExecutor(max_workers=4)
 
     def load_chunk(chunk):
@@ -132,26 +157,27 @@ def main(argv=None) -> int:
         """
         chunk_results = []
         for i, (name, frames) in enumerate(chunk):
-            base, ext = os.path.splitext(name)
-            # keep .wav/.flac/.ogg (write_audio dispatches on extension);
-            # other input formats (AIFF…) come back as WAV
-            out_name = (
-                name if ext.lower() in (".wav", ".flac", ".ogg") else base + ".wav"
-            )
-            out_path = os.path.join(args.output, out_name)
+            out_path = os.path.join(args.output, out_names[name])
             # trim the bucket padding: real output = clip len + IR − 1
             real_len = frames + (outs.shape[1] - n_bucket)
             trimmed = outs[i, :real_len]
             if args.binaural:
+                # same order as cli/render._finalize_and_write: binauralize
+                # the raw render, clip the STEREO that hits disk to the
+                # output contract, meter what was written
                 from ..ops.binaural import binauralize
 
+                trimmed = binauralize(
+                    np.asarray(trimmed, dtype=np.float32), rate, p.target_layout
+                )
                 trimmed = np.clip(
                     trimmed, -config.OUTPUT_CLIP, config.OUTPUT_CLIP
                 )
-                trimmed = binauralize(trimmed, rate, p.target_layout)
-                metrics = calculate_audio_metrics(trimmed, rate)
+                metrics = (
+                    calculate_audio_metrics(trimmed, rate) if want_metrics else None
+                )
             else:
-                metrics = batch_metrics[i]
+                metrics = batch_metrics[i] if batch_metrics is not None else None
             wavio.write_audio(out_path, trimmed, rate)
             chunk_results.append({"output": out_path, "metrics": metrics})
         return chunk_results
@@ -186,13 +212,21 @@ def main(argv=None) -> int:
                 fast_filters=True,
             )
             batch_metrics = None
-        else:
+        elif want_metrics:
             outs, batch_metrics = render_batch(
                 clips, rate, p,
                 seeds=[args.seed + base + i for i in range(len(chunk))],
                 fast_filters=True, with_metrics=True, pcm16_output=True,
                 clip_lengths=[min(frames, n_bucket) for _, frames in chunk],
             )
+        else:
+            # no metrics requested → skip the whole on-device meter pass
+            outs = render_batch(
+                clips, rate, p,
+                seeds=[args.seed + base + i for i in range(len(chunk))],
+                fast_filters=True, pcm16_output=True,
+            )
+            batch_metrics = None
         post_futures.append(
             io_pool.submit(post_chunk, outs, batch_metrics, chunk, rate, n_bucket)
         )

@@ -465,6 +465,60 @@ class TestRenderDir:
         rc = main([str(tmp_path / "empty"), str(tmp_path / "o"), "--layout", "Stereo"])
         assert rc == 1
 
+    def test_same_stem_inputs_do_not_collide(self, tmp_path, capsys):
+        """song.wav and song.mp3 both map to a .wav output — the second must
+        uniquify, not silently overwrite the first from a pool thread."""
+        from audio_raytracing_studio_tpu.cli.render_dir import main
+        from audio_raytracing_studio_tpu.utils import mp3io
+
+        if not (mp3io.decode_available() and mp3io.encode_available()):
+            pytest.skip("libmpg123/libmp3lame not present")
+        in_dir = tmp_path / "in"
+        out_dir = tmp_path / "out"
+        in_dir.mkdir()
+        rate = 16000
+        t = np.arange(rate // 4) / rate
+        sig = (0.4 * np.sin(2 * np.pi * 300 * t)).astype(np.float32)
+        wavio.write(in_dir / "song.wav", sig, rate)
+        mp3io.write(in_dir / "song.mp3", sig, rate)
+        rc = main([str(in_dir), str(out_dir), "--layout", "Stereo",
+                   "--room-size", "50", "--json"])
+        assert rc == 0
+        import json as _json
+
+        summary = _json.loads(capsys.readouterr().out)
+        outputs = sorted(os.path.basename(c["output"]) for c in summary["clips"])
+        assert len(set(outputs)) == 2, outputs
+        assert "song.wav" in outputs and "song_1.wav" in outputs
+
+    def test_no_metrics_flags_skip_meter_pass(self, tmp_path, capsys, monkeypatch):
+        """Without --metrics/--json the on-device meter pass must not run
+        (cli/render's rule: only pay for numbers that are reported)."""
+        from audio_raytracing_studio_tpu.cli import render_dir
+
+        seen = {}
+        from audio_raytracing_studio_tpu.parallel import sharding as sh
+
+        real = sh.render_batch
+
+        def spy(*a, **k):
+            seen["with_metrics"] = k.get("with_metrics", False)
+            return real(*a, **k)
+
+        monkeypatch.setattr(
+            "audio_raytracing_studio_tpu.parallel.sharding.render_batch", spy
+        )
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        rate = 16000
+        t = np.arange(rate // 4) / rate
+        wavio.write(in_dir / "a.wav",
+                    (0.3 * np.sin(2 * np.pi * 200 * t)).astype(np.float32), rate)
+        rc = render_dir.main([str(in_dir), str(tmp_path / "o"),
+                              "--layout", "Stereo", "--room-size", "50"])
+        assert rc == 0
+        assert seen["with_metrics"] is False
+
     def test_unknown_length_probe_skips_not_silence(self, tmp_path, capsys,
                                                     monkeypatch):
         """A probe reporting frames=0 (Ogg without an EOS granule, unscannable

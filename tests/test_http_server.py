@@ -264,6 +264,59 @@ def test_set_cannot_plant_servable_path(served):
     assert _by_label(data["components"], "📝 Preset-Name")["value"] == "harmless_name"
 
 
+def test_textbox_naming_cwd_file_neither_bricks_nor_serves(served):
+    """A text value that happens to name an existing RELATIVE file (a preset
+    called 'bench.py' while serving from the repo root) must neither 403
+    every subsequent event nor make that file servable."""
+    server, _, root = served
+    (root / "bench.py").write_text("# not actually served\n")
+    comps = _state(server)
+    name = _by_label(comps, "📝 Preset-Name")
+    status, data = _post_json(
+        server, "/set", {"id": name["id"], "value": "bench.py"}
+    )
+    assert status == 200  # the event path keeps working
+    assert _by_label(data["components"], "📝 Preset-Name")["value"] == "bench.py"
+    # …and the relative component value did NOT join the serving allowlist
+    try:
+        status, _, _ = _get(server, "/file?path=bench.py")
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status in (403, 404)
+    try:
+        status, _, _ = _get(
+            server, "/file?path=" + urllib.parse.quote(str(root / "bench.py"))
+        )
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status in (403, 404)
+
+
+def test_rejected_set_applies_nothing(served):
+    """A 403'd /event must leave EVERY staged set unapplied — vetting runs
+    over the whole dict before any component mutates."""
+    server, _, _ = served
+    comps = _state(server)
+    name = _by_label(comps, "📝 Preset-Name")
+    refresh = _by_label(comps, "🔄 Liste neu laden")
+    slider = next(c for c in comps if c["type"] == "Slider")
+    before = _state(server)
+    slider_before = next(c for c in before if c["id"] == slider["id"])["value"]
+    secret = os.path.abspath(__file__)
+    try:
+        status, _ = _post_json(
+            server, "/event",
+            {"id": refresh["id"], "event": "click",
+             "set": {str(slider["id"]): 0.123456,
+                     str(name["id"]): secret}},
+        )
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 403
+    after = _state(server)
+    assert next(c for c in after if c["id"] == slider["id"])["value"] == slider_before
+
+
 def test_preset_delete_cannot_traverse(served):
     """A traversal-shaped preset name posted over the wire must not delete
     files outside presets_v4/ — '../evil.json' is not an existing file
