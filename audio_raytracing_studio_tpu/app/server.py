@@ -46,6 +46,11 @@ _CONTENT_TYPES = {
     ".flac": "audio/flac",
     ".aif": "audio/aiff",
     ".aiff": "audio/aiff",
+    ".ogg": "audio/ogg",
+    ".mp3": "audio/mpeg",
+    ".m4a": "audio/mp4",
+    ".mp4": "audio/mp4",
+    ".aac": "audio/aac",
     ".png": "image/png",
     ".jpg": "image/jpeg",
     ".jpeg": "image/jpeg",
