@@ -482,3 +482,83 @@ def test_concurrent_same_name_uploads_do_not_collide(served, clip):
     for i, p in enumerate(results):
         with open(p, "rb") as fh:
             assert fh.read() == bodies[i], "one upload overwrote another"
+
+
+def test_tab2_visualizer_and_profiler_over_http(served, clip):
+    """Tab 2 over the wire (reference :1309-1311): process a clip, pull the
+    result into the visualizer/profiler via the load-last-result buttons,
+    fire both, download the rendered PNGs and read the A/B report."""
+    server, _, _ = served
+    with open(clip, "rb") as fh:
+        raw = fh.read()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/upload",
+        data=raw,
+        headers={"X-Filename": "tab2_in.wav"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        uploaded = json.loads(r.read())["path"]
+
+    comps = _state(server)
+    audio_in = _by_label(comps, "🔊 Audio hochladen")
+    process = _by_label(comps, "➡️ Verarbeiten & Anhören!")
+    status, data = _post_json(
+        server,
+        "/event",
+        {"id": process["id"], "event": "click",
+         "set": {str(audio_in["id"]): uploaded}},
+    )
+    assert status == 200
+    download = _by_label(data["components"], "💾 Download Ergebnis")
+    assert download["value"], "no processed result to feed Tab 2"
+
+    # two load-last-result buttons share one label: visualizer pane first,
+    # profiler pane second (studio.py Tab-2 layout)
+    loaders = [
+        c for c in data["components"]
+        if c["label"] == "Lade letztes Ergebnis (Bearb.)"
+    ]
+    assert len(loaders) == 2
+    status, data = _post_json(
+        server, "/event", {"id": loaders[0]["id"], "event": "click"}
+    )
+    assert status == 200
+    vis_proc = _by_label(data["components"], "🔍 Bearbeitet (Visualizer)")
+    assert vis_proc["value"] == download["value"]
+
+    # visualize both panes: original from the upload, processed just loaded
+    vis_orig = _by_label(data["components"], "🔍 Original (Visualizer)")
+    show = _by_label(data["components"], "📊 Visualisieren")
+    status, data = _post_json(
+        server,
+        "/event",
+        {"id": show["id"], "event": "click",
+         "set": {str(vis_orig["id"]): uploaded}},
+    )
+    assert status == 200
+    for label in ("🔵 Original Vis", "🟠 Bearbeitet Vis"):
+        pane = _by_label(data["components"], label)
+        assert pane["value"] and pane.get("url"), label
+        status, ctype, body = _get(server, pane["url"])
+        assert status == 200 and ctype == "image/png"
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+    # profiler: load-last into the processed slot, original from the upload
+    status, data = _post_json(
+        server, "/event", {"id": loaders[1]["id"], "event": "click"}
+    )
+    assert status == 200
+    prof_orig = _by_label(data["components"], "Lade Original (Profiler)")
+    analyze = _by_label(data["components"], "🚀 Analysieren!")
+    status, data = _post_json(
+        server,
+        "/event",
+        {"id": analyze["id"], "event": "click",
+         "set": {str(prof_orig["id"]): uploaded}},
+    )
+    assert status == 200
+    report = _by_label(data["components"], "📋 Analysebericht")["value"]
+    assert "Audio-Profiler Bericht" in report
+    assert "Integrated LUFS" in report
+    assert "Stereo-Breite" in report
