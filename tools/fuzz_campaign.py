@@ -1,0 +1,329 @@
+"""Offline fuzz campaigns for idle-CPU hours: parity and codec robustness.
+
+Two modes, both designed to find bugs the bounded CI suite cannot afford
+to search for:
+
+  python tools/fuzz_campaign.py parity [N] [--start-seed S]
+      N random render configurations (wider than tests/test_parity.py's
+      TestFuzzParity: the full UI parameter ranges incl. degenerate corners,
+      every rate the UI can see, mono/stereo inputs, external-IR cases,
+      silent and near-empty clips) rendered by BOTH the jitted pipeline and
+      the float64 oracle with identical injected draws.  Any max-abs
+      deviation > 1e-3 (reference contract, BASELINE.json) or shape/PCM16
+      mismatch is logged and the campaign exits nonzero at the end.
+
+  python tools/fuzz_campaign.py codec [N] [--start-seed S]
+      N random mutations (truncations, bit flips, splices, magic-prefixed
+      garbage) of real encoded files across every supported container,
+      pushed through the sniff-and-dispatch layer untrusted uploads hit
+      (utils/wavio.read).  Contract: decode OR clean ValueError; any other
+      exception type is a bug (the HTTP studio's error contract, app/api.py).
+
+Findings print as one JSON line each to stderr and collect into
+/tmp/fuzz_campaign_findings.jsonl so a campaign interrupted by the driver
+still leaves its evidence on disk.  Progress goes to stdout every 25 cases.
+
+Runs on the CPU backend (forced before jax initializes); safe to run while
+the TPU tunnel is down.  Not a pytest module on purpose: campaigns are
+open-ended and would blow the suite budget — regressions that campaigns
+find get minimized into tests/ with a fixed seed.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+os.chdir(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.getcwd())
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+FINDINGS_PATH = "/tmp/fuzz_campaign_findings.jsonl"
+
+
+def _record(kind: str, payload: dict) -> None:
+    rec = {"kind": kind, "ts": time.time(), **payload}
+    line = json.dumps(rec, default=str)
+    print(line, file=sys.stderr)
+    with open(FINDINGS_PATH, "a") as f:
+        f.write(line + "\n")
+
+
+# ---------------------------------------------------------------- parity ---
+
+
+def _random_params(rng: np.random.Generator):
+    from audio_raytracing_studio_tpu import config
+    from audio_raytracing_studio_tpu.params import RenderParams
+
+    # full UI ranges (reference slider bounds), including the endpoints,
+    # hit endpoints with elevated probability to probe clip boundaries
+    def u(lo, hi, edge_p=0.15):
+        r = rng.uniform()
+        if r < edge_p / 2:
+            return float(lo)
+        if r < edge_p:
+            return float(hi)
+        return float(rng.uniform(lo, hi))
+
+    return RenderParams(
+        hall_type=str(rng.choice(["Plate", "Room", "Cathedral"])),
+        material=str(rng.choice(list(config.MATERIAL_ABSORPTION))),
+        room_size=u(10.0, 1000.0),
+        diffusion=u(0.0, 1.0),
+        air_absorption=u(0.0, 1.0),
+        early_level=u(0.0, 2.0),
+        late_level=u(0.0, 2.0),
+        dry_wet=u(0.0, 1.0),
+        dry_wet_kill_start=u(0.0, 1.0),
+        bass_gain=u(0.1, 5.0),
+        treble_gain=u(0.1, 5.0),
+        x_pos=u(0.0, 1.0),
+        y_pos=u(0.0, 1.0),
+        z_pos=u(0.0, 1.0),
+        target_layout=str(rng.choice(list(config.CHANNEL_LAYOUTS))),
+    )
+
+
+def _random_clip(rng: np.random.Generator, rate: int) -> np.ndarray:
+    kind = rng.choice(["tone", "noise", "silence", "impulse", "loud"])
+    n = int(rng.integers(max(64, rate // 16), rate))  # up to 1 s — CPU budget
+    t = np.arange(n) / rate
+    if kind == "tone":
+        x = 0.4 * np.sin(2 * np.pi * rng.uniform(30, rate / 2.5) * t)
+    elif kind == "noise":
+        x = 0.2 * rng.standard_normal(n)
+    elif kind == "silence":
+        x = np.zeros(n)
+    elif kind == "impulse":
+        x = np.zeros(n)
+        x[int(rng.integers(0, n))] = rng.choice([-1.0, 1.0])
+    else:  # loud — exercises the conditional peak normalizations
+        x = 1.4 * np.sin(2 * np.pi * 440.0 * t) + 0.3 * rng.standard_normal(n)
+    x = x.astype(np.float32)
+    if rng.uniform() < 0.4:  # stereo input path
+        x = np.stack([x, np.roll(x, n // 7) * 0.8], axis=0)
+    return x
+
+
+def run_parity(n_cases: int, start_seed: int) -> int:
+    from audio_raytracing_studio_tpu.models import pipeline
+    from audio_raytracing_studio_tpu.oracle import dsp
+    from audio_raytracing_studio_tpu.params import IRDraws
+
+    sys.path.insert(0, "tests")
+    from test_parity import geometry_for  # reuse the single-source helper
+
+    failures = 0
+    worst = 0.0
+    rates = [8000, 16000, 22050, 24000, 32000, 44100, 48000]
+    t0 = time.time()
+    for i in range(n_cases):
+        seed = start_seed + i
+        rng = np.random.default_rng(seed)
+        rate = int(rng.choice(rates))
+        p = _random_params(rng)
+        x = _random_clip(rng, rate)
+        external_ir = None
+        if rng.uniform() < 0.2:
+            import dataclasses
+
+            p = dataclasses.replace(p, use_external_ir=True)
+            ir_n = int(rng.integers(16, rate // 2))
+            ir = 0.3 * rng.standard_normal((ir_n, 2)).astype(np.float32)
+            ir_rate = int(rng.choice(rates))
+            if ir_rate != rate:
+                # resample ONCE on the pipeline's device resampler and feed
+                # the result to both sides (the oracle has no resampler —
+                # same convention as test_parity.test_external_ir_resampled)
+                ir = np.asarray(pipeline.prepare_external_ir(ir, ir_rate, rate))
+            external_ir = ir
+        try:
+            if p.use_external_ir:
+                ours = pipeline.render(x, rate, p, external_ir=external_ir)
+                ref = dsp.render(x, rate, p, external_ir=external_ir)
+            else:
+                d = IRDraws.sample(np.random.default_rng(seed), geometry_for(p, rate))
+                ours = pipeline.render(x, rate, p, draws=d)
+                ref = dsp.render(x, rate, p, draws=d)
+            if ours.shape != ref.shape:
+                raise AssertionError(f"shape {ours.shape} vs {ref.shape}")
+            err = float(np.max(np.abs(np.asarray(ours) - ref)))
+            worst = max(worst, err)
+            q_ours = dsp.quantize_pcm16(np.asarray(ours))
+            q_ref = dsp.quantize_pcm16(ref)
+            lsb = int(np.max(np.abs(q_ours.astype(np.int32) - q_ref.astype(np.int32))))
+            if err > 1e-3 or lsb > 33:  # 33 = ceil(1e-3 * 32768) + 1 LSB
+                failures += 1
+                _record(
+                    "parity_violation",
+                    {
+                        "seed": seed,
+                        "err": err,
+                        "lsb": lsb,
+                        "rate": rate,
+                        "params": p.to_preset_dict(),
+                        "clip_shape": list(np.shape(x)),
+                        "external": bool(p.use_external_ir),
+                    },
+                )
+        except Exception as e:  # noqa: BLE001 — campaign must keep going
+            failures += 1
+            _record(
+                "parity_crash",
+                {
+                    "seed": seed,
+                    "rate": rate,
+                    "error": f"{type(e).__name__}: {e}",
+                    "trace": traceback.format_exc()[-2000:],
+                    "params": p.to_preset_dict(),
+                    "external": bool(p.use_external_ir),
+                },
+            )
+        if (i + 1) % 25 == 0:
+            dt = time.time() - t0
+            print(
+                f"[parity] {i + 1}/{n_cases} cases, {failures} failures, "
+                f"worst {worst:.2e}, {dt / (i + 1):.1f} s/case",
+                flush=True,
+            )
+    print(f"[parity] DONE: {n_cases} cases, {failures} failures, worst {worst:.2e}")
+    return failures
+
+
+# ----------------------------------------------------------------- codec ---
+
+
+def _encode_corpus(tmpdir: str) -> list:
+    """One real file per supported container (skip what this image lacks)."""
+    from audio_raytracing_studio_tpu.utils import lavcio, mp3io, wavio
+
+    rate = 8000
+    t = np.arange(rate // 2, dtype=np.float32) / rate
+    sig = 0.4 * np.sin(2 * np.pi * 220.0 * t)
+    tone = np.stack([sig, 0.8 * sig], axis=1).astype(np.float32)
+    out = []
+    for fmt in ["wav", "flac", "ogg"]:
+        path = os.path.join(tmpdir, f"seed.{fmt}")
+        wavio.write_audio(path, tone, rate)
+        out.append(path)
+    if mp3io.encode_available() and mp3io.decode_available():
+        path = os.path.join(tmpdir, "seed.mp3")
+        wavio.write_audio(path, tone, rate)
+        out.append(path)
+    if lavcio.encode_available() and lavcio.decode_available():
+        path = os.path.join(tmpdir, "seed.m4a")
+        wavio.write_audio(path, tone, rate)
+        out.append(path)
+    return out
+
+
+def _mutate(rng: np.random.Generator, blob: bytes) -> bytes:
+    buf = bytearray(blob)
+    op = rng.choice(["truncate", "bitflip", "byteset", "splice", "extend"])
+    if op == "truncate" and len(buf) > 4:
+        return bytes(buf[: int(rng.integers(1, len(buf)))])
+    if op == "bitflip":
+        for _ in range(int(rng.integers(1, 32))):
+            i = int(rng.integers(0, len(buf)))
+            buf[i] ^= 1 << int(rng.integers(0, 8))
+        return bytes(buf)
+    if op == "byteset":
+        i = int(rng.integers(0, len(buf)))
+        j = min(len(buf), i + int(rng.integers(1, 64)))
+        buf[i:j] = bytes([int(rng.integers(0, 256))]) * (j - i)
+        return bytes(buf)
+    if op == "splice" and len(buf) > 16:
+        i = int(rng.integers(0, len(buf) - 8))
+        j = int(rng.integers(0, len(buf) - 8))
+        n = int(rng.integers(4, min(512, len(buf) - max(i, j))))
+        buf[i : i + n] = buf[j : j + n]
+        return bytes(buf)
+    # extend: append garbage
+    return bytes(buf) + rng.bytes(int(rng.integers(1, 4096)))
+
+
+def run_codec(n_cases: int, start_seed: int) -> int:
+    import tempfile
+
+    from audio_raytracing_studio_tpu.utils import wavio
+
+    failures = 0
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as tmpdir:
+        corpus = [(p, open(p, "rb").read()) for p in _encode_corpus(tmpdir)]
+        print(f"[codec] corpus: {[os.path.basename(p) for p, _ in corpus]}")
+        work = os.path.join(tmpdir, "mut.bin")
+        for i in range(n_cases):
+            seed = start_seed + i
+            rng = np.random.default_rng(seed)
+            src_path, blob = corpus[int(rng.integers(0, len(corpus)))]
+            mutated = _mutate(rng, blob)
+            # keep the original extension ~half the time (dispatch by sniff
+            # vs by extension are different code paths)
+            ext = os.path.splitext(src_path)[1] if rng.uniform() < 0.5 else ".bin"
+            path = work + ext
+            with open(path, "wb") as f:
+                f.write(mutated)
+            try:
+                data, rate = wavio.read(path)
+                assert np.all(np.isfinite(data)), "non-finite samples returned"
+                assert 0 < rate < 10_000_000, f"absurd rate {rate}"
+            except ValueError:
+                pass  # clean rejection — the contract
+            except AssertionError as e:
+                failures += 1
+                _record(
+                    "codec_bad_output",
+                    {"seed": seed, "src": os.path.basename(src_path), "error": str(e)},
+                )
+            except Exception as e:  # noqa: BLE001
+                failures += 1
+                _record(
+                    "codec_bad_exception",
+                    {
+                        "seed": seed,
+                        "src": os.path.basename(src_path),
+                        "ext": ext,
+                        "error": f"{type(e).__name__}: {e}",
+                        "trace": traceback.format_exc()[-2000:],
+                    },
+                )
+            finally:
+                if os.path.exists(path):
+                    os.unlink(path)
+            if (i + 1) % 200 == 0:
+                dt = time.time() - t0
+                print(
+                    f"[codec] {i + 1}/{n_cases} cases, {failures} failures, "
+                    f"{1000 * dt / (i + 1):.0f} ms/case",
+                    flush=True,
+                )
+    print(f"[codec] DONE: {n_cases} cases, {failures} failures")
+    return failures
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    if not args or args[0] not in ("parity", "codec"):
+        print(__doc__)
+        return 2
+    mode = args[0]
+    n = int(args[1]) if len(args) > 1 and args[1].isdigit() else 100
+    start_seed = 1000
+    if "--start-seed" in args:
+        start_seed = int(args[args.index("--start-seed") + 1])
+    failures = run_parity(n, start_seed) if mode == "parity" else run_codec(n, start_seed)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
