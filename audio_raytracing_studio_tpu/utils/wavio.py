@@ -347,15 +347,33 @@ def read(path_or_file: Union[str, os.PathLike, BinaryIO]) -> Tuple[np.ndarray, i
     :1396).  File-like inputs must be WAV.
     """
     if hasattr(path_or_file, "read"):
-        return _read_stream(path_or_file)
+        return _checked_rate(_read_stream(path_or_file))
     with open(path_or_file, "rb") as fh:
         head = fh.read(12)
         container = sniff_container(head)
         if container == "WAV" or container is None:
             # unknown bytes still go to the WAV parser for its error message
             fh.seek(0)
-            return _read_stream(fh)
-    return _read_nonwav(path_or_file, container)
+            return _checked_rate(_read_stream(fh))
+    return _checked_rate(_read_nonwav(path_or_file, container))
+
+
+# Highest sample rate any real-world audio format uses (DSD64).  A crafted
+# header rate above this is an attack/corruption, not audio: the rate flows
+# into IR sizing (~10 s · rate samples, params.derive_ir_geometry) and into
+# int32 jit scalars, so a 2^31-scale WAV fmt-chunk rate would otherwise DoS
+# the render path.  Found by tools/fuzz_campaign.py codec mode.
+MAX_SAMPLE_RATE = 2_822_400
+
+
+def _checked_rate(result: Tuple[np.ndarray, int]) -> Tuple[np.ndarray, int]:
+    data, rate = result
+    if not (0 < rate <= MAX_SAMPLE_RATE):
+        raise ValueError(
+            f"implausible sample rate {rate} Hz (limit {MAX_SAMPLE_RATE}); "
+            "the file header is corrupt or crafted"
+        )
+    return data, rate
 
 
 def _read_stream(fh: BinaryIO) -> Tuple[np.ndarray, int]:

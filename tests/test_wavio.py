@@ -101,6 +101,28 @@ def test_rejects_garbage(tmp_path):
         wavio.read(path)
 
 
+def test_rejects_implausible_header_rate(tmp_path, rng):
+    """A crafted fmt-chunk sample rate must be a clean ValueError, not a
+    multi-GB IR allocation downstream (found by tools/fuzz_campaign.py:
+    rates like 2147491648 decoded fine and flowed into int32 jit scalars
+    and ~10 s · rate IR sizing)."""
+    x = rng.uniform(-0.5, 0.5, size=(256, 1)).astype(np.float32)
+    path = tmp_path / "rate.wav"
+    wavio.write(path, x, 8000)
+    blob = bytearray(path.read_bytes())
+    fmt_at = blob.index(b"fmt ")  # rate is bytes 12..16 of the fmt chunk
+    for bad_rate in (2147491648, 134225728, wavio.MAX_SAMPLE_RATE + 1, 0):
+        blob[fmt_at + 12 : fmt_at + 16] = int(bad_rate).to_bytes(4, "little")
+        path.write_bytes(bytes(blob))
+        with pytest.raises(ValueError, match="sample rate"):
+            wavio.read(path)
+    # the ceiling itself is legal (DSD64)
+    blob[fmt_at + 12 : fmt_at + 16] = wavio.MAX_SAMPLE_RATE.to_bytes(4, "little")
+    path.write_bytes(bytes(blob))
+    _, rate = wavio.read(path)
+    assert rate == wavio.MAX_SAMPLE_RATE
+
+
 def test_probe_matches_read(tmp_path, rng):
     x = rng.uniform(-0.5, 0.5, size=(12345, 6)).astype(np.float32)
     path = tmp_path / "p.wav"
