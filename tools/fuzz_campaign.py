@@ -311,17 +311,202 @@ def run_codec(n_cases: int, start_seed: int) -> int:
     return failures
 
 
+# ---------------------------------------------------------------- encode ---
+
+
+def run_encode(n_cases: int, start_seed: int) -> int:
+    """write_audio across every format with hostile inputs; decode back.
+
+    Contract: clean ValueError OR a file that decodes to the right shape
+    with finite samples (bit-exact for lossless formats).  Hostile inputs:
+    NaN/Inf samples, empty and 1-sample clips, >2 channels, extreme rates,
+    int16 arrays, non-contiguous views.
+    """
+    import tempfile
+
+    from audio_raytracing_studio_tpu.utils import lavcio, mp3io, wavio
+
+    fmts = ["wav", "flac", "ogg"]
+    if mp3io.encode_available() and mp3io.decode_available():
+        fmts.append("mp3")
+    if lavcio.encode_available() and lavcio.decode_available():
+        fmts.append("m4a")
+    lossless = {"wav", "flac"}
+    failures = 0
+    t0 = time.time()
+    with tempfile.TemporaryDirectory() as tmpdir:
+        for i in range(n_cases):
+            seed = start_seed + i
+            rng = np.random.default_rng(seed)
+            fmt = fmts[int(rng.integers(0, len(fmts)))]
+            rate = int(rng.choice([1, 7, 8000, 22050, 44100, 48000, 192000, 2_822_400]))
+            n = int(rng.choice([0, 1, 2, 63, 1024, int(rng.integers(1, 30000))]))
+            ch = int(rng.choice([1, 2, 2, 6, 8, 16]))
+            data = (0.5 * rng.standard_normal((n, ch))).astype(np.float32)
+            hostile = rng.uniform()
+            if hostile < 0.1 and n:
+                data[rng.integers(0, n), rng.integers(0, ch)] = np.nan
+            elif hostile < 0.2 and n:
+                data[rng.integers(0, n), rng.integers(0, ch)] = np.inf
+            elif hostile < 0.3:
+                data = np.rint(data * 32767).astype(np.int16)
+            elif hostile < 0.4:
+                data = data[::2]  # non-contiguous view
+            path = os.path.join(tmpdir, f"enc_{i}.{fmt}")
+            try:
+                wavio.write_audio(path, data, rate)
+                back, back_rate = wavio.read(path)
+                if np.issubdtype(np.asarray(data).dtype, np.floating) and not np.all(
+                    np.isfinite(data)
+                ):
+                    pass  # NaN/Inf input: only require decode not to crash
+                else:
+                    assert np.all(np.isfinite(back)), "non-finite decode"
+                if fmt in lossless and np.asarray(data).size:
+                    assert back.shape[0] == np.asarray(data).shape[0], (
+                        f"frame count {back.shape} vs {np.asarray(data).shape}"
+                    )
+                    assert back_rate == rate, f"rate {back_rate} vs {rate}"
+            except ValueError:
+                pass  # clean rejection
+            except Exception as e:  # noqa: BLE001
+                failures += 1
+                _record(
+                    "encode_bad_exception",
+                    {
+                        "seed": seed,
+                        "fmt": fmt,
+                        "rate": rate,
+                        "shape": list(np.asarray(data).shape),
+                        "dtype": str(np.asarray(data).dtype),
+                        "error": f"{type(e).__name__}: {e}",
+                        "trace": traceback.format_exc()[-2000:],
+                    },
+                )
+            finally:
+                if os.path.exists(path):
+                    os.unlink(path)
+            if (i + 1) % 50 == 0:
+                dt = time.time() - t0
+                print(
+                    f"[encode] {i + 1}/{n_cases} cases, {failures} failures, "
+                    f"{dt / (i + 1):.2f} s/case",
+                    flush=True,
+                )
+    print(f"[encode] DONE: {n_cases} cases, {failures} failures")
+    return failures
+
+
+# ------------------------------------------------------------- streaming ---
+
+
+def run_streaming(n_cases: int, start_seed: int) -> int:
+    """render_streaming vs the single-shot pipeline at random configs.
+
+    Random chunk sizes that do NOT divide the clip, EQ on/off, every
+    layout, external IR sometimes, pcm16 output sometimes.  Contract:
+    ≤2e-4 max-abs vs pipeline.render (the bound test_streaming pins) and
+    bit-identical PCM16 when quantizing on device.
+    """
+    import dataclasses
+
+    from audio_raytracing_studio_tpu.models import pipeline
+    from audio_raytracing_studio_tpu.oracle import dsp
+    from audio_raytracing_studio_tpu.parallel import streaming
+
+    failures = 0
+    worst = 0.0
+    t0 = time.time()
+    for i in range(n_cases):
+        seed = start_seed + i
+        rng = np.random.default_rng(seed)
+        rate = int(rng.choice([8000, 16000, 22050]))  # CPU budget
+        p = _random_params(rng)
+        x = _random_clip(rng, rate)
+        chunk_seconds = float(rng.uniform(0.15, 1.3))
+        external_ir = None
+        if rng.uniform() < 0.15:
+            p = dataclasses.replace(p, use_external_ir=True)
+            ir_n = int(rng.integers(16, rate // 2))
+            external_ir = 0.3 * rng.standard_normal((ir_n, 2)).astype(np.float32)
+        try:
+            kw = dict(chunk_seconds=chunk_seconds)
+            if p.use_external_ir:
+                kw["external_ir"] = external_ir
+            out = streaming.render_streaming(x, rate, p, seed=seed, **kw)
+            single = pipeline.render(
+                x, rate, p, seed=seed, external_ir=external_ir
+            )
+            if out.shape != single.shape:
+                raise AssertionError(f"shape {out.shape} vs {single.shape}")
+            err = float(np.max(np.abs(out - single)))
+            worst = max(worst, err)
+            if err > 2e-4:
+                raise AssertionError(f"streaming deviation {err:.2e} > 2e-4")
+            if rng.uniform() < 0.3:  # device-side PCM16 contract
+                q_dev = streaming.render_streaming(
+                    x, rate, p, seed=seed, pcm16_output=True, **kw
+                )
+                q_host = dsp.quantize_pcm16(out)
+                if not np.array_equal(np.asarray(q_dev), q_host):
+                    nbad = int(np.sum(np.asarray(q_dev) != q_host))
+                    raise AssertionError(f"pcm16 mismatch on {nbad} samples")
+        except AssertionError as e:
+            failures += 1
+            _record(
+                "streaming_violation",
+                {
+                    "seed": seed,
+                    "rate": rate,
+                    "chunk_seconds": chunk_seconds,
+                    "error": str(e),
+                    "params": p.to_preset_dict(),
+                    "clip_shape": list(np.shape(x)),
+                },
+            )
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            _record(
+                "streaming_crash",
+                {
+                    "seed": seed,
+                    "rate": rate,
+                    "chunk_seconds": chunk_seconds,
+                    "error": f"{type(e).__name__}: {e}",
+                    "trace": traceback.format_exc()[-2000:],
+                    "params": p.to_preset_dict(),
+                },
+            )
+        if (i + 1) % 10 == 0:
+            dt = time.time() - t0
+            print(
+                f"[streaming] {i + 1}/{n_cases} cases, {failures} failures, "
+                f"worst {worst:.2e}, {dt / (i + 1):.1f} s/case",
+                flush=True,
+            )
+    print(f"[streaming] DONE: {n_cases} cases, {failures} failures, worst {worst:.2e}")
+    return failures
+
+
+MODES = {
+    "parity": run_parity,
+    "codec": run_codec,
+    "encode": run_encode,
+    "streaming": run_streaming,
+}
+
+
 def main() -> int:
     args = sys.argv[1:]
-    if not args or args[0] not in ("parity", "codec"):
+    if not args or args[0] not in MODES:
         print(__doc__)
+        print(f"modes: {', '.join(MODES)}")
         return 2
-    mode = args[0]
     n = int(args[1]) if len(args) > 1 and args[1].isdigit() else 100
     start_seed = 1000
     if "--start-seed" in args:
         start_seed = int(args[args.index("--start-seed") + 1])
-    failures = run_parity(n, start_seed) if mode == "parity" else run_codec(n, start_seed)
+    failures = MODES[args[0]](n, start_seed)
     return 1 if failures else 0
 
 
