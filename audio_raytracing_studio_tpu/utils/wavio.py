@@ -625,7 +625,22 @@ def probe(path: Union[str, os.PathLike]) -> dict:
 
     Seeks over chunks; the data payload is skipped, so probing a large
     directory is cheap (used by the directory renderer to bucket clips).
+    Applies the same sample-rate plausibility gate as ``read`` so crafted
+    header rates surface as the clean error contract at probe time (the
+    analyzer UI and render_dir display/bucket on probe metadata) instead
+    of only later at decode.
     """
+    meta = _probe_impl(path)
+    rate = int(meta.get("samplerate", 0))
+    if not (0 < rate <= MAX_SAMPLE_RATE):
+        raise ValueError(
+            f"implausible sample rate {rate} Hz (limit {MAX_SAMPLE_RATE}); "
+            "the file header is corrupt or crafted"
+        )
+    return meta
+
+
+def _probe_impl(path: Union[str, os.PathLike]) -> dict:
     with open(path, "rb") as fh:
         header = fh.read(12)
         if header[:4] == MAGIC_FLAC:

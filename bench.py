@@ -72,6 +72,14 @@ def _error_line(reason: str) -> None:
                 "unit": "audio_seconds_per_second",
                 "vs_baseline": 0.0,
                 "error": reason,
+                # environment failure, not a framework number: the last
+                # value actually measured on chip (BENCH_HISTORY.md round 3,
+                # 2026-08-17, pre-outage) so a 0.0 record stays attributable
+                "last_measured_on_tpu": {
+                    "value": 5735.0,
+                    "vs_baseline": 672.3,
+                    "date": "2026-08-17",
+                },
             }
         )
     )

@@ -116,11 +116,16 @@ def test_rejects_implausible_header_rate(tmp_path, rng):
         path.write_bytes(bytes(blob))
         with pytest.raises(ValueError, match="sample rate"):
             wavio.read(path)
+        # the header-only probe applies the same gate (render_dir buckets
+        # and the analyzer UI displays probe metadata without decoding)
+        with pytest.raises(ValueError, match="sample rate"):
+            wavio.probe(path)
     # the ceiling itself is legal (DSD64)
     blob[fmt_at + 12 : fmt_at + 16] = wavio.MAX_SAMPLE_RATE.to_bytes(4, "little")
     path.write_bytes(bytes(blob))
     _, rate = wavio.read(path)
     assert rate == wavio.MAX_SAMPLE_RATE
+    assert wavio.probe(path)["samplerate"] == wavio.MAX_SAMPLE_RATE
 
 
 def test_probe_matches_read(tmp_path, rng):
