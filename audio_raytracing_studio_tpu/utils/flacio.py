@@ -753,6 +753,12 @@ def write(path_or_file: Union[str, os.PathLike, BinaryIO], data: np.ndarray,
     if data.ndim == 1:
         data = data[:, np.newaxis]
     if data.dtype.kind == "f":
+        if not np.all(np.isfinite(data)):
+            # NaN quantizes to INT64_MIN through the int cast and blows up
+            # the residual-cost search (TypeError deep in _subframe_cost) —
+            # reject with the clean-ValueError error contract instead
+            # (found by tools/fuzz_campaign.py encode mode)
+            raise ValueError("cannot encode non-finite samples (NaN/Inf) to FLAC")
         scale = 1 << (bits_per_sample - 1)
         samples = np.clip(np.round(data * scale), -scale, scale - 1).astype(np.int64)
     else:

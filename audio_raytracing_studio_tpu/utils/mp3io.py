@@ -330,6 +330,12 @@ def encode(data: np.ndarray, rate: int, bitrate_kbps: int = 256) -> bytes:
     frames, channels = data.shape
     if frames == 0:
         raise ValueError("cannot encode an empty signal to MP3")
+    if not np.all(np.isfinite(data)):
+        # libmp3lame ABORTS the whole process on non-finite samples
+        # (psymodel.c calc_energy assertion) — a crafted float WAV upload
+        # converted to .mp3 would otherwise kill the analyzer/serving
+        # process.  Found by tools/fuzz_campaign.py encode mode.
+        raise ValueError("cannot encode non-finite samples (NaN/Inf) to MP3")
     if channels > 2:
         raise ValueError(
             f"MP3 unterstützt maximal 2 Kanäle (Eingabe: {channels}) — "

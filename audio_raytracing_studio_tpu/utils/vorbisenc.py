@@ -681,6 +681,12 @@ def encode(
         raise ValueError(f"vorbis encode: unsupported channel count {x.shape[1]}")
     if rate <= 0:
         raise ValueError("vorbis encode: rate must be positive")
+    if not np.all(np.isfinite(x)):
+        # a single NaN/Inf sample propagates through the MDCT into the
+        # floor quantizer, where the int64 cast of NaN becomes INT64_MIN
+        # and indexes out of bounds (found by tools/fuzz_campaign.py) —
+        # reject with the clean-ValueError error contract instead
+        raise ValueError("vorbis encode: non-finite samples (NaN/Inf)")
     T, ch = x.shape
     xc = np.ascontiguousarray(x.T)  # (ch, T)
 

@@ -581,6 +581,19 @@ def test_id3_prefixed_flac_decodes_via_fallback(tmp_path):
     np.testing.assert_allclose(data[:n, 0], ref[:n, 0], atol=1e-3)
 
 
+def test_non_finite_samples_rejected(tmp_path):
+    """NaN/Inf float input used to cast to INT64_MIN and crash the
+    residual-cost search with a TypeError (found by tools/fuzz_campaign.py
+    encode mode) — the error contract demands a clean ValueError."""
+    from audio_raytracing_studio_tpu.utils import flacio
+
+    for bad in (np.nan, np.inf, -np.inf):
+        x = np.zeros((2048, 2), dtype=np.float32)
+        x[17, 0] = bad
+        with pytest.raises(ValueError, match="non-finite"):
+            flacio.write(tmp_path / "bad.flac", x, 48000)
+
+
 def test_empty_audio_roundtrip(tmp_path):
     """write() of zero samples produces a legal zero-frame FLAC that read()
     must accept (it used to raise 'contains no audio frames')."""

@@ -156,6 +156,16 @@ class TestErrorContract:
         with pytest.raises(ValueError, match="empty"):
             mp3io.encode(np.zeros((0, 2), dtype=np.float32), 48000)
 
+    def test_non_finite_samples_rejected(self):
+        """libmp3lame ABORTS the process (psymodel.c assertion) on NaN/Inf
+        samples — must be a clean ValueError before any sample reaches the
+        native encoder (found by tools/fuzz_campaign.py encode mode)."""
+        for bad in (np.nan, np.inf, -np.inf):
+            x = np.zeros((4096, 2), dtype=np.float32)
+            x[100, 0] = bad
+            with pytest.raises(ValueError, match="non-finite"):
+                mp3io.encode(x, 44100)
+
 
 @needs_both
 class TestProductSurface:

@@ -287,6 +287,18 @@ class TestProductSurface:
         assert dec.shape == x.shape
 
 
+def test_non_finite_samples_rejected(tmp_path):
+    """A single NaN/Inf sample used to ride the MDCT into the floor
+    quantizer where the int64 cast of NaN indexes out of bounds
+    (IndexError, found by tools/fuzz_campaign.py encode mode) — the
+    error contract demands a clean ValueError."""
+    for bad in (np.nan, np.inf, -np.inf):
+        x = np.zeros((4096, 2), dtype=np.float32)
+        x[7, 1] = bad
+        with pytest.raises(ValueError, match="non-finite"):
+            vorbisenc.encode(x, 44100, tmp_path / "bad.ogg")
+
+
 def test_bitrate_maps_to_quality(tmp_path):
     """The analyzer's --bitrate request must change the .ogg encoding
     (the encoder is quality-mode; the mapping makes the knob real)."""
