@@ -33,7 +33,9 @@ import logging
 import os
 import threading
 import urllib.parse
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import BaseHTTPRequestHandler
+
+from ..utils.httpbase import _CLIENT_GONE, QuietDisconnectHTTPServer
 from typing import Any, Dict, List, Optional
 
 from .. import config
@@ -117,7 +119,7 @@ class StudioHTTPServer:
         self._lock = threading.Lock()
         self._uploads = UploadStore(prefix="ars_studio_uploads_")
         handler = self._make_handler()
-        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.httpd = QuietDisconnectHTTPServer((host, port), handler)
         self.httpd.daemon_threads = True
         self.host, self.port = self.httpd.server_address[:2]
         self._thread: Optional[threading.Thread] = None
@@ -285,6 +287,12 @@ class StudioHTTPServer:
 
             def _read_body(self) -> bytes:
                 length = int(self.headers.get("Content-Length") or 0)
+                if length < 0:
+                    # rfile.read(-1) would read until the CLIENT closes —
+                    # a hostile keep-alive socket that never sends pins
+                    # this handler thread forever
+                    self.close_connection = True
+                    raise ValueError(f"invalid Content-Length {length}")
                 if length > _MAX_UPLOAD:
                     # the unread body would desync this keep-alive
                     # connection (HTTP/1.1): the next "request line" parsed
@@ -393,6 +401,10 @@ class StudioHTTPServer:
                     self._send_json({"error": str(e)}, 403)
                 except (ValueError, json.JSONDecodeError) as e:
                     self._send_json({"error": str(e)}, 400)
+                except _CLIENT_GONE:
+                    # the client hung up while we were responding — there is
+                    # no socket left to answer on, and it is not our error
+                    self.close_connection = True
                 except Exception as e:  # noqa: BLE001 — handler errors → 500 JSON
                     log.exception("event handler failed")
                     self._send_json({"error": f"{type(e).__name__}: {e}"}, 500)

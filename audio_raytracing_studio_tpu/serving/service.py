@@ -43,7 +43,9 @@ import threading
 import urllib.parse
 import uuid
 from concurrent.futures import Future
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from http.server import BaseHTTPRequestHandler
+
+from ..utils.httpbase import _CLIENT_GONE, QuietDisconnectHTTPServer
 from typing import Any, Dict, Optional
 
 import numpy as np
@@ -94,7 +96,7 @@ class RenderHTTPService:
         self._presets = PresetStore(preset_dir)
         self._jobs: Dict[str, _JobEntry] = {}  # insertion-ordered
         self._jobs_lock = threading.Lock()
-        self.httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        self.httpd = QuietDisconnectHTTPServer((host, port), self._make_handler())
         self.httpd.daemon_threads = True
         self.host, self.port = self.httpd.server_address[:2]
         self._thread: Optional[threading.Thread] = None
@@ -299,6 +301,15 @@ class RenderHTTPService:
                 parsed = urllib.parse.urlparse(self.path)
                 try:
                     length = int(self.headers.get("Content-Length") or 0)
+                    if length < 0:
+                        # rfile.read(-1) would read until the CLIENT
+                        # closes — a hostile keep-alive socket that never
+                        # sends pins this handler thread forever
+                        self.close_connection = True
+                        self._send_json(
+                            {"error": f"invalid Content-Length {length}"}, 400
+                        )
+                        return
                     if length > _MAX_UPLOAD:
                         # the unread body would desync this keep-alive
                         # connection — drop it instead of letting the next
@@ -325,6 +336,10 @@ class RenderHTTPService:
                     self._send_json({"error": str(e)}, 503)
                 except (ValueError, json.JSONDecodeError) as e:
                     self._send_json({"error": str(e)}, 400)
+                except _CLIENT_GONE:
+                    # client hung up mid-response — nothing to answer on,
+                    # and not a server error worth a stack trace
+                    self.close_connection = True
                 except Exception as e:  # noqa: BLE001
                     log.exception("request failed")
                     self._send_json({"error": f"{type(e).__name__}: {e}"}, 500)
@@ -339,6 +354,10 @@ class RenderHTTPService:
                     self._send_json({"error": "not found"}, 404)
                 except KeyError:
                     self._send_json({"error": "no such job"}, 404)
+                except _CLIENT_GONE:
+                    # client hung up mid-response — nothing to answer on,
+                    # and not a server error worth a stack trace
+                    self.close_connection = True
                 except Exception as e:  # noqa: BLE001
                     log.exception("request failed")
                     self._send_json({"error": f"{type(e).__name__}: {e}"}, 500)
@@ -402,6 +421,10 @@ class RenderHTTPService:
                     self._send_json({"error": "not found"}, 404)
                 except KeyError:
                     self._send_json({"error": "no such job"}, 404)
+                except _CLIENT_GONE:
+                    # client hung up mid-response — nothing to answer on,
+                    # and not a server error worth a stack trace
+                    self.close_connection = True
                 except Exception as e:  # noqa: BLE001
                     log.exception("request failed")
                     self._send_json({"error": f"{type(e).__name__}: {e}"}, 500)

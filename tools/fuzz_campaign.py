@@ -496,6 +496,231 @@ MODES = {
 }
 
 
+# ------------------------------------------------------------------ http ---
+
+
+def _raw_request(port: int, payload: bytes, timeout: float = 20.0) -> bytes:
+    """One raw TCP exchange: send ``payload``, read until close/timeout.
+    Returns whatever the server sent (b'' if it closed without a byte)."""
+    import socket
+
+    with socket.create_connection(("127.0.0.1", port), timeout=timeout) as s:
+        s.settimeout(timeout)
+        try:
+            s.sendall(payload)
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # server already rejected — whatever it wrote still counts
+        chunks = []
+        try:
+            while True:
+                b = s.recv(65536)
+                if not b:
+                    break
+                chunks.append(b)
+                if len(chunks) > 64:  # don't buffer a result download
+                    break
+        except (socket.timeout, ConnectionResetError):
+            pass
+        return b"".join(chunks)
+
+
+def _status_of(raw: bytes) -> int:
+    """HTTP status code of the FIRST response in a raw byte exchange
+    (0 = no parseable status line — the server just closed)."""
+    try:
+        line = raw.split(b"\r\n", 1)[0].decode("latin-1")
+        parts = line.split()
+        if len(parts) >= 2 and parts[0].startswith("HTTP/"):
+            return int(parts[1])
+    except (ValueError, IndexError):
+        pass
+    return 0
+
+
+def _http_alive(port: int, path: str) -> bool:
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=60
+        ) as r:
+            return r.status == 200
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def run_http(n_cases: int, start_seed: int) -> int:
+    """Hostile HTTP traffic against BOTH product servers.
+
+    Spins up the studio server (app/server.py over the headless runtime)
+    and the serving job API (serving/service.py over a small CPU
+    RenderService) on ephemeral ports, then throws malformed requests:
+    non-HTTP bytes, hostile Content-Length (negative/huge/non-numeric),
+    truncated bodies, traversal filenames and upload paths, deep/huge/
+    wrong-typed JSON, random methods and paths, pipelined pairs.
+
+    Contract per case: the server answers with a PARSEABLE status that is
+    never 5xx (500 = an exception type the error contract missed; the
+    stdlib's own 501 for unknown methods is allowed), or closes the
+    connection; after every case both servers still answer a liveness GET
+    within 60 s.  Any 5xx, hang, or dead server is a finding.
+    """
+    import tempfile
+
+    tmpdir = tempfile.mkdtemp(prefix="ars_httpfuzz_")
+    os.chdir(tmpdir)
+
+    from audio_raytracing_studio_tpu.app import marker, studio
+    from audio_raytracing_studio_tpu.app.server import StudioHTTPServer
+    from audio_raytracing_studio_tpu.serving.batcher import RenderService
+    from audio_raytracing_studio_tpu.serving.service import RenderHTTPService
+    from audio_raytracing_studio_tpu.utils import wavio
+    from audio_raytracing_studio_tpu.utils.presets import PresetStore
+
+    marker.ensure_map_asset()
+    demo = studio.build_demo(PresetStore(tmpdir))
+    studio_srv = StudioHTTPServer(demo, host="127.0.0.1", port=0).start()
+    api_srv = RenderHTTPService(
+        RenderService(max_batch=2, max_wait_ms=20.0),
+        host="127.0.0.1",
+        port=0,
+        preset_dir=tmpdir,
+    ).start()
+
+    # one real uploaded clip so job payloads can reference a valid path
+    rng0 = np.random.default_rng(0)
+    clip = (0.2 * rng0.standard_normal(1600)).astype(np.float32)
+    wav_path = os.path.join(tmpdir, "seed.wav")
+    wavio.write(wav_path, clip, 8000)
+    wav_bytes = open(wav_path, "rb").read()
+    uploaded = api_srv.save_upload("seed.wav", wav_bytes)
+
+    def _body_json(rng) -> bytes:
+        kind = rng.integers(0, 8)
+        if kind == 0:
+            return b"{"  # truncated JSON
+        if kind == 1:
+            return b"[" * 2000 + b"]" * 2000  # deep nesting → RecursionError?
+        if kind == 2:
+            return json.dumps({"input": uploaded, "seed": "NaN"}).encode()
+        if kind == 3:
+            return json.dumps(
+                {"input": uploaded, "params": "not-a-dict", "seed": [1, 2]}
+            ).encode()
+        if kind == 4:
+            return json.dumps(
+                {"input": "/etc/passwd", "preset": "../../escape_v4.json"}
+            ).encode()
+        if kind == 5:
+            return json.dumps(
+                {"id": int(rng.integers(-5, 200)), "value": ["x"] * 5,
+                 "event": "click", "set": {str(rng.integers(0, 99)): None}}
+            ).encode()
+        if kind == 6:
+            return os.urandom(int(rng.integers(1, 4096)))
+        return json.dumps({"input": uploaded, "format": "exe"}).encode()
+
+    def _attack(rng) -> bytes:
+        target_api = bool(rng.integers(0, 2))
+        port = api_srv.port if target_api else studio_srv.port
+        method = str(rng.choice(["GET", "POST", "PUT", "DELETE", "BREW", "P" * 40]))
+        paths_api = ["/v1/upload", "/v1/jobs", "/v1/jobs/" + "0" * 32,
+                     "/v1/jobs/../../x", "/v1/stats", "/v1/presets", "/" + "a" * 3000]
+        paths_studio = ["/", "/state", "/set", "/event", "/upload",
+                        "/file?path=/etc/passwd", "/file?path=..%2F..%2Fetc%2Fpasswd",
+                        "/%00", "/" + "b" * 3000]
+        path = str(rng.choice(paths_api if target_api else paths_studio))
+        body = _body_json(rng)
+        mode = rng.integers(0, 7)
+        if mode == 0:  # not HTTP at all
+            return port, os.urandom(int(rng.integers(1, 512)))
+        if mode == 1:  # hostile Content-Length
+            cl = str(rng.choice(["-5", "99999999999999999999", "abc",
+                                 str(513 * 1024 * 1024)]))  # just past _MAX_UPLOAD
+            return port, (
+                f"{method} {path} HTTP/1.1\r\nHost: x\r\n"
+                f"Content-Length: {cl}\r\nConnection: close\r\n\r\n"
+            ).encode() + body[:64]
+        if mode == 2:  # truncated body (claims more than it sends), close
+            claimed = len(body) + int(rng.integers(1, 100000))
+            return port, (
+                f"{method} {path} HTTP/1.1\r\nHost: x\r\n"
+                f"Content-Length: {claimed}\r\nConnection: close\r\n\r\n"
+            ).encode() + body
+        if mode == 3:  # header flood / huge header line
+            hdrs = "".join(f"X-H{i}: v\r\n" for i in range(int(rng.integers(1, 150))))
+            hdrs += "X-Filename: " + "%2e%2e%2f" * 200 + "\r\n"
+            return port, (
+                f"{method} {path} HTTP/1.1\r\nHost: x\r\n{hdrs}"
+                f"Content-Length: {len(body)}\r\nConnection: close\r\n\r\n"
+            ).encode() + body
+        if mode == 4:  # pipelined pair on one connection
+            one = (
+                f"POST {path} HTTP/1.1\r\nHost: x\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode() + body
+            return port, one + b"GET /v1/stats HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n"
+        if mode == 5:  # well-formed hostile request
+            return port, (
+                f"{method} {path} HTTP/1.1\r\nHost: x\r\n"
+                f"X-Filename: {str(rng.choice(['../../evil.wav', 'a' * 500, '%00x', 'ok.wav']))}\r\n"
+                f"Content-Length: {len(body)}\r\nConnection: close\r\n\r\n"
+            ).encode() + body
+        # mode 6: no Content-Length at all, but a body
+        return port, (
+            f"{method} {path} HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n"
+        ).encode() + body
+
+    failures = 0
+    t0 = time.time()
+    try:
+        for i in range(n_cases):
+            seed = start_seed + i
+            rng = np.random.default_rng(seed)
+            port, payload = _attack(rng)
+            try:
+                raw = _raw_request(port, payload)
+                status = _status_of(raw)
+            except Exception as e:  # noqa: BLE001
+                failures += 1
+                _record("http_client_error", {
+                    "seed": seed, "error": f"{type(e).__name__}: {e}",
+                    "payload_head": payload[:200].decode("latin-1", "replace"),
+                })
+                continue
+            if status >= 500 and status != 501:
+                failures += 1
+                _record("http_5xx", {
+                    "seed": seed, "status": status, "port": port,
+                    "api": port == api_srv.port,
+                    "payload_head": payload[:300].decode("latin-1", "replace"),
+                    "response_head": raw[:300].decode("latin-1", "replace"),
+                })
+            if not (_http_alive(api_srv.port, "/v1/stats")
+                    and _http_alive(studio_srv.port, "/state")):
+                failures += 1
+                _record("http_server_dead", {
+                    "seed": seed,
+                    "payload_head": payload[:300].decode("latin-1", "replace"),
+                })
+                break
+            if (i + 1) % 25 == 0:
+                dt = time.time() - t0
+                print(
+                    f"[http] {i + 1}/{n_cases} cases, {failures} failures, "
+                    f"{dt / (i + 1):.2f} s/case",
+                    flush=True,
+                )
+    finally:
+        studio_srv.stop()
+        api_srv.stop()
+    print(f"[http] DONE: {n_cases} cases, {failures} failures")
+    return failures
+
+
+MODES["http"] = run_http
+
+
 def main() -> int:
     args = sys.argv[1:]
     if not args or args[0] not in MODES:
