@@ -147,17 +147,43 @@ def run_parity(n_cases: int, start_seed: int) -> int:
                 ir = np.asarray(pipeline.prepare_external_ir(ir, ir_rate, rate))
             external_ir = ir
         try:
+            # fast_filters (conv-grid air absorption) shares the 1e-3
+            # contract (tests/test_parity.py TestFastAir); on-device
+            # metrics must match the float64 oracle meter to 0.02
+            # (tests/test_loudness_jax.py bounds)
+            fast = bool(rng.uniform() < 0.3)
+            with_metrics = bool(rng.uniform() < 0.25)
+            metrics = None
             if p.use_external_ir:
-                ours = pipeline.render(x, rate, p, external_ir=external_ir)
+                ours = pipeline.render(
+                    x, rate, p, external_ir=external_ir,
+                    fast_filters=fast, return_metrics=with_metrics,
+                )
                 ref = dsp.render(x, rate, p, external_ir=external_ir)
             else:
                 d = IRDraws.sample(np.random.default_rng(seed), geometry_for(p, rate))
-                ours = pipeline.render(x, rate, p, draws=d)
+                ours = pipeline.render(
+                    x, rate, p, draws=d,
+                    fast_filters=fast, return_metrics=with_metrics,
+                )
                 ref = dsp.render(x, rate, p, draws=d)
+            if with_metrics:
+                ours, metrics = ours
             if ours.shape != ref.shape:
                 raise AssertionError(f"shape {ours.shape} vs {ref.shape}")
             err = float(np.max(np.abs(np.asarray(ours) - ref)))
             worst = max(worst, err)
+            if metrics is not None:
+                from audio_raytracing_studio_tpu.oracle import loudness as oracle_loud
+
+                ref_m = oracle_loud.calculate_audio_metrics(ref, rate)
+                for key, tol in (("lufs", 0.02), ("rms_dbfs", 0.02)):
+                    a, b = float(metrics[key]), float(ref_m[key])
+                    finite = np.isfinite(a) and np.isfinite(b)
+                    if (finite and abs(a - b) > tol) or (np.isfinite(a) != np.isfinite(b)):
+                        raise AssertionError(
+                            f"metrics {key}: device {a} vs oracle {b}"
+                        )
             q_ours = dsp.quantize_pcm16(np.asarray(ours))
             q_ref = dsp.quantize_pcm16(ref)
             lsb = int(np.max(np.abs(q_ours.astype(np.int32) - q_ref.astype(np.int32))))
@@ -173,6 +199,8 @@ def run_parity(n_cases: int, start_seed: int) -> int:
                         "params": p.to_preset_dict(),
                         "clip_shape": list(np.shape(x)),
                         "external": bool(p.use_external_ir),
+                        "fast_filters": fast,
+                        "with_metrics": with_metrics,
                     },
                 )
         except Exception as e:  # noqa: BLE001 — campaign must keep going
@@ -186,6 +214,7 @@ def run_parity(n_cases: int, start_seed: int) -> int:
                     "trace": traceback.format_exc()[-2000:],
                     "params": p.to_preset_dict(),
                     "external": bool(p.use_external_ir),
+                    "fast_filters": locals().get("fast"),
                 },
             )
         if (i + 1) % 25 == 0:
