@@ -362,6 +362,23 @@ def test_handler_keyerror_is_500_not_400(served):
         demo._all_deps[:] = [d for d in demo._all_deps if d.trigger is not probe]
 
 
+def test_negative_content_length_is_clean_400(served):
+    """A negative Content-Length must never reach rfile.read(-1) — that
+    read blocks until the CLIENT closes, pinning a handler thread forever
+    on a hostile keep-alive socket."""
+    import socket
+
+    server, _, _ = served
+    with socket.create_connection(("127.0.0.1", server.port), timeout=30) as s:
+        s.sendall(
+            b"POST /set HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Length: -7\r\nConnection: close\r\n\r\n"
+        )
+        status = s.recv(64).split(b"\r\n", 1)[0]
+    assert b"400" in status
+    assert _state(server)  # still alive
+
+
 def test_bad_event_is_clean_400(served):
     server, _, _ = served
     comps = _state(server)

@@ -439,6 +439,24 @@ class TestHTTPService:
             _get(http, "/v1/jobs/" + "0" * 32)
         assert exc.value.code == 404
 
+    def test_negative_content_length_is_clean_400(self, http_service):
+        """A negative Content-Length must never reach rfile.read(-1) —
+        that read blocks until the CLIENT closes, pinning a handler
+        thread forever on a hostile keep-alive socket."""
+        import socket
+
+        with socket.create_connection(
+            ("127.0.0.1", http_service.port), timeout=30
+        ) as s:
+            s.sendall(
+                b"POST /v1/jobs HTTP/1.1\r\nHost: x\r\n"
+                b"Content-Length: -7\r\nConnection: close\r\n\r\n"
+            )
+            status = s.recv(64).split(b"\r\n", 1)[0]
+        assert b"400" in status
+        # the server is still alive
+        assert "jobs_known" in _get(http_service, "/v1/stats")
+
     @staticmethod
     def _expect_code(http, path, payload, code):
         import urllib.error
