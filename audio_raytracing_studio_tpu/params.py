@@ -58,6 +58,12 @@ class RenderParams:
                     value = float(value)
                 except (ValueError, TypeError):
                     value = config.PRESET_DEFAULTS[key]
+            elif not isinstance(value, str):
+                # hall_type / material / target_layout: a non-string (e.g.
+                # a JSON object in a serving-API "params" payload) would
+                # TypeError later as an unhashable dict key — same
+                # wrong-type-means-default policy as the float keys
+                value = config.PRESET_DEFAULTS[key]
             kwargs[key] = value
         return cls(**kwargs)
 

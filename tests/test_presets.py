@@ -69,6 +69,26 @@ def test_load_coerces_types(store):
     assert p.dry_wet == config.PRESET_DEFAULTS["dry_wet"]  # None → default
 
 
+def test_load_coerces_non_string_choice_keys(store):
+    """A JSON object/array/number in a choice key (hall_type, material,
+    target_layout) must coerce to the default like wrong-typed floats do —
+    an uncoerced dict later TypeErrors as an unhashable HALL_PRESETS key,
+    which the serving API would surface as a 500 instead of rendering."""
+    store.ensure_dir()
+    with open(f"{store.preset_dir}/odd_v4.json", "w") as f:
+        json.dump(
+            {"hall_type": {"a": 1}, "material": [2], "target_layout": 7}, f
+        )
+    p = store.load("odd_v4.json")
+    assert p.hall_type == config.PRESET_DEFAULTS["hall_type"]
+    assert p.material == config.PRESET_DEFAULTS["material"]
+    assert p.target_layout == config.PRESET_DEFAULTS["target_layout"]
+    # and the coerced params drive the host param math without crashing
+    from audio_raytracing_studio_tpu.params import adjust_parameters_for_3d
+
+    adjust_parameters_for_3d(p.hall_type, p.room_size, p.z_pos)
+
+
 def test_last_used_tracking(store):
     _, f1 = store.save("one", RenderParams())
     assert store.load_last() == f1
