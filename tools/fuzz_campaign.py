@@ -750,6 +750,145 @@ def run_http(n_cases: int, start_seed: int) -> int:
 MODES["http"] = run_http
 
 
+# ------------------------------------------------------------------ soak ---
+
+
+def _rss_kb() -> int:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1])
+    return 0
+
+
+def _open_fds() -> int:
+    return len(os.listdir("/proc/self/fd"))
+
+
+def run_soak(n_cases: int, start_seed: int) -> int:
+    """Sustained job load against the serving API: boundedness, not speed.
+
+    ``n_cases`` waves of concurrent jobs (mixed small signatures, result
+    downloads for half, deliberate client abandonment for the rest — the
+    eviction paths) through an in-process ``RenderHTTPService`` with small
+    caps (max_jobs=24, max_uploads=8).  After every wave: job registry
+    ≤ cap + in-flight, upload dir ≤ cap, and at the end RSS and open-fd
+    growth over the middle half of the run stay under loose ceilings
+    (leaks show up as monotone growth; jit warmup is excluded by measuring
+    from the first quarter).
+    """
+    import tempfile
+    import urllib.request
+
+    tmpdir = tempfile.mkdtemp(prefix="ars_soak_")
+    os.chdir(tmpdir)
+
+    from audio_raytracing_studio_tpu.serving.batcher import RenderService
+    from audio_raytracing_studio_tpu.serving.service import RenderHTTPService
+    from audio_raytracing_studio_tpu.utils import wavio
+
+    max_jobs, max_uploads = 24, 8
+    srv = RenderHTTPService(
+        RenderService(max_batch=4, max_wait_ms=10.0),
+        host="127.0.0.1", port=0,
+        max_jobs=max_jobs, max_uploads=max_uploads, preset_dir=tmpdir,
+    ).start()
+    base = f"http://127.0.0.1:{srv.port}"
+
+    def _post(path, body, headers=None):
+        req = urllib.request.Request(
+            base + path, data=body, method="POST", headers=headers or {}
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return json.loads(r.read())
+
+    def _get(path, raw=False):
+        with urllib.request.urlopen(base + path, timeout=120) as r:
+            return r.read() if raw else json.loads(r.read())
+
+    failures = 0
+    rss_samples, fd_samples = [], []
+    t0 = time.time()
+    try:
+        for i in range(n_cases):
+            seed = start_seed + i
+            rng = np.random.default_rng(seed)
+            # fresh upload most waves (exercises upload eviction), varying
+            # length buckets → a few distinct static signatures
+            n = int(rng.choice([800, 800, 1600, 3200]))
+            clip = (0.2 * rng.standard_normal(n)).astype(np.float32)
+            p = os.path.join(tmpdir, "u.wav")
+            wavio.write(p, clip, 8000)
+            up = _post("/v1/upload", open(p, "rb").read(),
+                       {"X-Filename": f"u{seed}.wav"})["path"]
+            jobs = []
+            for _ in range(int(rng.integers(2, 6))):
+                jobs.append(_post("/v1/jobs", json.dumps({
+                    "input": up,
+                    "seed": int(rng.integers(0, 99)),
+                    "metrics": bool(rng.uniform() < 0.5),
+                    "format": str(rng.choice(["wav", "flac"])),
+                }).encode())["job_id"])
+            # poll to done; download results for half, abandon the rest
+            deadline = time.time() + 300
+            for j, jid in enumerate(jobs):
+                while time.time() < deadline:
+                    st = _get(f"/v1/jobs/{jid}")
+                    if st["status"] != "queued":
+                        break
+                    time.sleep(0.2)
+                if st["status"] != "done":
+                    failures += 1
+                    _record("soak_job_failed", {"seed": seed, "status": st})
+                    continue
+                if j % 2 == 0:
+                    _get(f"/v1/jobs/{jid}/result", raw=True)
+            stats = _get("/v1/stats")
+            known = stats.get("jobs_known", 0)
+            if known > max_jobs + 8:  # + generous in-flight slack
+                failures += 1
+                _record("soak_unbounded_jobs", {"seed": seed, "jobs_known": known})
+            n_uploads = len(os.listdir(srv._uploads.dir)) if hasattr(
+                srv._uploads, "dir") else None
+            if n_uploads is not None and n_uploads > max_uploads:
+                failures += 1
+                _record("soak_unbounded_uploads", {"seed": seed, "files": n_uploads})
+            rss_samples.append(_rss_kb())
+            fd_samples.append(_open_fds())
+            if (i + 1) % 10 == 0:
+                dt = time.time() - t0
+                print(
+                    f"[soak] {i + 1}/{n_cases} waves, {failures} failures, "
+                    f"RSS {rss_samples[-1] // 1024} MB, fds {fd_samples[-1]}, "
+                    f"{dt / (i + 1):.1f} s/wave",
+                    flush=True,
+                )
+    finally:
+        srv.stop()
+    # leak check over the steady-state region (skip jit warmup quarter)
+    q = max(1, len(rss_samples) // 4)
+    if len(rss_samples) >= 8:
+        rss_growth = rss_samples[-1] - rss_samples[q]
+        fd_growth = fd_samples[-1] - fd_samples[q]
+        if rss_growth > 200_000:  # >200 MB steady-state growth
+            failures += 1
+            _record("soak_rss_growth", {
+                "kb_growth": rss_growth, "samples": rss_samples[::q]})
+        if fd_growth > 32:
+            failures += 1
+            _record("soak_fd_growth", {
+                "fd_growth": fd_growth, "samples": fd_samples[::q]})
+    print(
+        f"[soak] DONE: {n_cases} waves, {failures} failures, "
+        f"RSS {rss_samples[0] // 1024}→{rss_samples[-1] // 1024} MB, "
+        f"fds {fd_samples[0]}→{fd_samples[-1]}"
+    )
+    return failures
+
+
+MODES["soak"] = run_soak
+
+
 def main() -> int:
     args = sys.argv[1:]
     if not args or args[0] not in MODES:
