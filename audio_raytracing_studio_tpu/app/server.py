@@ -303,6 +303,21 @@ class StudioHTTPServer:
 
             # --- GET ---
             def do_GET(self):
+                try:
+                    self._do_get()
+                except _CLIENT_GONE:
+                    self.close_connection = True
+                except (ValueError, OSError):
+                    # hostile path bytes (embedded NUL → ValueError from
+                    # os.path.isfile) or a file racing away between the
+                    # isfile check and open — the clean error contract,
+                    # not an unclean connection drop
+                    self._send_json({"error": "not found"}, 404)
+                except Exception as e:  # noqa: BLE001 — handler errors → 500
+                    log.exception("GET failed")
+                    self._send_json({"error": f"{type(e).__name__}: {e}"}, 500)
+
+            def _do_get(self):
                 parsed = urllib.parse.urlparse(self.path)
                 if parsed.path == "/":
                     page = render_page(server.blocks)
@@ -344,7 +359,14 @@ class StudioHTTPServer:
                         self.end_headers()
                         import shutil
 
-                        shutil.copyfileobj(fh, self.wfile, length=1 << 20)
+                        try:
+                            shutil.copyfileobj(fh, self.wfile, length=1 << 20)
+                        except OSError:  # incl. client-gone subclasses
+                            # headers are already on the wire — a JSON error
+                            # response here would corrupt the stream; just
+                            # drop the connection (the client sees a short
+                            # body against the declared Content-Length)
+                            self.close_connection = True
                 else:
                     self._send_json({"error": "not found"}, 404)
 

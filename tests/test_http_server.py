@@ -362,6 +362,19 @@ def test_handler_keyerror_is_500_not_400(served):
         demo._all_deps[:] = [d for d in demo._all_deps if d.trigger is not probe]
 
 
+def test_file_path_with_nul_byte_is_clean_404(served):
+    """os.path.isfile raises ValueError on an embedded NUL — without the
+    do_GET guard that was an unclean connection drop plus a stack trace,
+    not the error contract."""
+    server, _, _ = served
+    try:
+        status, _, _ = _get(server, "/file?path=%00x")
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 404
+    assert _state(server)  # still alive
+
+
 def test_negative_content_length_is_clean_400(served):
     """A negative Content-Length must never reach rfile.read(-1) — that
     read blocks until the CLIENT closes, pinning a handler thread forever
