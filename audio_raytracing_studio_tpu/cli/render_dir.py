@@ -85,6 +85,8 @@ def main(argv=None) -> int:
         return 2
 
     # --- bucket by (rate, quantized length) from header-only probes ---
+    from ..params import eq_enabled
+
     buckets: dict = {}
     for name in names:
         try:
@@ -97,7 +99,15 @@ def main(argv=None) -> int:
             # would bucket to length 0 and render as pure silence — skip loud
             print(f"skipping {name}: could not determine length", file=sys.stderr)
             continue
-        key = (meta["samplerate"], _bucket_length(meta["frames"], meta["samplerate"]))
+        if eq_enabled(p.bass_gain, p.treble_gain):
+            # the exact-length circular EQ cannot run on bucket padding
+            # (parallel.sharding.render_batch rejects it): EQ-on runs
+            # group by exact length — same-length files still batch, at
+            # the cost of one compile per distinct length
+            n_group = meta["frames"]
+        else:
+            n_group = _bucket_length(meta["frames"], meta["samplerate"])
+        key = (meta["samplerate"], n_group)
         buckets.setdefault(key, []).append((name, meta["frames"]))
     if not buckets:
         print("no readable audio files", file=sys.stderr)

@@ -269,6 +269,23 @@ def render_batch(
 
     if clip_lengths is not None and len(clip_lengths) != batch:
         raise ValueError(f"{len(clip_lengths)} clip_lengths for batch of {batch}")
+    if clip_lengths is not None:
+        for b, (p, true_len) in enumerate(zip(param_list, clip_lengths)):
+            if int(true_len) != n_in and eq_enabled(p.bass_gain, p.treble_gain):
+                # The circular shelf EQ runs at the batch's (padded) length;
+                # its brick-wall masks have sinc-like 1/j time tails, so the
+                # padded-length wrap deviates from the clip's true-length EQ
+                # across the WHOLE clip (measured 1.2e-2..3.8e-2 even at
+                # half-second bucket padding — past the 1e-3 contract).
+                # The smooth air ramp is padding-insensitive (~4e-7) and
+                # stays bucketable.  Callers must give EQ-on clips an
+                # unpadded batch (render_dir and serving.batcher bucket
+                # EQ jobs by exact length automatically).
+                raise ValueError(
+                    f"clip {b}: exact-length circular shelf EQ cannot run "
+                    "on a zero-padded bucket clip; bucket EQ-on jobs by "
+                    "exact length"
+                )
 
     def _mask_arrays(ir_length: int):
         """Per-clip true output lengths + gating-block counts (host ints —
@@ -357,10 +374,19 @@ def render_batch(
     spec0 = setups[0].spec._replace(**widened)
     shape0 = setups[0].ir_shape
     for s in setups[1:]:
-        if s.spec._replace(**widened) != spec0 or s.ir_shape != shape0:
+        sw = s.spec._replace(**widened)
+        if sw != spec0 or s.ir_shape != shape0:
+            # name the ACTUAL mismatch: comparing raw (unwidened) specs here
+            # used to print two identical-looking specs when the real
+            # difference was IR geometry (e.g. a per-clip z_pos sweep)
+            detail = (
+                f"spec {sw} vs {spec0}" if sw != spec0
+                else f"IR geometry {s.ir_shape} vs {shape0} — z_pos, "
+                     "room_size and hall_type set the IR length"
+            )
             raise ValueError(
                 "shape-determining parameters must match across a batch "
-                f"(got {s.spec} vs {spec0}); bucket your sweep by shape"
+                f"({detail}); bucket your sweep by shape"
             )
 
     ir_scalars = _stack_pytrees([s.ir_scalars for s in setups])

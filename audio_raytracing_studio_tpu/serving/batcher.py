@@ -24,11 +24,14 @@ micro-batch → dispatch) applied to audio renders:
   against the true span (masked meter), never the bucket padding.
 
 Padding semantics: zero-padding a clip to its length bucket is exact for
-every linear-convolution stage; the exact-length *circular* filters (shelf
-EQ, exact air) run at the bucketed length, so a padded clip renders as if
-it were ``n_bucket`` samples long — identical to cli.render_dir's contract,
-and measured within the 1e-3 envelope for half-second granularity (see
-tests/test_serving.py::test_padded_clip_parity).
+every linear-convolution stage, and the exact air filter's smooth gain
+ramp is padding-insensitive (measured ~4e-7 at half-second granularity).
+The circular shelf EQ is NOT: its brick-wall masks have sinc-like time
+tails, so padded-length EQ deviates 1e-2-class from the clip's
+true-length EQ even at half-second padding (found by
+tools/fuzz_campaign.py batch mode).  EQ-on jobs therefore group by their
+EXACT length — same-length EQ jobs still share a batch — and
+render_batch rejects any padded EQ-on clip outright.
 
 The reference has no counterpart (SURVEY §2.7: no parallelism of any kind —
 one synchronous NumPy pass per Gradio click, raytracer_studio.py:1326-1330).
@@ -266,6 +269,13 @@ class RenderService:
             raise ValueError("job.params must be a RenderParams")
         clip = pipeline._ensure_stereo_host(audio)
         n_bucket = bucket_length(clip.shape[0], rate)
+        if pipeline.eq_enabled(job.params.bass_gain, job.params.treble_gain):
+            # the exact-length circular EQ cannot run on bucket padding
+            # (render_batch rejects it — the brick-wall masks make the
+            # padded-length wrap deviate ~1e-2 from the clip's true-length
+            # EQ): EQ-on jobs group by their exact length instead; jobs
+            # with identical lengths still share one batch
+            n_bucket = clip.shape[0]
 
         streaming = (
             self.streaming_threshold_s is not None

@@ -66,8 +66,11 @@ class TestBatcher:
             svc.stop()
 
     def test_value_sweep_batches_into_one_dispatch(self):
-        """Different material/diffusion/position/EQ/seed jobs share one
-        compiled batch — the whole point of the serving layer."""
+        """Different material/diffusion/position/seed jobs share one
+        compiled batch — the whole point of the serving layer.  EQ-on jobs
+        group separately by EXACT length (padded-length circular EQ
+        deviates ~1e-2 — batcher.py padding semantics) but same-length EQ
+        jobs still coalesce into one dispatch."""
         svc = RenderService(max_batch=8, max_wait_ms=50, start=False)
         p_base = dict(target_layout="Stereo", room_size=50.0)
         jobs = [
@@ -75,19 +78,26 @@ class TestBatcher:
             RenderParams(material="Teppich", diffusion=0.8, x_pos=0.9, **p_base),
             RenderParams(dry_wet=0.9, **p_base),
             RenderParams(bass_gain=1.7, treble_gain=0.6, **p_base),  # EQ on
+            RenderParams(bass_gain=0.4, **p_base),                   # EQ on
         ]
-        clips = [make_clip(i) for i in range(4)]
+        clips = [make_clip(i) for i in range(5)]
         futs = [
             svc.submit(RenderJob(c, RATE, p, seed=i))
             for i, (c, p) in enumerate(zip(clips, jobs))
         ]
         svc.start()
         results = wait_all(futs)
-        assert svc.stats()["batch_sizes"] == [4]
-        for i, (c, p) in enumerate(zip(clips, jobs)):
+        # 3 linear jobs in one padded batch + 2 same-length EQ jobs in one
+        # exact-length batch
+        assert sorted(svc.stats()["batch_sizes"]) == [2, 3]
+        for i, (c, p) in enumerate(zip(clips, jobs[:3])):
             np.testing.assert_allclose(
                 results[i].audio, padded_reference(c, p, seed=i), atol=2e-5
             )
+        for i in (3, 4):
+            # EQ jobs: exact-length semantics — equal to the UNPADDED solo
+            solo = np.asarray(pipeline.render(clips[i], RATE, jobs[i], seed=i))
+            np.testing.assert_allclose(results[i].audio, solo, atol=2e-5)
         svc.stop()
 
     def test_padding_is_exact_on_the_linear_path(self):
@@ -99,6 +109,25 @@ class TestBatcher:
             clip = make_clip(2)  # 4800 samples → bucket 8000: real padding
             p = RenderParams(
                 target_layout="Stereo", room_size=50.0, air_absorption=0.0
+            )
+            res = svc.render(RenderJob(clip, RATE, p, seed=5), timeout=300)
+            unpadded = np.asarray(pipeline.render(clip, RATE, p, seed=5))
+            assert res.audio.shape == unpadded.shape
+            np.testing.assert_allclose(res.audio, unpadded, atol=2e-5)
+        finally:
+            svc.stop()
+
+    def test_eq_job_matches_unpadded_solo_exactly(self):
+        """EQ-on jobs group by EXACT length (never bucket padding): the
+        result must equal the unpadded single render, not the
+        padded_reference — padded-length circular EQ deviates ~1e-2 (see
+        batcher.py padding semantics)."""
+        svc = RenderService(max_batch=2, max_wait_ms=20)
+        try:
+            clip = make_clip(2)  # NOT a half-second multiple → real padding
+            p = RenderParams(
+                target_layout="Stereo", room_size=50.0,
+                bass_gain=4.0, treble_gain=0.3,
             )
             res = svc.render(RenderJob(clip, RATE, p, seed=5), timeout=300)
             unpadded = np.asarray(pipeline.render(clip, RATE, p, seed=5))

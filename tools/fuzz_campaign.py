@@ -889,6 +889,144 @@ def run_soak(n_cases: int, start_seed: int) -> int:
 MODES["soak"] = run_soak
 
 
+# ----------------------------------------------------------------- batch ---
+
+
+def run_batch(n_cases: int, start_seed: int) -> int:
+    """render_batch (one SPMD program, value params sweeping per clip) vs
+    per-clip pipeline.render.
+
+    Stresses the widened batch-wide stage flags (air/eq/early/late can
+    differ per clip inside one batch — zero-weight/identity-gain clips
+    must keep exact solo semantics), masked metrics over true clip spans
+    (clip_lengths buckets), the device PCM16 contract, and fast_filters.
+    Contract: ≤2e-4 max-abs vs the solo render (tests pin 2e-5 value
+    sweeps / 1e-4 flag widening), metrics ≤0.03, PCM16 bit-identical to
+    host quantization of the batch floats.
+    """
+    import dataclasses
+
+    from audio_raytracing_studio_tpu.models import pipeline
+    from audio_raytracing_studio_tpu.oracle import dsp
+    from audio_raytracing_studio_tpu.parallel import sharding
+
+    failures = 0
+    worst = 0.0
+    t0 = time.time()
+    for i in range(n_cases):
+        seed = start_seed + i
+        rng = np.random.default_rng(seed)
+        rate = int(rng.choice([8000, 16000]))
+        bsz = int(rng.choice([2, 3, 4]))
+        shared = _random_params(rng)  # statics come from this draw
+        n = int(rng.integers(rate // 8, rate // 2))
+        use_buckets = bool(rng.uniform() < 0.3)
+        params = []
+        for _ in range(bsz):
+            v = _random_params(rng)  # value fields come from these draws
+            if use_buckets:
+                # padded EQ-on clips are rejected by design (the circular
+                # EQ cannot run on bucket padding — see sharding.py); the
+                # guard itself is pinned in tests/test_parallel.py
+                v = dataclasses.replace(v, bass_gain=1.0, treble_gain=1.0)
+            params.append(dataclasses.replace(
+                v,
+                hall_type=shared.hall_type,
+                room_size=shared.room_size,
+                # z_pos and diffusion drive the IR geometry
+                # (duration/smooth width), so they are shape-determining
+                # like hall/room/layout
+                z_pos=shared.z_pos,
+                diffusion=shared.diffusion,
+                target_layout=shared.target_layout,
+                use_external_ir=False,
+            ))
+        true_lens = (
+            [int(rng.integers(max(64, n // 3), n + 1)) for _ in range(bsz)]
+            if use_buckets else [n] * bsz
+        )
+        clips = np.zeros((bsz, n), dtype=np.float32)
+        for b in range(bsz):
+            clips[b, : true_lens[b]] = (
+                0.3 * rng.standard_normal(true_lens[b])
+            ).astype(np.float32)
+        seeds = [int(rng.integers(0, 1000)) for _ in range(bsz)]
+        fast = bool(rng.uniform() < 0.3)
+        with_metrics = bool(rng.uniform() < 0.4)
+        pcm16 = bool(rng.uniform() < 0.3)
+        try:
+            kw = dict(seeds=seeds, fast_filters=fast, with_metrics=with_metrics)
+            if use_buckets:
+                kw["clip_lengths"] = true_lens
+            out = sharding.render_batch(clips, rate, params, **kw)
+            metrics = None
+            if with_metrics:
+                out, metrics = out
+            out = np.asarray(out)
+            if pcm16:
+                kw2 = {k: v for k, v in kw.items() if k != "with_metrics"}
+                q = np.asarray(sharding.render_batch(
+                    clips, rate, params, pcm16_output=True, **kw2
+                ))
+                q_host = dsp.quantize_pcm16(out)
+                if not np.array_equal(q, q_host):
+                    raise AssertionError(
+                        f"pcm16 mismatch on "
+                        f"{int(np.sum(q != q_host))} samples"
+                    )
+            for b in range(bsz):
+                solo = pipeline.render(
+                    clips[b, : true_lens[b]], rate, params[b],
+                    seed=seeds[b], fast_filters=fast,
+                    return_metrics=with_metrics,
+                )
+                solo_m = None
+                if with_metrics:
+                    solo, solo_m = solo
+                solo = np.asarray(solo)
+                span = solo.shape[0]
+                err = float(np.max(np.abs(out[b, :span] - solo)))
+                worst = max(worst, err)
+                if err > 2e-4:
+                    raise AssertionError(f"clip {b}: batch vs solo {err:.2e}")
+                if metrics is not None:
+                    for key in ("lufs", "rms_dbfs"):
+                        a = float(metrics[b][key])
+                        c = float(solo_m[key])
+                        if (np.isfinite(a) != np.isfinite(c)) or (
+                            np.isfinite(a) and abs(a - c) > 0.03
+                        ):
+                            raise AssertionError(
+                                f"clip {b} metrics {key}: batch {a} vs solo {c}"
+                            )
+        except AssertionError as e:
+            failures += 1
+            _record("batch_violation", {
+                "seed": seed, "rate": rate, "batch": bsz, "error": str(e),
+                "fast_filters": fast, "buckets": use_buckets,
+                "shared": shared.to_preset_dict(),
+            })
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            _record("batch_crash", {
+                "seed": seed, "rate": rate, "batch": bsz,
+                "error": f"{type(e).__name__}: {e}",
+                "trace": traceback.format_exc()[-2000:],
+            })
+        if (i + 1) % 5 == 0:
+            dt = time.time() - t0
+            print(
+                f"[batch] {i + 1}/{n_cases} cases, {failures} failures, "
+                f"worst {worst:.2e}, {dt / (i + 1):.1f} s/case",
+                flush=True,
+            )
+    print(f"[batch] DONE: {n_cases} cases, {failures} failures, worst {worst:.2e}")
+    return failures
+
+
+MODES["batch"] = run_batch
+
+
 def main() -> int:
     args = sys.argv[1:]
     if not args or args[0] not in MODES:
