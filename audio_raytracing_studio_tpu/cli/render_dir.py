@@ -9,6 +9,13 @@ executable, and while the device renders micro-batch *i* a thread pool reads
 micro-batch *i+1* and writes the finished outputs.  Metrics are computed on
 the trimmed per-clip output (not the bucket padding).
 
+When shelf EQ is on (--bass-gain / --treble-gain ≠ 1), clips group by their
+EXACT length instead of the half-second grid: the exact-length circular EQ
+cannot run on bucket padding (its brick-wall masks deviate ~1e-2 from the
+clip's true-length EQ — see serving/batcher.py padding semantics).
+Same-length files still share one compiled batch; mixed lengths cost one
+compile each.
+
 Usage:
   python -m audio_raytracing_studio_tpu.cli.render_dir in_dir/ out_dir/ \
       --hall Cathedral --room-size 400 --layout "5.1 (Standard)" \
