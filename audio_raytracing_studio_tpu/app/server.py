@@ -148,7 +148,10 @@ class StudioHTTPServer:
     def _component(self, comp_id) -> "hl.Component":
         """Strict id → component: negative ids must 400, not silently index
         from the end of the component list."""
-        i = int(comp_id)
+        try:
+            i = int(comp_id)
+        except (TypeError, ValueError):
+            raise UnknownRouteTarget(f"no such component: {comp_id!r}") from None
         if not 0 <= i < len(self.blocks.components):
             raise UnknownRouteTarget(f"no such component: {comp_id}")
         return self.blocks.components[i]
@@ -386,33 +389,68 @@ class StudioHTTPServer:
                         self._send_json({"path": path})
                         return
                     payload = json.loads(self._read_body() or b"{}")
-                    if "id" not in payload and parsed.path in ("/set", "/event"):
-                        self._send_json({"error": "missing 'id'"}, 400)
+                    if not isinstance(payload, dict):
+                        # json.loads returns lists/numbers/strings too;
+                        # `"id" not in 5` is a TypeError → 500 (the same
+                        # fuzz-found class as the job API's bare-list body)
+                        self._send_json(
+                            {"error": "payload must be a JSON object"}, 400
+                        )
                         return
+                    if parsed.path in ("/set", "/event"):
+                        if "id" not in payload:
+                            self._send_json({"error": "missing 'id'"}, 400)
+                            return
+                        # coerce payload field TYPES here: int() of a JSON
+                        # list, a dict used as an event name (unhashable
+                        # lookup) or tuple() of a number all raise
+                        # TypeError, which the catch-all below would turn
+                        # into a 500 — payload shape is the client's fault
+                        try:
+                            cid = int(payload["id"])
+                        except (TypeError, ValueError):
+                            self._send_json(
+                                {"error": "'id' must be an integer"}, 400
+                            )
+                            return
+                        event = payload.get("event", "click")
+                        if not isinstance(event, str):
+                            self._send_json(
+                                {"error": "'event' must be a string"}, 400
+                            )
+                            return
+                        index = payload.get("index")
+                        if index is not None and not (
+                            isinstance(index, list)
+                            and all(isinstance(v, (int, float)) for v in index)
+                        ):
+                            self._send_json(
+                                {"error": "'index' must be a number list"}, 400
+                            )
+                            return
+                        sets = payload.get("set") or {}
+                        if not isinstance(sets, dict):
+                            self._send_json(
+                                {"error": "'set' must be a JSON object"}, 400
+                            )
+                            return
                     # serialize the response OUTSIDE the lock: a slow client
                     # draining wfile must not stall every other request
                     if parsed.path == "/set":
                         with server._lock:
-                            server.apply_sets({payload["id"]: payload.get("value")})
+                            server.apply_sets({cid: payload.get("value")})
                             if payload.get("fire_change"):
                                 # no change listener → set alone is fine
-                                server.fire(int(payload["id"]), "change",
-                                            missing_ok=True)
+                                server.fire(cid, "change", missing_ok=True)
                             state = server.component_state()
                         self._send_json({"components": state})
                     elif parsed.path == "/event":
                         with server._lock:
                             # validate the route BEFORE any set mutates
                             # state — a 400 must mean "nothing happened"
-                            server.ensure_listener(
-                                int(payload["id"]), payload.get("event", "click")
-                            )
-                            server.apply_sets(payload.get("set") or {})
-                            server.fire(
-                                int(payload["id"]),
-                                payload.get("event", "click"),
-                                payload.get("index"),
-                            )
+                            server.ensure_listener(cid, event)
+                            server.apply_sets(sets)
+                            server.fire(cid, event, index)
                             state = server.component_state()
                         self._send_json({"components": state})
                     else:

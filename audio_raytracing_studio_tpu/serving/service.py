@@ -138,6 +138,11 @@ class RenderHTTPService:
         return wavio.read(path)
 
     def create_job(self, payload: Dict[str, Any]) -> str:
+        if not isinstance(payload, dict):
+            # json.loads happily returns lists/numbers/strings — every
+            # .get() below assumes an object (a bare-list body was a
+            # fuzz-found AttributeError 500, tools/fuzz_campaign.py http)
+            raise ValueError("job payload must be a JSON object")
         input_path = payload.get("input")
         if not isinstance(input_path, str) or not input_path:
             raise ValueError("missing 'input' (uploaded file path)")
@@ -153,7 +158,10 @@ class RenderHTTPService:
                 base = self._presets.load(str(preset), remember=False).to_preset_dict()
             except FileNotFoundError:
                 raise ValueError(f"no such preset: {preset!r}") from None
-        base.update(payload.get("params") or {})
+        overrides = payload.get("params") or {}
+        if not isinstance(overrides, dict):
+            raise ValueError("'params' must be a JSON object")
+        base.update(overrides)
         params = RenderParams.from_preset_dict(base)
         audio, rate = self._read_upload(input_path)
 
@@ -165,11 +173,17 @@ class RenderHTTPService:
                 raise ValueError("use_external_ir requires 'external_ir' upload path")
             external_ir, external_ir_rate = self._read_upload(ir_path)
 
+        try:
+            seed = int(payload.get("seed", 0))
+        except (TypeError, ValueError):
+            # int() of a JSON list/object raises TypeError, which the HTTP
+            # layer maps to 500 — payload-shape problems are the client's
+            raise ValueError("'seed' must be an integer") from None
         job = RenderJob(
             audio=audio,
             rate=rate,
             params=params,
-            seed=int(payload.get("seed", 0)),
+            seed=seed,
             with_metrics=bool(payload.get("metrics", True)),
             external_ir=external_ir,
             external_ir_rate=external_ir_rate,

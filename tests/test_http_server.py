@@ -430,6 +430,35 @@ def test_set_cannot_smuggle_path_inside_list(served):
     assert status in (403, 404)
 
 
+def test_wrong_typed_payloads_are_400(served):
+    """Non-object JSON bodies and wrong-typed fields must be clean 400s:
+    `"id" not in 5` / int([3]) / dict-as-event-name / tuple(5) all raise
+    TypeError into the catch-all 500 path (same fuzz-found class as the
+    job API's bare-list body, tools/fuzz_campaign.py http seed 700054)."""
+    server, demo, _ = served
+    comps = _state(server)
+    any_id = comps[0]["id"]
+    cases = [
+        ("/set", [1, 2, 3]),                      # bare list body
+        ("/set", 5),                              # bare number body
+        ("/set", "id"),                           # bare string body
+        ("/set", {"id": [3], "value": "x"}),      # list id
+        ("/set", {"id": {"a": 1}, "value": 0}),   # dict id
+        ("/event", {"id": any_id, "event": {}}),  # unhashable event name
+        ("/event", {"id": any_id, "event": "select", "index": 5}),
+        ("/event", {"id": any_id, "event": "select", "index": {"x": 1}}),
+        ("/event", {"id": any_id, "event": "click", "set": [1, 2]}),
+    ]
+    for path, payload in cases:
+        try:
+            status, _ = _post_json(server, path, payload)
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 400, f"{path} {payload!r} → {status}, want 400"
+    # the server is still alive and consistent
+    assert _state(server)
+
+
 def test_negative_component_ids_are_400(served):
     """Negative ids must not resolve via Python negative indexing."""
     server, _, _ = served

@@ -468,6 +468,26 @@ class TestHTTPService:
             _get(http, "/v1/jobs/" + "0" * 32)
         assert exc.value.code == 404
 
+    def test_non_object_payloads_are_clean_400(self, http_service):
+        """json.loads returns lists/numbers/strings too; every payload
+        field access assumes an object.  A bare-list body was a fuzz-found
+        AttributeError 500 (tools/fuzz_campaign.py http, seed 700054);
+        wrong-typed fields (list seed, list params) raised TypeError into
+        the catch-all 500 path."""
+        http = http_service
+        for bad in ([[1, 2]], 5, "input", None, True):
+            err = self._expect_code(http, "/v1/jobs", bad, 400)
+            assert "JSON object" in err["error"]
+        path, _ = self._upload_clip(http, 4)
+        err = self._expect_code(
+            http, "/v1/jobs", {"input": path, "seed": [3]}, 400
+        )
+        assert "seed" in err["error"]
+        err = self._expect_code(
+            http, "/v1/jobs", {"input": path, "params": ["x"]}, 400
+        )
+        assert "params" in err["error"]
+
     def test_negative_content_length_is_clean_400(self, http_service):
         """A negative Content-Length must never reach rfile.read(-1) —
         that read blocks until the CLIENT closes, pinning a handler
