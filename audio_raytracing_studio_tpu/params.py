@@ -46,6 +46,11 @@ class RenderParams:
 
     @classmethod
     def from_preset_dict(cls, d: dict) -> "RenderParams":
+        if not isinstance(d, dict):
+            # a preset FILE may legally parse to any JSON value; .get on a
+            # list/number would be an AttributeError (a 500 over HTTP, not
+            # the clean 400 the error contract promises)
+            raise ValueError("preset data must be a JSON object")
         kwargs = {}
         for key in config.PRESET_KEYS:
             value = d.get(key, config.PRESET_DEFAULTS[key])

@@ -79,6 +79,12 @@ class PresetStore:
         filename = base.replace(" ", "_") + "_v4.json"
         if not base or filename == "_v4.json":
             return None
+        if len(filename.encode("utf-8")) > 255:
+            # common filesystem name limit: open() would raise
+            # ENAMETOOLONG (an OSError the HTTP error contract maps to
+            # 500, not the clean 400 of an invalid name — fuzz-found,
+            # tools/fuzz_campaign.py preset mode)
+            return None
         return filename
 
     def list_presets(self) -> List[str]:
@@ -136,7 +142,10 @@ class PresetStore:
             or "\\" in name
             or name in (".", "..")
             or not name.endswith(".json")
+            or len(name.encode("utf-8")) > 255
         ):
+            # the length bound keeps open() from raising ENAMETOOLONG —
+            # an OSError, where a bad name must be ValueError/not-found
             return None
         return os.path.join(self.preset_dir, name)
 

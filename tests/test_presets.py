@@ -89,6 +89,39 @@ def test_load_coerces_non_string_choice_keys(store):
     adjust_parameters_for_3d(p.hall_type, p.room_size, p.z_pos)
 
 
+def test_overlong_names_are_clean_valueerror(store):
+    """Names past the filesystem's 255-byte limit must be invalid-name
+    ValueErrors, not ENAMETOOLONG OSErrors (fuzz-found: preset mode seed
+    1000032 — an OSError is a 500 over HTTP, not the clean 400)."""
+    long_ascii = "A" * 400
+    long_multibyte = "ä" * 200  # 200 chars but 400 UTF-8 bytes
+    assert PresetStore.sanitize_name(long_ascii) is None
+    assert PresetStore.sanitize_name(long_multibyte) is None
+    for name in (long_ascii, long_multibyte):
+        with pytest.raises(ValueError, match="invalid preset name"):
+            store.save(name, RenderParams())
+        with pytest.raises(ValueError, match="invalid preset filename"):
+            store.load(name + "_v4.json")
+        assert store.delete(name + "_v4.json") is False
+    # a 255-byte name still works end-to-end
+    ok = "B" * (255 - len("_v4.json"))
+    _, filename = store.save(ok, RenderParams())
+    assert len(filename.encode()) == 255
+    store.load(filename)
+
+
+def test_load_non_object_json_is_clean_valueerror(store):
+    """A preset file may legally parse to ANY JSON value; .get on a list
+    was an AttributeError (a 500 over HTTP, not the clean 400 of the error
+    contract — the same fuzz-found class as the job API's bare-list body)."""
+    store.ensure_dir()
+    for body in ("[1, 2]", "5", '"name"', "null", "true"):
+        with open(f"{store.preset_dir}/bare_v4.json", "w") as f:
+            f.write(body)
+        with pytest.raises(ValueError, match="JSON object"):
+            store.load("bare_v4.json")
+
+
 def test_last_used_tracking(store):
     _, f1 = store.save("one", RenderParams())
     assert store.load_last() == f1

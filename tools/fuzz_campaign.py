@@ -1027,6 +1027,251 @@ def run_batch(n_cases: int, start_seed: int) -> int:
 MODES["batch"] = run_batch
 
 
+# ---------------------------------------------------------------- preset ---
+
+
+def _hostile_name(rng: np.random.Generator) -> str:
+    """Preset names a hostile or confused client might send."""
+    pools = [
+        lambda: "Mein Preset " + str(rng.integers(100)),
+        lambda: rng.choice(["", " ", ".", "..", "...", "_", "-", "_v4.json"]),
+        lambda: "../" * int(rng.integers(1, 4)) + "etc/passwd",
+        lambda: "..\\" * int(rng.integers(1, 4)) + "windows",
+        lambda: "a/b/" + str(rng.integers(10)),
+        lambda: "x\x00y" + str(rng.integers(10)),
+        lambda: "".join(chr(int(c)) for c in rng.integers(1, 32, size=6)),
+        lambda: "名前🎵" + str(rng.integers(10)),
+        lambda: "A" * int(rng.integers(200, 500)),
+        lambda: str(rng.choice(["CON", "NUL", "aux", "last_preset_v4"])),
+        lambda: "".join(
+            chr(int(c)) for c in rng.integers(32, 0x2FF, size=int(rng.integers(1, 20)))
+        ),
+    ]
+    return pools[int(rng.integers(len(pools)))]()
+
+
+def _hostile_preset_value(rng: np.random.Generator):
+    """A random JSON value for one preset key."""
+    r = rng.uniform()
+    if r < 0.25:
+        return float(rng.uniform(-1e3, 1e3))
+    if r < 0.35:
+        return float(rng.choice([np.inf, -np.inf, np.nan, 1e308, -0.0, 5e-324]))
+    if r < 0.5:
+        return str(rng.choice(["Plate", "xxx", "1.5", "inf", "nan", "", "1e999"]))
+    if r < 0.6:
+        return bool(rng.integers(2))
+    if r < 0.7:
+        return None
+    if r < 0.8:
+        return [1, 2, 3]
+    if r < 0.9:
+        return {"a": 1}
+    return int(rng.integers(-(2**40), 2**40))
+
+
+def run_preset(n_cases: int, start_seed: int) -> int:
+    """PresetStore CRUD + RenderParams coercion under hostile names, values
+    and file contents.
+
+    Contract per case (the studio/HTTP 400 error contract, plus filesystem
+    containment):
+    - every store operation either returns or raises ValueError (incl.
+      JSONDecodeError/UnicodeDecodeError) / FileNotFoundError — any other
+      exception type is a bug;
+    - nothing outside ``<base>/presets_v4`` (plus an explicitly-directed
+      zip path) is ever created, modified or deleted — traversal-shaped
+      names must not escape;
+    - a SUCCESSFUL save round-trips: load(filename) reproduces every field
+      of the saved params exactly (NaN-aware), and the last-used pointer
+      points at the new file;
+    - from_preset_dict is total over arbitrary JSON values per key and
+      raises ValueError on non-object payloads.
+    """
+    import dataclasses
+    import shutil
+    import tempfile
+
+    from audio_raytracing_studio_tpu import config
+    from audio_raytracing_studio_tpu.params import RenderParams
+    from audio_raytracing_studio_tpu.utils.presets import PresetStore
+
+    CLEAN = (ValueError, FileNotFoundError)  # JSONDecodeError ⊂ ValueError
+
+    def snapshot(root: str) -> dict:
+        out = {}
+        for dp, _, fns in os.walk(root):
+            for fn in fns:
+                p = os.path.join(dp, fn)
+                try:
+                    out[p] = os.path.getsize(p)
+                except OSError:
+                    out[p] = -1
+        return out
+
+    def fields_equal(a: RenderParams, b: RenderParams) -> bool:
+        for f in dataclasses.fields(a):
+            va, vb = getattr(a, f.name), getattr(b, f.name)
+            if isinstance(va, float) and isinstance(vb, float):
+                if not (va == vb or (np.isnan(va) and np.isnan(vb))):
+                    return False
+            elif va != vb:
+                return False
+        return True
+
+    failures = 0
+    t0 = time.time()
+    for i in range(n_cases):
+        seed = start_seed + i
+        rng = np.random.default_rng(seed)
+        case_dir = tempfile.mkdtemp(prefix="ars_presetfuzz_")
+        decoy = os.path.join(case_dir, "decoy", "secret.txt")
+        os.makedirs(os.path.dirname(decoy))
+        with open(decoy, "w") as f:
+            f.write("canary")
+        base = os.path.join(case_dir, "store")
+        os.makedirs(base)
+        store = PresetStore(base)
+        preset_dir = os.path.realpath(store.preset_dir)
+        zip_target = os.path.join(case_dir, "export.zip")
+        op_log = []
+        try:
+            for _ in range(int(rng.integers(8, 25))):
+                before = snapshot(case_dir)
+                op = rng.choice(
+                    ["save", "load", "delete", "list", "zip", "corrupt",
+                     "last", "raw_dict"]
+                )
+                name = _hostile_name(rng)
+                op_log.append((str(op), name[:40]))
+                try:
+                    if op == "save":
+                        p = _random_params(rng)
+                        if rng.uniform() < 0.3:
+                            p = dataclasses.replace(
+                                p,
+                                room_size=float(
+                                    rng.choice([np.nan, np.inf, -np.inf, 1e308])
+                                ),
+                            )
+                        _, filename = store.save(name, p)
+                        loaded = store.load(filename)
+                        if not fields_equal(p, RenderParams.from_preset_dict(
+                            p.to_preset_dict()
+                        )) or not fields_equal(
+                            RenderParams.from_preset_dict(p.to_preset_dict()),
+                            loaded,
+                        ):
+                            raise AssertionError(
+                                f"save/load round-trip mismatch for {name!r}"
+                            )
+                        if store.load_last() != filename:
+                            raise AssertionError("last-used pointer not updated")
+                    elif op == "load":
+                        existing = store.list_presets()
+                        target = (
+                            str(rng.choice(existing))
+                            if existing and rng.uniform() < 0.5
+                            else name
+                        )
+                        out = store.load(target)
+                        if not isinstance(out, RenderParams):
+                            raise AssertionError("load returned non-params")
+                    elif op == "delete":
+                        res = store.delete(name)
+                        if not isinstance(res, bool):
+                            raise AssertionError("delete returned non-bool")
+                    elif op == "list":
+                        store.list_presets()
+                    elif op == "zip":
+                        store.export_zip(zip_target)
+                    elif op == "corrupt":
+                        store.ensure_dir()
+                        fn = os.path.join(
+                            preset_dir, f"c{int(rng.integers(5))}_v4.json"
+                        )
+                        kind = rng.uniform()
+                        if kind < 0.3:
+                            body = rng.bytes(int(rng.integers(0, 200)))
+                        elif kind < 0.6:
+                            body = json.dumps(
+                                [_hostile_preset_value(rng) for _ in range(3)]
+                            ).encode()
+                        else:
+                            body = json.dumps({
+                                k: _hostile_preset_value(rng)
+                                for k in list(config.PRESET_KEYS)[
+                                    : int(rng.integers(0, 17))
+                                ]
+                            }).encode()
+                        with open(fn, "wb") as f:
+                            f.write(body)
+                        out = store.load(os.path.basename(fn))
+                        if not isinstance(out, RenderParams):
+                            raise AssertionError("load returned non-params")
+                    elif op == "last":
+                        store.ensure_dir()
+                        with open(store.last_preset_file, "wb") as f:
+                            f.write(rng.bytes(int(rng.integers(0, 40))))
+                        last = store.load_last()
+                        if last is not None and not isinstance(last, str):
+                            raise AssertionError("load_last returned non-str")
+                    else:  # raw_dict — from_preset_dict totality
+                        val = _hostile_preset_value(rng)
+                        if isinstance(val, dict) or rng.uniform() < 0.5:
+                            RenderParams.from_preset_dict({
+                                k: _hostile_preset_value(rng)
+                                for k in list(config.PRESET_KEYS)
+                            })
+                        else:
+                            try:
+                                RenderParams.from_preset_dict(val)
+                                raise AssertionError(
+                                    f"from_preset_dict accepted {type(val)}"
+                                )
+                            except ValueError:
+                                pass
+                except CLEAN:
+                    pass
+                after = snapshot(case_dir)
+                for path in set(before) | set(after):
+                    inside = os.path.realpath(path).startswith(
+                        preset_dir + os.sep
+                    ) or os.path.realpath(path) == os.path.realpath(zip_target)
+                    if not inside and before.get(path) != after.get(path):
+                        raise AssertionError(
+                            f"op {op}({name!r}) touched {path} outside the store"
+                        )
+                if open(decoy).read() != "canary":
+                    raise AssertionError("decoy file modified")
+        except AssertionError as e:
+            failures += 1
+            _record("preset_violation", {
+                "seed": seed, "error": str(e), "ops": op_log[-5:],
+            })
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            _record("preset_bad_exception", {
+                "seed": seed, "error": f"{type(e).__name__}: {e}",
+                "ops": op_log[-5:],
+                "trace": traceback.format_exc()[-2000:],
+            })
+        finally:
+            shutil.rmtree(case_dir, ignore_errors=True)
+        if (i + 1) % 25 == 0:
+            dt = time.time() - t0
+            print(
+                f"[preset] {i + 1}/{n_cases} cases, {failures} failures, "
+                f"{dt / (i + 1):.2f} s/case",
+                flush=True,
+            )
+    print(f"[preset] DONE: {n_cases} cases, {failures} failures")
+    return failures
+
+
+MODES["preset"] = run_preset
+
+
 def main() -> int:
     args = sys.argv[1:]
     if not args or args[0] not in MODES:
