@@ -30,6 +30,7 @@ from __future__ import annotations
 import html
 import json
 import logging
+import math
 import os
 import threading
 import urllib.parse
@@ -78,6 +79,50 @@ def _jsonable(value: Any) -> Any:
     if isinstance(value, dict):
         return {str(k): _jsonable(v) for k, v in value.items()}
     return repr(value)
+
+
+def _vet_client_type(comp: "hl.Component", value: Any) -> Any:
+    """Type-check (and for sliders, clamp) a CLIENT-set component value —
+    the constraints real gradio's frontend enforces before a value can
+    reach a handler.  Without this, POST /set can place arbitrary JSON in
+    any component and the next event fires it into handler code that
+    assumes UI-shaped inputs (``texts.get(unhashable_list)``, marker
+    math on strings/Infinity, ...).  Server-side handler updates do NOT
+    pass through here — handlers may hold richer values.
+
+    Returns the (possibly clamped) value; raises ValueError on mismatch.
+    """
+    name = type(comp).__name__
+    if isinstance(comp, hl.Checkbox):
+        if not isinstance(value, bool):
+            raise ValueError(f"{name} value must be a boolean")
+        return value
+    if isinstance(comp, (hl.Slider, hl.Number)):
+        if isinstance(value, bool) or not isinstance(value, (int, float)):
+            raise ValueError(f"{name} value must be a number")
+        if not math.isfinite(value):
+            raise ValueError(f"{name} value must be finite")
+        if isinstance(comp, hl.Slider):
+            # the real frontend can only produce in-range values
+            return min(max(float(value), float(comp.minimum)),
+                       float(comp.maximum))
+        return value
+    if isinstance(comp, hl.Dropdown):
+        if value is None:
+            return value
+        if not isinstance(value, str):
+            raise ValueError(f"{name} value must be a string")
+        choices = comp.choices or []
+        if choices and value not in choices:
+            # gradio's allow_custom_value=False default: a non-member
+            # selection is a frontend impossibility
+            raise ValueError(f"{name} value must be one of its choices")
+        return value
+    # Textbox/Button/Label/Markdown/Image/File/Audio: strings (paths go
+    # through the separate servability vetting) or null
+    if value is None or isinstance(value, str):
+        return value
+    raise ValueError(f"{name} value must be a string")
 
 
 def _iter_strings(value: Any):
@@ -197,6 +242,7 @@ class StudioHTTPServer:
                     raise PermissionError(
                         f"refusing client-set path for component {key}: {s!r}"
                     )
+            value = _vet_client_type(comp, value)
             staged.append((comp, value))
         for comp, value in staged:
             comp.value = value

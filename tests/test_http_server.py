@@ -319,24 +319,35 @@ def test_rejected_set_applies_nothing(served):
 
 def test_preset_delete_cannot_traverse(served):
     """A traversal-shaped preset name posted over the wire must not delete
-    files outside presets_v4/ — '../evil.json' is not an existing file
-    relative to the server cwd (so the /set gate passes it), but resolves
-    to one from inside the preset dir."""
-    server, _, root = served
+    files outside presets_v4/.  Two independent layers: the typed /set
+    vetting rejects a non-member Dropdown value outright (400, real
+    gradio's allow_custom_value=False), and — defense in depth — the
+    PresetStore refuses traversal-shaped names even when the handler is
+    called directly."""
+    server, demo, root = served
     evil = root / "evil.json"
     evil.write_text("{}")
     comps = _state(server)
     plist = _by_label(comps, "📂 Presets (v4)")
     delete = _by_label(comps, "🗑️ Löschen")
-    status, data = _post_json(
-        server,
-        "/event",
-        {"id": delete["id"], "event": "click",
-         "set": {str(plist["id"]): "../evil.json"}},
-    )
-    assert status == 200
+    try:
+        status, _ = _post_json(
+            server,
+            "/event",
+            {"id": delete["id"], "event": "click",
+             "set": {str(plist["id"]): "../evil.json"}},
+        )
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400, "non-member dropdown value must be rejected"
     assert evil.exists(), "path traversal deleted a file outside presets_v4/"
-    assert "nicht gefunden" in str(_by_label(data["components"], "Status")["value"])
+    # layer 2: the handler itself (store-level _member_path defense)
+    from audio_raytracing_studio_tpu.app.studio import delete_preset
+    from audio_raytracing_studio_tpu.utils.presets import PresetStore
+
+    msg, _ = delete_preset(PresetStore(str(root)), "../evil.json")
+    assert "nicht gefunden" in msg
+    assert evil.exists(), "handler-level traversal deleted an outside file"
 
 
 def test_handler_keyerror_is_500_not_400(served):
@@ -457,6 +468,56 @@ def test_wrong_typed_payloads_are_400(served):
         assert status == 400, f"{path} {payload!r} → {status}, want 400"
     # the server is still alive and consistent
     assert _state(server)
+
+
+def test_client_sets_are_type_vetted(served):
+    """POST /set enforces the value types real gradio's frontend can
+    produce: without this, arbitrary JSON lands in components and the next
+    event fires it into handlers that assume UI-shaped inputs
+    (texts.get(unhashable list), marker math on strings/Infinity)."""
+    server, _, _ = served
+    comps = _state(server)
+    by_type = {}
+    for c in comps:
+        by_type.setdefault(c["type"], c)
+    slider = by_type["Slider"]
+    checkbox = by_type["Checkbox"]
+    dropdown = by_type["Dropdown"]
+    textbox = by_type["Textbox"]
+    bad = [
+        (slider, "0.5"), (slider, [0.5]), (slider, True), (slider, None),
+        (checkbox, 1), (checkbox, "true"), (checkbox, None),
+        (dropdown, 7), (dropdown, ["Room"]), (dropdown, "NotAChoice"),
+        (textbox, 5), (textbox, [1]), (textbox, {"a": 1}),
+    ]
+    for comp, value in bad:
+        try:
+            status, _ = _post_json(
+                server, "/set", {"id": comp["id"], "value": value}
+            )
+        except urllib.error.HTTPError as e:
+            status = e.code
+        assert status == 400, f"{comp['type']} accepted {value!r}"
+    # Infinity is valid JSON for python's parser but no frontend emits it
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/set",
+        data=json.dumps({"id": slider["id"], "value": 1.0}).encode().replace(
+            b"1.0", b"Infinity"
+        ),
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            status = r.status
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 400
+    # out-of-range slider values clamp to the widget's bounds (frontend
+    # behavior); in-type values round-trip
+    status, data = _post_json(server, "/set", {"id": slider["id"], "value": 1e9})
+    assert status == 200
+    new_val = _by_label(data["components"], slider["label"])["value"]
+    assert float(new_val) <= 1e6, "slider value did not clamp"
 
 
 def test_negative_component_ids_are_400(served):
