@@ -1272,6 +1272,202 @@ def run_preset(n_cases: int, start_seed: int) -> int:
 MODES["preset"] = run_preset
 
 
+# -------------------------------------------------------------------- ui ---
+
+
+def run_ui(n_cases: int, start_seed: int) -> int:
+    """Type-VALID adversarial traffic through the real studio event graph.
+
+    Complements http mode (protocol hostility) and the typed /set vetting
+    (wrong-typed values are 400s at the boundary): every value sent here is
+    one the real gradio frontend could produce — member dropdown choices,
+    finite in-range sliders, booleans, arbitrary unicode text, real file
+    uploads, map clicks at arbitrary pixels — driven through random event
+    sequences.  Any 5xx is therefore a HANDLER bug, and a dead server or
+    unparseable /state is a runtime bug.  One case = one fresh studio
+    server + 10-30 seeded ops (the render cache persists in-process, so
+    later cases reuse compiled executables).
+    """
+    import io
+    import shutil
+    import tempfile
+    import urllib.error
+    import urllib.request
+
+    from audio_raytracing_studio_tpu.app import marker, studio
+    from audio_raytracing_studio_tpu.app.server import StudioHTTPServer
+    from audio_raytracing_studio_tpu.utils import wavio
+    from audio_raytracing_studio_tpu.utils.presets import PresetStore
+
+    def post(port, path, payload: dict):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(payload).encode(),
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=180) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            return e.code, None
+
+    def upload(port, name, body: bytes):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/upload",
+            data=body,
+            headers={"X-Filename": name},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read())["path"]
+
+    def valid_value(rng, comp):
+        t = comp["type"]
+        if t == "Slider":
+            lo = float(comp.get("minimum", 0.0))
+            hi = float(comp.get("maximum", 1.0))
+            r = rng.uniform()
+            if r < 0.15:
+                return lo
+            if r < 0.3:
+                return hi
+            return float(rng.uniform(lo, hi))
+        if t == "Checkbox":
+            return bool(rng.integers(2))
+        if t == "Dropdown":
+            choices = comp.get("choices") or []
+            if not choices or rng.uniform() < 0.1:
+                return None
+            return str(rng.choice(choices))
+        if t == "Number":
+            return float(rng.uniform(-1e6, 1e6))
+        # Textbox and friends: arbitrary unicode incl. hostile names
+        return _hostile_name(rng).replace("\x00", "")[:250]
+
+    failures = 0
+    t0 = time.time()
+    for i in range(n_cases):
+        seed = start_seed + i
+        rng = np.random.default_rng(seed)
+        case_dir = tempfile.mkdtemp(prefix="ars_uifuzz_")
+        cwd = os.getcwd()
+        os.chdir(case_dir)
+        srv = None
+        op_log = []
+        try:
+            marker.ensure_map_asset()
+            demo = studio.build_demo(PresetStore(case_dir))
+            srv = StudioHTTPServer(demo, host="127.0.0.1", port=0).start()
+            # a couple of real uploads for Audio/File components
+            paths = []
+            for u in range(2):
+                rate = int(rng.choice([8000, 16000, 44100]))
+                n = int(rng.integers(200, rate // 2))
+                x = (0.4 * rng.standard_normal(n)).astype(np.float32)
+                if rng.uniform() < 0.4:
+                    x = np.stack([x, x * 0.5], axis=1)
+                buf = io.BytesIO()
+                wavio.write(buf, x, rate)
+                paths.append(upload(srv.port, f"clip{u}.wav", buf.getvalue()))
+            renders_left = 2
+            for _ in range(int(rng.integers(10, 30))):
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{srv.port}/state", timeout=60
+                ) as r:
+                    comps = json.loads(r.read())["components"]
+                op = rng.choice(["set", "set", "event", "upload_set", "select"])
+                if op == "set":
+                    comp = comps[int(rng.integers(len(comps)))]
+                    value = valid_value(rng, comp)
+                    op_log.append(("set", comp["type"], str(value)[:30]))
+                    code, _ = post(srv.port, "/set", {
+                        "id": comp["id"], "value": value,
+                        "fire_change": bool(rng.integers(2)),
+                    })
+                elif op == "upload_set":
+                    targets = [c for c in comps if c["type"] in ("Audio", "File")]
+                    if not targets:
+                        continue
+                    comp = targets[int(rng.integers(len(targets)))]
+                    op_log.append(("upload_set", comp.get("label")))
+                    code, _ = post(srv.port, "/set", {
+                        "id": comp["id"],
+                        "value": str(rng.choice(paths)),
+                    })
+                elif op == "select":
+                    sel = [c for c in comps if "select" in c.get("events", ())]
+                    if not sel:
+                        continue
+                    comp = sel[int(rng.integers(len(sel)))]
+                    index = [
+                        int(rng.integers(-50, 2000)),
+                        int(rng.integers(-50, 2000)),
+                    ]
+                    op_log.append(("select", comp.get("label"), index))
+                    code, _ = post(srv.port, "/event", {
+                        "id": comp["id"], "event": "select", "index": index,
+                    })
+                else:
+                    evented = [
+                        (c, e) for c in comps for e in c.get("events", ())
+                    ]
+                    comp, event = evented[int(rng.integers(len(evented)))]
+                    label = str(comp.get("label") or comp.get("value"))
+                    if "Verarbeiten" in label or "Bearbeiten" in label:
+                        if renders_left <= 0:
+                            continue
+                        renders_left -= 1
+                    op_log.append(("event", label[:30], event))
+                    payload = {"id": comp["id"], "event": event}
+                    if event == "select":
+                        payload["index"] = [
+                            int(rng.integers(0, 900)),
+                            int(rng.integers(0, 900)),
+                        ]
+                    code, _ = post(srv.port, "/event", payload)
+                if code >= 500:
+                    raise AssertionError(
+                        f"5xx ({code}) on {op_log[-1]!r} with UI-shaped input"
+                    )
+            # the server must still answer with a parseable state
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/state", timeout=60
+            ) as r:
+                json.loads(r.read())
+        except AssertionError as e:
+            failures += 1
+            _record("ui_violation", {
+                "seed": seed, "error": str(e), "ops": op_log[-6:],
+            })
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            _record("ui_crash", {
+                "seed": seed, "error": f"{type(e).__name__}: {e}",
+                "ops": op_log[-6:],
+                "trace": traceback.format_exc()[-2000:],
+            })
+        finally:
+            if srv is not None:
+                try:
+                    srv.stop()
+                except Exception:  # noqa: BLE001
+                    pass
+            os.chdir(cwd)
+            shutil.rmtree(case_dir, ignore_errors=True)
+        if (i + 1) % 5 == 0:
+            dt = time.time() - t0
+            print(
+                f"[ui] {i + 1}/{n_cases} cases, {failures} failures, "
+                f"{dt / (i + 1):.1f} s/case",
+                flush=True,
+            )
+    print(f"[ui] DONE: {n_cases} cases, {failures} failures")
+    return failures
+
+
+MODES["ui"] = run_ui
+
+
 def main() -> int:
     args = sys.argv[1:]
     if not args or args[0] not in MODES:
