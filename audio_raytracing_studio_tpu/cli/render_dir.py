@@ -81,10 +81,21 @@ def main(argv=None) -> int:
     ensure_backend()
     from ..parallel.sharding import render_batch
 
-    os.makedirs(args.output, exist_ok=True)
-    names = discover(args.input)
+    try:
+        names = discover(args.input)
+    except OSError as e:
+        # a file where a directory belongs, a missing path, a permission
+        # wall: the CLI contract is "error: ..." + exit 1, not a traceback
+        # (fuzz-found, tools/fuzz_campaign.py cli mode seed 1200004)
+        print(f"error: cannot list {args.input!r}: {e}", file=sys.stderr)
+        return 1
     if not names:
         print("no audio files found", file=sys.stderr)
+        return 1
+    try:
+        os.makedirs(args.output, exist_ok=True)
+    except OSError as e:
+        print(f"error: cannot create {args.output!r}: {e}", file=sys.stderr)
         return 1
     p = params_from_args(args)
     if p.use_external_ir:

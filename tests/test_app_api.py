@@ -465,6 +465,25 @@ class TestRenderDir:
         rc = main([str(tmp_path / "empty"), str(tmp_path / "o"), "--layout", "Stereo"])
         assert rc == 1
 
+    def test_file_as_input_dir_is_clean_error(self, tmp_path, capsys):
+        """A FILE where the input directory belongs must be the CLI error
+        contract ('error: ...' + exit 1), not a NotADirectoryError
+        traceback (fuzz-found, cli mode seed 1200004). Same for an output
+        path that cannot be created."""
+        from audio_raytracing_studio_tpu.cli.render_dir import main
+
+        f = tmp_path / "clip.wav"
+        wavio.write(f, np.zeros(256, np.float32), 8000)
+        rc = main([str(f), str(tmp_path / "o"), "--layout", "Stereo"])
+        assert rc == 1
+        assert "error: cannot list" in capsys.readouterr().err
+        in_dir = tmp_path / "in"
+        in_dir.mkdir()
+        wavio.write(in_dir / "a.wav", np.zeros(256, np.float32), 8000)
+        rc = main([str(in_dir), str(f / "sub"), "--layout", "Stereo"])
+        assert rc == 1
+        assert "error: cannot create" in capsys.readouterr().err
+
     def test_same_stem_inputs_do_not_collide(self, tmp_path, capsys):
         """song.wav and song.mp3 both map to a .wav output — the second must
         uniquify, not silently overwrite the first from a pool thread."""

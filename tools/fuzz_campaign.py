@@ -1468,6 +1468,178 @@ def run_ui(n_cases: int, start_seed: int) -> int:
 MODES["ui"] = run_ui
 
 
+# ------------------------------------------------------------------- cli ---
+
+
+def run_cli(n_cases: int, start_seed: int) -> int:
+    """Hostile argv through the three CLI entry points, in-process.
+
+    Contract (the CLIs' documented error discipline): ``main(argv)``
+    returns an int exit code or raises SystemExit — never any other
+    exception — and stderr carries ``error: ...`` messages, never a
+    traceback.  Inputs may be hostile (missing files, directories, raw
+    bytes with audio magics, empty files); generated OUTPUT paths are
+    confined to the case dir.  A fraction of cases use a valid tiny clip
+    with sane flags so the deep paths (render, sweep, stream, metrics,
+    binaural, json, convert, normalize) actually execute.
+    """
+    import contextlib
+    import io
+    import shutil
+    import tempfile
+
+    from audio_raytracing_studio_tpu.cli import analyzer as cli_analyzer
+    from audio_raytracing_studio_tpu.cli import render as cli_render
+    from audio_raytracing_studio_tpu.cli import render_dir as cli_render_dir
+    from audio_raytracing_studio_tpu.utils import wavio
+
+    HALLS = ["Plate", "Room", "Cathedral"]
+    LAYOUTS = ["Stereo", "5.1 (Standard)", "7.1 (Surround)"]
+    VALUE_FLAGS = [
+        "--room-size", "--diffusion", "--air-absorption", "--early-level",
+        "--late-level", "--dry-wet", "--kill-start", "--bass-gain",
+        "--treble-gain", "--x", "--y", "--z", "--seed", "--chunk-seconds",
+        "--batch", "--target", "--bitrate", "--samplerate",
+    ]
+
+    def num_str(rng) -> str:
+        return str(rng.choice([
+            "0.5", "1", "-3", "0", "1e9", "-1e9", "inf", "-inf", "nan",
+            "abc", "", "0.0001", "99999", "--", "0x10", "1_000",
+        ]))
+
+    def make_inputs(rng, case_dir: str) -> list:
+        paths = []
+        ok = os.path.join(case_dir, "ok.wav")
+        rate = int(rng.choice([8000, 16000]))
+        n = int(rng.integers(400, rate))
+        x = (0.4 * rng.standard_normal(n)).astype(np.float32)
+        if rng.uniform() < 0.3:
+            x = np.stack([x, 0.5 * x], axis=1)
+        wavio.write(ok, x, rate)
+        paths.append(ok)
+        bad = os.path.join(case_dir, "bad.wav")
+        with open(bad, "wb") as f:
+            f.write(b"RIFF" + rng.bytes(int(rng.integers(0, 64))))
+        paths.append(bad)
+        empty = os.path.join(case_dir, "empty.flac")
+        open(empty, "wb").close()
+        paths.append(empty)
+        paths.append(os.path.join(case_dir, "missing.wav"))
+        paths.append(case_dir)  # a directory where a file is expected
+        return paths
+
+    def random_argv(rng, case_dir: str, inputs: list) -> tuple:
+        sane = rng.uniform() < 0.35
+        out = os.path.join(
+            case_dir,
+            str(rng.choice(["out.wav", "out.flac", "out.ogg", "out.mp3",
+                            "o{i}.wav", "out.xyz", "out"])),
+        )
+        tool = rng.choice(["render", "render_dir", "analyzer"])
+        if tool == "analyzer":
+            sub = str(rng.choice(["analyze", "normalize", "convert", "bogus"]))
+            argv = [sub]
+            argv.append(str(rng.choice(inputs)) if not sane else inputs[0])
+            if sub in ("normalize", "convert") or rng.uniform() < 0.3:
+                argv.append(out)
+            for _ in range(int(rng.integers(0, 3))):
+                flag = str(rng.choice(["--target", "--bitrate", "--samplerate"]))
+                argv += [flag, "8000" if sane and flag == "--samplerate"
+                         else ("-16" if sane else num_str(rng))]
+            return cli_analyzer.main, argv
+        if tool == "render_dir":
+            indir = os.path.join(case_dir, "in")
+            os.makedirs(indir, exist_ok=True)
+            if rng.uniform() < 0.7:
+                shutil.copy(inputs[0], os.path.join(indir, "a.wav"))
+            if rng.uniform() < 0.3:
+                shutil.copy(inputs[1], os.path.join(indir, "b.wav"))
+            argv = [
+                str(rng.choice([indir, inputs[3], inputs[0]])) if not sane
+                else indir,
+                os.path.join(case_dir, "outdir"),
+            ]
+            fn = cli_render_dir.main
+        else:
+            argv = [str(rng.choice(inputs)) if not sane else inputs[0], out]
+            fn = cli_render.main
+            if rng.uniform() < 0.2:
+                argv += ["--sweep", str(rng.choice([
+                    "diffusion=0.2,0.8", "z=0.1,0.9", "bogus=1,2",
+                    "diffusion=", "diffusion=a,b", "=1,2",
+                ]))]
+            if rng.uniform() < 0.15:
+                argv += ["--stream", "--chunk-seconds",
+                         "1" if sane else num_str(rng)]
+            if rng.uniform() < 0.15:
+                argv += ["--binaural"]
+        for _ in range(int(rng.integers(0, 5))):
+            r = rng.uniform()
+            if r < 0.3:
+                argv += ["--hall", str(rng.choice(HALLS if sane
+                                                  else HALLS + ["Dome", ""]))]
+            elif r < 0.5:
+                argv += ["--layout", str(rng.choice(LAYOUTS))]
+            elif r < 0.9:
+                flag = str(rng.choice(VALUE_FLAGS[:13]))
+                argv += [flag, str(rng.uniform(0, 2))[:6] if sane
+                         else num_str(rng)]
+            else:
+                argv += [str(rng.choice(["--metrics", "--json", "--preset",
+                                         "--bogus-flag"]))]
+        return fn, argv
+
+    failures = 0
+    t0 = time.time()
+    for i in range(n_cases):
+        seed = start_seed + i
+        rng = np.random.default_rng(seed)
+        case_dir = tempfile.mkdtemp(prefix="ars_clifuzz_")
+        inputs = make_inputs(rng, case_dir)
+        fn, argv = random_argv(rng, case_dir, inputs)
+        out_buf, err_buf = io.StringIO(), io.StringIO()
+        try:
+            with contextlib.redirect_stdout(out_buf), \
+                    contextlib.redirect_stderr(err_buf):
+                try:
+                    rc = fn(argv)
+                except SystemExit:
+                    rc = 0  # argparse exit — clean by contract
+            if not isinstance(rc, int) and rc is not None:
+                raise AssertionError(f"main returned {type(rc).__name__}")
+            err = err_buf.getvalue()
+            if "Traceback (most recent call last)" in err:
+                raise AssertionError("traceback printed to stderr")
+        except AssertionError as e:
+            failures += 1
+            _record("cli_violation", {
+                "seed": seed, "error": str(e), "argv": argv[:20],
+                "stderr_tail": err_buf.getvalue()[-500:],
+            })
+        except Exception as e:  # noqa: BLE001
+            failures += 1
+            _record("cli_bad_exception", {
+                "seed": seed, "error": f"{type(e).__name__}: {e}",
+                "argv": argv[:20],
+                "trace": traceback.format_exc()[-2000:],
+            })
+        finally:
+            shutil.rmtree(case_dir, ignore_errors=True)
+        if (i + 1) % 10 == 0:
+            dt = time.time() - t0
+            print(
+                f"[cli] {i + 1}/{n_cases} cases, {failures} failures, "
+                f"{dt / (i + 1):.1f} s/case",
+                flush=True,
+            )
+    print(f"[cli] DONE: {n_cases} cases, {failures} failures")
+    return failures
+
+
+MODES["cli"] = run_cli
+
+
 def main() -> int:
     args = sys.argv[1:]
     if not args or args[0] not in MODES:
