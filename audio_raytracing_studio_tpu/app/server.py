@@ -108,14 +108,19 @@ def _vet_client_type(comp: "hl.Component", value: Any) -> Any:
                        float(comp.maximum))
         return value
     if isinstance(comp, hl.Dropdown):
-        if value is None:
-            return value
+        if value is None or value == "":
+            # a <select> with no selection serializes as "" — the built-in
+            # JS client echoes it for every null-valued dropdown on every
+            # event POST, so "" must mean None or one deleted preset
+            # bricks all subsequent UI events (review finding)
+            return None
         if not isinstance(value, str):
             raise ValueError(f"{name} value must be a string")
-        choices = comp.choices or []
-        if choices and value not in choices:
+        if value not in (comp.choices or []):
             # gradio's allow_custom_value=False default: a non-member
-            # selection is a frontend impossibility
+            # selection is a frontend impossibility — and with NO choices
+            # nothing is selectable at all (an empty-choices waiver would
+            # leave a pristine store's dropdown as an unvetted string slot)
             raise ValueError(f"{name} value must be one of its choices")
         return value
     # Textbox/Button/Label/Markdown/Image/File/Audio: strings (paths go

@@ -224,40 +224,68 @@ def main(argv=None) -> int:
         )
 
         from ..models.pipeline import _ensure_stereo_host
+        from ..params import eq_enabled
 
-        clips = np.zeros((len(chunk), n_bucket, 2), dtype=np.float32)
-        for i, data in enumerate(datas):
-            # lossy probes can under-declare by a codec frame (MP4 padding);
-            # never let a decoded clip overrun its bucket
-            stereo = _ensure_stereo_host(data)[:n_bucket]
-            clips[i, : stereo.shape[0], :] = stereo
-
-        if args.binaural:
-            # binaural post-processing runs on host floats and re-meters
-            outs = render_batch(
-                clips, rate, p,
-                seeds=[args.seed + base + i for i in range(len(chunk))],
-                fast_filters=True,
-            )
-            batch_metrics = None
-        elif want_metrics:
-            outs, batch_metrics = render_batch(
-                clips, rate, p,
-                seeds=[args.seed + base + i for i in range(len(chunk))],
-                fast_filters=True, with_metrics=True, pcm16_output=True,
-                clip_lengths=[min(frames, n_bucket) for _, frames in chunk],
-            )
+        # lossy probes can mis-declare by a codec frame in EITHER direction
+        # (MP4 padding): never let a decoded clip overrun its bucket, and
+        # never let a SHORT decode zero-pad an exact-length EQ bucket (the
+        # circular EQ is out of contract on padding — the sharding guard;
+        # review finding). Short EQ decodes re-route to sub-batches keyed
+        # by their DECODED length.
+        decoded = [_ensure_stereo_host(d)[:n_bucket] for d in datas]
+        groups = []
+        if eq_enabled(p.bass_gain, p.treble_gain) and any(
+            s.shape[0] != n_bucket for s in decoded
+        ):
+            by_len: dict = {}
+            for i, s in enumerate(decoded):
+                by_len.setdefault(s.shape[0], []).append(i)
+            for n_len, idxs in sorted(by_len.items()):
+                arr = np.zeros((len(idxs), n_len, 2), dtype=np.float32)
+                for j, i in enumerate(idxs):
+                    arr[j] = decoded[i][:n_len]
+                groups.append((
+                    arr,
+                    [(chunk[i][0], n_len) for i in idxs],
+                    n_len,
+                    [args.seed + base + i for i in idxs],
+                ))
         else:
-            # no metrics requested → skip the whole on-device meter pass
-            outs = render_batch(
-                clips, rate, p,
-                seeds=[args.seed + base + i for i in range(len(chunk))],
-                fast_filters=True, pcm16_output=True,
+            clips = np.zeros((len(chunk), n_bucket, 2), dtype=np.float32)
+            for i, s in enumerate(decoded):
+                clips[i, : s.shape[0], :] = s
+            groups.append((
+                clips,
+                list(chunk),
+                n_bucket,
+                [args.seed + base + i for i in range(len(chunk))],
+            ))
+
+        for g_clips, g_chunk, g_len, g_seeds in groups:
+            if args.binaural:
+                # binaural post-processing runs on host floats and re-meters
+                outs = render_batch(
+                    g_clips, rate, p, seeds=g_seeds, fast_filters=True,
+                )
+                batch_metrics = None
+            elif want_metrics:
+                outs, batch_metrics = render_batch(
+                    g_clips, rate, p, seeds=g_seeds,
+                    fast_filters=True, with_metrics=True, pcm16_output=True,
+                    clip_lengths=[min(f, g_len) for _, f in g_chunk],
+                )
+            else:
+                # no metrics requested → skip the whole on-device meter pass
+                outs = render_batch(
+                    g_clips, rate, p, seeds=g_seeds,
+                    fast_filters=True, pcm16_output=True,
+                )
+                batch_metrics = None
+            post_futures.append(
+                io_pool.submit(
+                    post_chunk, outs, batch_metrics, g_chunk, rate, g_len
+                )
             )
-            batch_metrics = None
-        post_futures.append(
-            io_pool.submit(post_chunk, outs, batch_metrics, chunk, rate, n_bucket)
-        )
         audio_seconds += sum(frames for _, frames in chunk) / rate
 
     results = [r for f in post_futures for r in f.result()]

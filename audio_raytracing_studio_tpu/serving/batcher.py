@@ -119,6 +119,17 @@ class RenderService:
     max_queued:   submit() raises RuntimeError once this many jobs are
                   waiting (backpressure — each queued job holds its whole
                   decoded clip in host RAM; HTTP maps this to 503).
+    eq_shape_budget: EQ-on jobs batch by their EXACT length (padding is out
+                  of the EQ parity contract), so every distinct off-grid
+                  clip length with EQ compiles a fresh executable — minutes
+                  per shape through the TPU tunnel.  This caps the number
+                  of distinct off-grid (rate, length) EQ signatures the
+                  service will ever admit; beyond it, new lengths fail
+                  fast with ValueError (HTTP 400 — not retryable: the
+                  budget does not drain) telling the client to disable EQ,
+                  use a half-second-grid clip length, or deploy with a
+                  larger budget.  Grid-aligned lengths are exempt (their
+                  compile set is bounded by the grid).  None disables.
     start:        spawn the worker immediately (tests pass False to stage
                   jobs deterministically before the first dispatch).
     """
@@ -135,6 +146,7 @@ class RenderService:
         streaming_threshold_s: Optional[float] = 600.0,
         chunk_seconds: float = 30.0,
         max_queued: int = 64,
+        eq_shape_budget: Optional[int] = 16,
         start: bool = True,
     ):
         if max_batch < 1:
@@ -157,6 +169,10 @@ class RenderService:
         self.streaming_threshold_s = streaming_threshold_s
         self.chunk_seconds = float(chunk_seconds)
         self.max_queued = int(max_queued)
+        self.eq_shape_budget = (
+            None if eq_shape_budget is None else int(eq_shape_budget)
+        )
+        self._eq_shapes: set = set()
         self._q: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()
         self._batch_sizes: List[int] = []
@@ -268,8 +284,10 @@ class RenderService:
         if not isinstance(job.params, RenderParams):
             raise ValueError("job.params must be a RenderParams")
         clip = pipeline._ensure_stereo_host(audio)
-        n_bucket = bucket_length(clip.shape[0], rate)
-        if pipeline.eq_enabled(job.params.bass_gain, job.params.treble_gain):
+        grid_bucket = bucket_length(clip.shape[0], rate)
+        n_bucket = grid_bucket
+        eq_on = pipeline.eq_enabled(job.params.bass_gain, job.params.treble_gain)
+        if eq_on:
             # the exact-length circular EQ cannot run on bucket padding
             # (render_batch rejects it — the brick-wall masks make the
             # padded-length wrap deviate ~1e-2 from the clip's true-length
@@ -281,6 +299,29 @@ class RenderService:
             self.streaming_threshold_s is not None
             and clip.shape[0] > self.streaming_threshold_s * rate
         )
+
+        if (
+            eq_on
+            and not streaming
+            and self.eq_shape_budget is not None
+            and n_bucket != grid_bucket
+        ):
+            # every distinct off-grid EQ length is a fresh compile (minutes
+            # through the TPU tunnel) — admission-control the shape set so
+            # arbitrary-length uploads cannot grow it without bound
+            # (review finding: a trivially triggerable compile-stall DoS)
+            sig = (rate, n_bucket)
+            with self._lock:
+                if sig not in self._eq_shapes:
+                    if len(self._eq_shapes) >= self.eq_shape_budget:
+                        raise ValueError(
+                            "EQ shape budget exhausted "
+                            f"({self.eq_shape_budget} distinct off-grid clip "
+                            "lengths with EQ): disable EQ, pad/trim the clip "
+                            "to a half-second-grid length, or deploy with a "
+                            "larger eq_shape_budget"
+                        )
+                    self._eq_shapes.add(sig)
 
         if job.params.use_external_ir:
             if job.external_ir is None:

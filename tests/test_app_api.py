@@ -484,6 +484,60 @@ class TestRenderDir:
         assert rc == 1
         assert "error: cannot create" in capsys.readouterr().err
 
+    def test_eq_group_rerouted_when_decode_shorter_than_header(
+        self, tmp_path, capsys, monkeypatch
+    ):
+        """Lossy headers can OVER-declare frames; the decoded clip would
+        then zero-pad its 'exact-length' EQ bucket, silently bypassing the
+        sharding padded-EQ guard (review finding: the >1e-3-class padded
+        circular EQ). Short decodes re-route to sub-batches keyed by their
+        DECODED length and must equal the unpadded solo render."""
+        from audio_raytracing_studio_tpu.cli import render_dir
+        from audio_raytracing_studio_tpu.models import pipeline
+        from audio_raytracing_studio_tpu.params import RenderParams
+
+        in_dir, out_dir = tmp_path / "in", tmp_path / "out"
+        in_dir.mkdir()
+        rate, n, short = 8000, 4100, 777
+        for k, name in enumerate(("a.wav", "b.wav")):
+            x = (0.3 * np.random.default_rng(k).standard_normal(n)).astype(
+                np.float32
+            )
+            wavio.write(in_dir / name, x, rate)
+
+        real_read = wavio.read
+
+        def fake_read(path, *a, **kw):
+            data, r = real_read(path, *a, **kw)
+            if str(path).endswith("a.wav"):
+                data = data[:-short]  # decoder delivers less than the header
+            return data, r
+
+        monkeypatch.setattr(render_dir.wavio, "read", fake_read)
+        rc = render_dir.main([
+            str(in_dir), str(out_dir), "--layout", "Stereo",
+            "--bass-gain", "1.6", "--batch", "4",
+        ])
+        assert rc == 0
+        p = RenderParams(target_layout="Stereo", bass_gain=1.6)
+        # ground truth renders the PCM16-decoded samples the CLI saw (the
+        # conditional normalization is threshold-sensitive, PARITY.md §6)
+        for name, seed, data in (
+            ("a.wav", 0, real_read(in_dir / "a.wav")[0][:-short]),
+            ("b.wav", 1, real_read(in_dir / "b.wav")[0]),
+        ):
+            got, r = real_read(out_dir / name)
+            solo = np.clip(
+                np.asarray(pipeline.render(
+                    data, rate, p, seed=seed, fast_filters=True
+                )),
+                -1, 1,
+            )
+            assert got.shape == solo.shape, (name, got.shape, solo.shape)
+            np.testing.assert_allclose(
+                got, solo, atol=2e-4 + 1 / 32768, err_msg=name
+            )
+
     def test_same_stem_inputs_do_not_collide(self, tmp_path, capsys):
         """song.wav and song.mp3 both map to a .wav output — the second must
         uniquify, not silently overwrite the first from a pool thread."""

@@ -518,6 +518,16 @@ def test_client_sets_are_type_vetted(served):
     assert status == 200
     new_val = _by_label(data["components"], slider["label"])["value"]
     assert float(new_val) <= 1e6, "slider value did not clamp"
+    # "" is how a <select> with no selection serializes: the built-in JS
+    # client echoes it for every null dropdown on EVERY event POST, so it
+    # must mean None — rejecting it bricks all UI events after a preset
+    # delete (review finding)
+    status, data = _post_json(server, "/set", {"id": dropdown["id"], "value": ""})
+    assert status == 200
+    assert _by_label(data["components"], dropdown["label"])["value"] is None
+    if dropdown.get("value") is not None:  # leave the module server tidy
+        _post_json(server, "/set", {"id": dropdown["id"],
+                                    "value": dropdown["value"]})
 
 
 def test_negative_component_ids_are_400(served):

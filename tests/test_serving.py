@@ -136,6 +136,34 @@ class TestBatcher:
         finally:
             svc.stop()
 
+    def test_eq_shape_budget_bounds_offgrid_compiles(self):
+        """Every distinct off-grid EQ length is a fresh XLA compile
+        (minutes through the TPU tunnel) — without a bound,
+        arbitrary-length EQ uploads are a compile-stall DoS (review
+        finding). Grid-aligned lengths are exempt; repeats are free."""
+        svc = RenderService(max_batch=4, max_wait_ms=20, eq_shape_budget=2,
+                            start=False)
+        p = RenderParams(target_layout="Stereo", room_size=50.0,
+                         bass_gain=1.5)
+        half = RATE // 2
+        clips = [make_clip(i, seconds=1.0) for i in range(6)]
+        # two distinct off-grid lengths fill the budget
+        svc.submit(RenderJob(clips[0][: half + 11], RATE, p))
+        svc.submit(RenderJob(clips[1][: half + 23], RATE, p))
+        # a repeat of an admitted length is free
+        svc.submit(RenderJob(clips[2][: half + 11], RATE, p))
+        # a grid-aligned EQ length never charges the budget
+        svc.submit(RenderJob(clips[3][:half], RATE, p))
+        # EQ-off jobs never charge it either
+        svc.submit(RenderJob(
+            clips[4][: half + 37], RATE,
+            RenderParams(target_layout="Stereo", room_size=50.0),
+        ))
+        # the third distinct off-grid EQ length is refused, fail-fast
+        with pytest.raises(ValueError, match="EQ shape budget"):
+            svc.submit(RenderJob(clips[5][: half + 99], RATE, p))
+        svc.stop()
+
     def test_distinct_specs_split_batches(self):
         svc = RenderService(max_batch=8, max_wait_ms=50, start=False)
         room = RenderParams(target_layout="Stereo", room_size=50.0)
