@@ -9,12 +9,11 @@ executable, and while the device renders micro-batch *i* a thread pool reads
 micro-batch *i+1* and writes the finished outputs.  Metrics are computed on
 the trimmed per-clip output (not the bucket padding).
 
-When shelf EQ is on (--bass-gain / --treble-gain ≠ 1), clips group by their
-EXACT length instead of the half-second grid: the exact-length circular EQ
-cannot run on bucket padding (its brick-wall masks deviate ~1e-2 from the
-clip's true-length EQ — see serving/batcher.py padding semantics).
-Same-length files still share one compiled batch; mixed lengths cost one
-compile each.
+Shelf EQ buckets like everything else: render_batch runs the exact
+circular EQ length-DYNAMICALLY for padded clips (chirps from each clip's
+true decoded length as traced scalars — ops.filters.apply_shelf_eq_dynamic,
+≤1e-6 vs the unpadded solo render), so mixed-length EQ-on directories share
+one compiled executable per (rate, bucket) too.
 
 Usage:
   python -m audio_raytracing_studio_tpu.cli.render_dir in_dir/ out_dir/ \
@@ -103,8 +102,6 @@ def main(argv=None) -> int:
         return 2
 
     # --- bucket by (rate, quantized length) from header-only probes ---
-    from ..params import eq_enabled
-
     buckets: dict = {}
     for name in names:
         try:
@@ -117,15 +114,7 @@ def main(argv=None) -> int:
             # would bucket to length 0 and render as pure silence — skip loud
             print(f"skipping {name}: could not determine length", file=sys.stderr)
             continue
-        if eq_enabled(p.bass_gain, p.treble_gain):
-            # the exact-length circular EQ cannot run on bucket padding
-            # (parallel.sharding.render_batch rejects it): EQ-on runs
-            # group by exact length — same-length files still batch, at
-            # the cost of one compile per distinct length
-            n_group = meta["frames"]
-        else:
-            n_group = _bucket_length(meta["frames"], meta["samplerate"])
-        key = (meta["samplerate"], n_group)
+        key = (meta["samplerate"], _bucket_length(meta["frames"], meta["samplerate"]))
         buckets.setdefault(key, []).append((name, meta["frames"]))
     if not buckets:
         print("no readable audio files", file=sys.stderr)
@@ -224,68 +213,48 @@ def main(argv=None) -> int:
         )
 
         from ..models.pipeline import _ensure_stereo_host
-        from ..params import eq_enabled
 
         # lossy probes can mis-declare by a codec frame in EITHER direction
         # (MP4 padding): never let a decoded clip overrun its bucket, and
-        # never let a SHORT decode zero-pad an exact-length EQ bucket (the
-        # circular EQ is out of contract on padding — the sharding guard;
-        # review finding). Short EQ decodes re-route to sub-batches keyed
-        # by their DECODED length.
+        # always hand render_batch the DECODED lengths — they drive the
+        # masked meter AND the length-dynamic exact EQ of padded clips
+        # (a short decode zero-padding a header-length EQ run was a review
+        # finding; the dynamic EQ keys on the true length, so header
+        # over-declares are harmless now)
         decoded = [_ensure_stereo_host(d)[:n_bucket] for d in datas]
-        groups = []
-        if eq_enabled(p.bass_gain, p.treble_gain) and any(
-            s.shape[0] != n_bucket for s in decoded
-        ):
-            by_len: dict = {}
-            for i, s in enumerate(decoded):
-                by_len.setdefault(s.shape[0], []).append(i)
-            for n_len, idxs in sorted(by_len.items()):
-                arr = np.zeros((len(idxs), n_len, 2), dtype=np.float32)
-                for j, i in enumerate(idxs):
-                    arr[j] = decoded[i][:n_len]
-                groups.append((
-                    arr,
-                    [(chunk[i][0], n_len) for i in idxs],
-                    n_len,
-                    [args.seed + base + i for i in idxs],
-                ))
-        else:
-            clips = np.zeros((len(chunk), n_bucket, 2), dtype=np.float32)
-            for i, s in enumerate(decoded):
-                clips[i, : s.shape[0], :] = s
-            groups.append((
-                clips,
-                list(chunk),
-                n_bucket,
-                [args.seed + base + i for i in range(len(chunk))],
-            ))
+        clips = np.zeros((len(chunk), n_bucket, 2), dtype=np.float32)
+        for i, st in enumerate(decoded):
+            clips[i, : st.shape[0], :] = st
+        # post_chunk trims with these lengths too — the written output must
+        # match the EQ'd true span, not the header's declared frame count
+        chunk = [(name, st.shape[0]) for (name, _f), st in zip(chunk, decoded)]
+        true_lens = [st.shape[0] for st in decoded]
+        seeds = [args.seed + base + i for i in range(len(chunk))]
 
-        for g_clips, g_chunk, g_len, g_seeds in groups:
-            if args.binaural:
-                # binaural post-processing runs on host floats and re-meters
-                outs = render_batch(
-                    g_clips, rate, p, seeds=g_seeds, fast_filters=True,
-                )
-                batch_metrics = None
-            elif want_metrics:
-                outs, batch_metrics = render_batch(
-                    g_clips, rate, p, seeds=g_seeds,
-                    fast_filters=True, with_metrics=True, pcm16_output=True,
-                    clip_lengths=[min(f, g_len) for _, f in g_chunk],
-                )
-            else:
-                # no metrics requested → skip the whole on-device meter pass
-                outs = render_batch(
-                    g_clips, rate, p, seeds=g_seeds,
-                    fast_filters=True, pcm16_output=True,
-                )
-                batch_metrics = None
-            post_futures.append(
-                io_pool.submit(
-                    post_chunk, outs, batch_metrics, g_chunk, rate, g_len
-                )
+        if args.binaural:
+            # binaural post-processing runs on host floats and re-meters
+            outs = render_batch(
+                clips, rate, p, seeds=seeds, fast_filters=True,
+                clip_lengths=true_lens,
             )
+            batch_metrics = None
+        elif want_metrics:
+            outs, batch_metrics = render_batch(
+                clips, rate, p, seeds=seeds,
+                fast_filters=True, with_metrics=True, pcm16_output=True,
+                clip_lengths=true_lens,
+            )
+        else:
+            # no metrics requested → skip the whole on-device meter pass
+            outs = render_batch(
+                clips, rate, p, seeds=seeds,
+                fast_filters=True, pcm16_output=True,
+                clip_lengths=true_lens,
+            )
+            batch_metrics = None
+        post_futures.append(
+            io_pool.submit(post_chunk, outs, batch_metrics, chunk, rate, n_bucket)
+        )
         audio_seconds += sum(frames for _, frames in chunk) / rate
 
     results = [r for f in post_futures for r in f.result()]

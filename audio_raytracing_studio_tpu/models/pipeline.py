@@ -94,10 +94,21 @@ def _mix_eq_spatial(
     wet_cn: jnp.ndarray,
     scal: MixScalars,
     spec: StaticSpec,
+    eq_dyn: Optional[filters.EQDyn] = None,
 ) -> jnp.ndarray:
-    """Shared back half: dry/wet mix → EQ → normalize → pan → map (C-leading)."""
+    """Shared back half: dry/wet mix → EQ → normalize → pan → map (C-leading).
+
+    ``eq_dyn`` switches the EQ to the length-DYNAMIC exact transform (the
+    clip's true output length as a traced scalar — batches of mixed-length
+    EQ-on clips share one executable per padded bucket; see
+    filters.apply_shelf_eq_dynamic).  It overrides ``spec.eq_on``.
+    """
     mixed = scal.dry_factor * (1.0 - scal.dry_wet) * dry_cn + scal.dry_wet * wet_cn
-    if spec.eq_on:
+    if eq_dyn is not None:
+        mixed = filters.apply_shelf_eq_dynamic(
+            mixed, scal.bass_gain, scal.treble_gain, eq_dyn
+        )
+    elif spec.eq_on:
         mixed = filters.apply_shelf_eq(
             mixed, spec.rate, scal.bass_gain, scal.treble_gain, pow2=spec.pow2_conv
         )
@@ -115,6 +126,7 @@ def internal_graph_with_irs(
     early_ir: jnp.ndarray,
     late_ir: jnp.ndarray,
     scal: MixScalars,
+    eq_dyn: Optional[filters.EQDyn] = None,
     *,
     spec: StaticSpec,
 ) -> jnp.ndarray:
@@ -175,7 +187,7 @@ def internal_graph_with_irs(
         wet = jnp.zeros((audio_cn.shape[0], len_out), dtype=jnp.float32)
 
     dry = jnp.pad(audio_cn, ((0, 0), (0, len_out - spec.n_in)))
-    return _mix_eq_spatial(dry, wet, scal, spec)
+    return _mix_eq_spatial(dry, wet, scal, spec, eq_dyn)
 
 
 def internal_graph(
@@ -185,6 +197,7 @@ def internal_graph(
     noise: jnp.ndarray,
     ir_scalars: ir_synth.IRScalars,
     scal: MixScalars,
+    eq_dyn: Optional[filters.EQDyn] = None,
     *,
     ir_shape: ir_synth.IRShape,
     spec: StaticSpec,
@@ -196,13 +209,16 @@ def internal_graph(
     early_ir, late_ir = ir_synth.synthesize(
         ir_shape, delays, strengths, noise, ir_scalars
     )
-    return internal_graph_with_irs(audio_cn, early_ir, late_ir, scal, spec=spec)
+    return internal_graph_with_irs(
+        audio_cn, early_ir, late_ir, scal, eq_dyn, spec=spec
+    )
 
 
 def external_graph(
     audio_cn: jnp.ndarray,
     ir_cn: jnp.ndarray,
     scal: MixScalars,
+    eq_dyn: Optional[filters.EQDyn] = None,
     *,
     spec: StaticSpec,
 ) -> jnp.ndarray:
@@ -210,7 +226,7 @@ def external_graph(
     len_out = spec.len_out
     wet = convolution.convolve_pairwise(audio_cn, ir_cn, len_out)
     dry = jnp.pad(audio_cn, ((0, 0), (0, len_out - spec.n_in)))
-    return _mix_eq_spatial(dry, wet, scal, spec)
+    return _mix_eq_spatial(dry, wet, scal, spec, eq_dyn)
 
 
 def quantize_pcm16(x: jnp.ndarray) -> jnp.ndarray:

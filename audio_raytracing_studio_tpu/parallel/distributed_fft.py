@@ -38,66 +38,23 @@ import jax.numpy as jnp
 
 from .. import config
 
-
-def is_power_of_two(n: int) -> bool:
-    return n > 0 and (n & (n - 1)) == 0
-
-
-def fft_length_for(n0: int) -> int:
-    """Bluestein conv length: the next pow2 ≥ 2·n0 − 1."""
-    m = 1
-    while m < 2 * n0 - 1:
-        m <<= 1
-    return m
+# The modular-chirp and shelf-gain core moved to ops.chirp (one definition
+# for every exact-EQ backend, incl. the batched length-dynamic EQ); the
+# names below remain this module's API for the mesh/streaming paths.
+from ..ops.chirp import (  # noqa: F401  (re-exports)
+    _chirp,
+    _modsq,
+    band_edges as _band_edges,
+    chirp_kernel_at_bins,
+    fft_length_for,
+    is_power_of_two,
+    shelf_gain_at_bins,
+)
 
 
 def block_len_for(n0: int, num_blocks: int) -> int:
     """The renderer block length that aligns with the EQ's FFT layout."""
     return fft_length_for(n0) // (2 * num_blocks)
-
-
-# --------------------------------------------------------------------------
-# Exact modular chirp phases in int32/uint32 (no int64 on this backend).
-# --------------------------------------------------------------------------
-
-
-def _mod_double(x: jnp.ndarray, times: int, modulus: int) -> jnp.ndarray:
-    """x·2^times mod modulus for uint32 x < modulus < 2^31 (unrolled)."""
-    mu = np.uint32(modulus)
-    for _ in range(times):
-        x = x + x  # < 2^32, exact in uint32
-        x = jnp.where(x >= mu, x - mu, x)
-    return x
-
-
-def _modsq(j: jnp.ndarray, modulus: int) -> jnp.ndarray:
-    """(j² mod modulus) for int32 j ∈ [0, 2^30), modulus < 2^31 — exact.
-
-    j = q·2^15 + r  ⇒  j² = q²·2^30 + q·r·2^16 + r², each term reduced in
-    uint32 (products < 2^30; power-of-two factors via modular doubling).
-    """
-    mu = np.uint32(modulus)
-    q = (j >> 15).astype(jnp.uint32)
-    r = (j & 0x7FFF).astype(jnp.uint32)
-    a = _mod_double((q * q) % mu, 30, modulus)
-    b = _mod_double((q * r) % mu, 16, modulus)
-    c = (r * r) % mu
-    s = a + b  # < 2·modulus < 2^32
-    s = jnp.where(s >= mu, s - mu, s)
-    s = s + c
-    s = jnp.where(s >= mu, s - mu, s)
-    return s
-
-
-def _chirp(j: jnp.ndarray, n0: int, sign: float) -> jnp.ndarray:
-    """exp(sign·iπ·j²/n0) with the phase reduced exactly mod 2π.
-
-    ``j`` int32 global indices (values outside [0, n0) produce garbage —
-    callers mask).  sign=-1 for the forward chirp, +1 for the inverse.
-    """
-    q = _modsq(j, 2 * n0).astype(jnp.float32)  # j² mod 2n0, exact integer
-    phase = (np.float32(sign * np.pi) / np.float32(n0)) * q
-    return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 
 
 # --------------------------------------------------------------------------
@@ -197,20 +154,6 @@ def _from_fft_layout(y: jnp.ndarray, axis_name: str, num_blocks: int) -> jnp.nda
 # --------------------------------------------------------------------------
 
 
-def chirp_kernel_at_bins(k: jnp.ndarray, n0: int, m: int, sign: float) -> jnp.ndarray:
-    """Bluestein time-domain chirp kernel at global m-indices ``k``:
-    K[k] = w̄[k] (k < n0), K[m−k] = w̄[k] (1 ≤ k < n0), else 0.
-
-    THE definition of the kernel layout — shared by the mesh-sharded path
-    (``_chirp_kernel``) and the single-chip blockwise path
-    (parallel.streaming_eq), which must stay bit-identical."""
-    head = k < n0
-    tail = k > m - n0  # mirror region; maps to w̄[m−k]
-    idx = jnp.where(head, k, jnp.where(tail, m - k, 0))
-    wbar = _chirp(idx, n0, sign=-sign)  # conj of the length-n0 chirp
-    return jnp.where(head | tail, wbar, jnp.zeros_like(wbar))
-
-
 def _chirp_kernel(
     n0: int, m: int, axis_name: str, num_blocks: int, sign: float
 ) -> jnp.ndarray:
@@ -279,53 +222,6 @@ def dist_dft_exact(
 # --------------------------------------------------------------------------
 # Sharded exact shelf EQ (the long-render stage).
 # --------------------------------------------------------------------------
-
-
-def _band_edges(n0: int, rate: int):
-    """(k_lo, k_bass, k_treble): bass bins are [k_lo, k_bass], treble bins
-    start at k_treble — replicating ``np.fft.rfftfreq``'s float64 arithmetic
-    bit-for-bit.  ``ops.filters.shelf_eq_gain`` builds its masks from
-    rfftfreq, and a bin can land *exactly* on a cutoff with float dust (e.g.
-    250.00000000000003 Hz at 44.1 kHz), so an integer floor/ceil of
-    cutoff·n0/rate disagrees with the single-device mask on edge bins."""
-    val = 1.0 / (n0 * (1.0 / rate))  # rfftfreq(n0, d=1/rate) bin spacing
-    half = n0 // 2
-    bass_hz = float(config.EQ_BASS_CUTOFF_HZ)
-    treble_hz = float(config.EQ_TREBLE_CUTOFF_HZ)
-
-    k_lo = 0  # smallest bin with freq > 1e-6 (the bass mask's DC exclusion)
-    while k_lo <= half and k_lo * val <= 1e-6:
-        k_lo += 1
-    k_bass = min(int(np.floor(bass_hz * n0 / rate)) + 2, half)
-    while k_bass >= 0 and k_bass * val > bass_hz:
-        k_bass -= 1
-    k_treble = max(int(np.ceil(treble_hz * n0 / rate)) - 2, 0)
-    while k_treble <= half and k_treble * val < treble_hz:
-        k_treble += 1
-    return k_lo, k_bass, k_treble
-
-
-def shelf_gain_at_bins(
-    k: jnp.ndarray, n0: int, rate: int, bass_gain, treble_gain
-) -> jnp.ndarray:
-    """Two-sided shelf gain at global bin indices ``k`` (0 outside [0, n0)).
-
-    THE definition of the parity-bearing edge-bin semantics (via
-    ``_band_edges``) — shared by the mesh-sharded EQ below and the
-    single-chip blockwise EQ (parallel.streaming_eq); a fix to one must
-    reach both.  Bins ≥ n0 return 0 so callers can mask convolution
-    garbage past the signal; in-band out-of-mask bins return 1.
-    """
-    k_lo, k_bass, k_treble = _band_edges(n0, rate)
-    in_band = k < n0
-    bass_mask = in_band & (
-        ((k >= k_lo) & (k <= k_bass)) | ((k >= n0 - k_bass) & (k <= n0 - k_lo))
-    )
-    treble_mask = in_band & (k >= k_treble) & (k <= n0 - k_treble)
-    lo, hi = config.EQ_GAIN_CLIP
-    gain = jnp.where(bass_mask, jnp.clip(bass_gain, lo, hi), 1.0)
-    gain = jnp.where(treble_mask, jnp.clip(treble_gain, lo, hi), gain)
-    return jnp.where(in_band, gain, 0.0).astype(jnp.float32)
 
 
 def shelf_eq_sharded(

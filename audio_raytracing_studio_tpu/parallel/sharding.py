@@ -79,6 +79,7 @@ def _batched_internal(
     mix_scalars,
     valid_lens=None,
     valid_blocks=None,
+    eq_dyn=None,
     *,
     ir_shape: ir_synth.IRShape,
     spec: pipeline.StaticSpec,
@@ -87,16 +88,16 @@ def _batched_internal(
 ):
     spec = spec._replace(pow2_conv=True)  # 3·2^k grids mis-tile under vmap
 
-    def one(audio_cn, seed, ir_sc, mix_sc, vlen, vblocks):
+    def one(audio_cn, seed, ir_sc, mix_sc, vlen, vblocks, dyn):
         delays, strengths, noise = ir_synth.hash_draws(seed, ir_shape)
         out = pipeline.internal_graph(
-            audio_cn, delays, strengths, noise, ir_sc, mix_sc,
+            audio_cn, delays, strengths, noise, ir_sc, mix_sc, dyn,
             ir_shape=ir_shape, spec=spec,
         )
         return _metrics_and_quantize(out, spec, with_metrics, pcm16, vlen, vblocks)
 
     return jax.vmap(one)(
-        audio_bcn, keys, ir_scalars, mix_scalars, valid_lens, valid_blocks
+        audio_bcn, keys, ir_scalars, mix_scalars, valid_lens, valid_blocks, eq_dyn
     )
 
 
@@ -107,6 +108,7 @@ def _batched_external(
     mix_scalars,
     valid_lens=None,
     valid_blocks=None,
+    eq_dyn=None,
     *,
     spec: pipeline.StaticSpec,
     with_metrics: bool,
@@ -115,11 +117,13 @@ def _batched_external(
     """Batched external-IR render: every clip convolved with the shared IR."""
     spec = spec._replace(pow2_conv=True)  # 3·2^k grids mis-tile under vmap
 
-    def one(audio_cn, mix_sc, vlen, vblocks):
-        out = pipeline.external_graph(audio_cn, ir_cn, mix_sc, spec=spec)
+    def one(audio_cn, mix_sc, vlen, vblocks, dyn):
+        out = pipeline.external_graph(audio_cn, ir_cn, mix_sc, dyn, spec=spec)
         return _metrics_and_quantize(out, spec, with_metrics, pcm16, vlen, vblocks)
 
-    return jax.vmap(one)(audio_bcn, mix_scalars, valid_lens, valid_blocks)
+    return jax.vmap(one)(
+        audio_bcn, mix_scalars, valid_lens, valid_blocks, eq_dyn
+    )
 
 
 @functools.partial(
@@ -132,6 +136,7 @@ def _batched_internal_pallas(
     mix_scalars,
     valid_lens=None,
     valid_blocks=None,
+    eq_dyn=None,
     *,
     ir_shape: ir_synth.IRShape,
     spec: pipeline.StaticSpec,
@@ -144,14 +149,15 @@ def _batched_internal_pallas(
     spec = spec._replace(pow2_conv=True)  # 3·2^k grids mis-tile under vmap
     early_bank, late_bank = fused_rir_bank(seeds, ir_shape, ir_scalars)
 
-    def one(audio_cn, early_ir, late_ir, mix_sc, vlen, vblocks):
+    def one(audio_cn, early_ir, late_ir, mix_sc, vlen, vblocks, dyn):
         out = pipeline.internal_graph_with_irs(
-            audio_cn, early_ir, late_ir, mix_sc, spec=spec
+            audio_cn, early_ir, late_ir, mix_sc, dyn, spec=spec
         )
         return _metrics_and_quantize(out, spec, with_metrics, pcm16, vlen, vblocks)
 
     return jax.vmap(one)(
-        audio_bcn, early_bank, late_bank, mix_scalars, valid_lens, valid_blocks
+        audio_bcn, early_bank, late_bank, mix_scalars, valid_lens, valid_blocks,
+        eq_dyn
     )
 
 
@@ -269,23 +275,34 @@ def render_batch(
 
     if clip_lengths is not None and len(clip_lengths) != batch:
         raise ValueError(f"{len(clip_lengths)} clip_lengths for batch of {batch}")
-    if clip_lengths is not None:
-        for b, (p, true_len) in enumerate(zip(param_list, clip_lengths)):
-            if int(true_len) != n_in and eq_enabled(p.bass_gain, p.treble_gain):
-                # The circular shelf EQ runs at the batch's (padded) length;
-                # its brick-wall masks have sinc-like 1/j time tails, so the
-                # padded-length wrap deviates from the clip's true-length EQ
-                # across the WHOLE clip (measured 1.2e-2..3.8e-2 even at
-                # half-second bucket padding — past the 1e-3 contract).
-                # The smooth air ramp is padding-insensitive (~4e-7) and
-                # stays bucketable.  Callers must give EQ-on clips an
-                # unpadded batch (render_dir and serving.batcher bucket
-                # EQ jobs by exact length automatically).
-                raise ValueError(
-                    f"clip {b}: exact-length circular shelf EQ cannot run "
-                    "on a zero-padded bucket clip; bucket EQ-on jobs by "
-                    "exact length"
-                )
+
+    def _eq_dyn_arrays(ir_length: int):
+        """Per-clip length-DYNAMIC EQ scalars, or None for the static EQ.
+
+        The circular shelf EQ is parity-bearing at each clip's TRUE output
+        length: its brick-wall masks have sinc-like 1/j time tails, so EQ
+        at the padded bucket length deviates 1.2e-2..3.8e-2 from the
+        true-length EQ (fuzz-measured — past the 1e-3 contract; the smooth
+        air ramp is padding-insensitive ~4e-7 and stays bucketable).
+        Rather than rejecting padded EQ-on clips (round-3's first answer —
+        which forced per-exact-length executables, an unbounded-compile
+        surface), the EQ runs length-dynamically: chirps/gain derive on
+        device from the traced true length (ops.filters.apply_shelf_eq_dynamic),
+        so ONE executable per bucket serves every true length inside it.
+        """
+        if clip_lengths is None:
+            return None
+        if not any(
+            int(tl) != n_in and eq_enabled(p.bass_gain, p.treble_gain)
+            for tl, p in zip(clip_lengths, param_list)
+        ):
+            return None  # nothing padded needs EQ → keep the static path
+        from ..ops import filters
+
+        return _stack_pytrees([
+            filters.eq_dyn_host(min(int(tl), n_in) + ir_length - 1, rate)
+            for tl in clip_lengths
+        ])
 
     def _mask_arrays(ir_length: int):
         """Per-clip true output lengths + gating-block counts (host ints —
@@ -327,6 +344,7 @@ def render_batch(
             [pipeline._mix_scalars(p, 1.0, 1.0) for p in param_list]
         )
         vlens, vblocks = _mask_arrays(ir.shape[0])
+        eq_dyn = _eq_dyn_arrays(ir.shape[0])
         if device_mesh is not None:
             num_devices = device_mesh.shape[meshlib.DATA_AXIS]
             if batch % num_devices:
@@ -341,8 +359,10 @@ def render_batch(
             if vlens is not None:
                 vlens = jax.device_put(vlens, bs)
                 vblocks = jax.device_put(vblocks, bs)
+            if eq_dyn is not None:
+                eq_dyn = jax.device_put(eq_dyn, bs)
         out, metrics = _batched_external(
-            audio_bcn, jnp.asarray(ir.T), mix_scalars, vlens, vblocks,
+            audio_bcn, jnp.asarray(ir.T), mix_scalars, vlens, vblocks, eq_dyn,
             spec=spec0, with_metrics=with_metrics, pcm16=pcm16_output,
         )
         result = np.asarray(out).transpose(0, 2, 1)
@@ -404,6 +424,7 @@ def render_batch(
         _batched_internal_pallas if ir_backend == "pallas" else _batched_internal
     )
     vlens, vblocks = _mask_arrays(spec0.ir_length)
+    eq_dyn = _eq_dyn_arrays(spec0.ir_length)
 
     if device_mesh is not None:
         num_devices = device_mesh.shape[meshlib.DATA_AXIS]
@@ -417,9 +438,11 @@ def render_batch(
         if vlens is not None:
             vlens = jax.device_put(vlens, bs)
             vblocks = jax.device_put(vblocks, bs)
+        if eq_dyn is not None:
+            eq_dyn = jax.device_put(eq_dyn, bs)
 
     if ir_backend == "pallas" and device_mesh is not None:
-        if vlens is not None or pcm16_output:
+        if vlens is not None or eq_dyn is not None or pcm16_output:
             raise ValueError(
                 "clip_lengths/pcm16_output are not supported on the "
                 "shard_map Pallas path (render_dir runs meshless)"
@@ -442,6 +465,7 @@ def render_batch(
             mix_scalars,
             vlens,
             vblocks,
+            eq_dyn,
             ir_shape=shape0,
             spec=spec0,
             with_metrics=with_metrics,

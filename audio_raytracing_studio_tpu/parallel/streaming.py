@@ -282,6 +282,14 @@ def render_streaming(
     """
     if not return_output and not with_metrics:
         raise ValueError("return_output=False requires with_metrics=True")
+    chunk_seconds = float(chunk_seconds)
+    if not math.isfinite(chunk_seconds) or chunk_seconds <= 0:
+        # int(inf·rate) is an OverflowError traceback, not the clean
+        # ValueError the CLI error contract maps to exit 2 (fuzz-found,
+        # tools/fuzz_campaign.py cli mode seed 1210271)
+        raise ValueError(
+            f"chunk_seconds must be a positive finite number (got {chunk_seconds})"
+        )
     audio_np = np.asarray(audio, dtype=np.float32)
     mono_in = audio_np.ndim == 1 or audio_np.shape[1] == 1
     audio_nc = pipeline._ensure_stereo_host(audio)

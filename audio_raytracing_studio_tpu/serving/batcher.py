@@ -29,9 +29,14 @@ ramp is padding-insensitive (measured ~4e-7 at half-second granularity).
 The circular shelf EQ is NOT: its brick-wall masks have sinc-like time
 tails, so padded-length EQ deviates 1e-2-class from the clip's
 true-length EQ even at half-second padding (found by
-tools/fuzz_campaign.py batch mode).  EQ-on jobs therefore group by their
-EXACT length — same-length EQ jobs still share a batch — and
-render_batch rejects any padded EQ-on clip outright.
+tools/fuzz_campaign.py batch mode).  ``render_batch`` therefore runs the
+EQ **length-dynamically** for padded EQ-on clips — chirps and gain derive
+on device from each clip's true length as traced scalars
+(ops.filters.apply_shelf_eq_dynamic, ≤1e-6 vs the unpadded solo render) —
+so EQ jobs bucket to the same half-second grid as everything else: one
+executable per bucket for ANY clip length, arbitrary-length EQ uploads
+cannot grow the compile set (the round-3 exact-length grouping traded
+that for per-length compiles, an unbounded-compile DoS surface).
 
 The reference has no counterpart (SURVEY §2.7: no parallelism of any kind —
 one synchronous NumPy pass per Gradio click, raytracer_studio.py:1326-1330).
@@ -119,17 +124,6 @@ class RenderService:
     max_queued:   submit() raises RuntimeError once this many jobs are
                   waiting (backpressure — each queued job holds its whole
                   decoded clip in host RAM; HTTP maps this to 503).
-    eq_shape_budget: EQ-on jobs batch by their EXACT length (padding is out
-                  of the EQ parity contract), so every distinct off-grid
-                  clip length with EQ compiles a fresh executable — minutes
-                  per shape through the TPU tunnel.  This caps the number
-                  of distinct off-grid (rate, length) EQ signatures the
-                  service will ever admit; beyond it, new lengths fail
-                  fast with ValueError (HTTP 400 — not retryable: the
-                  budget does not drain) telling the client to disable EQ,
-                  use a half-second-grid clip length, or deploy with a
-                  larger budget.  Grid-aligned lengths are exempt (their
-                  compile set is bounded by the grid).  None disables.
     start:        spawn the worker immediately (tests pass False to stage
                   jobs deterministically before the first dispatch).
     """
@@ -146,7 +140,6 @@ class RenderService:
         streaming_threshold_s: Optional[float] = 600.0,
         chunk_seconds: float = 30.0,
         max_queued: int = 64,
-        eq_shape_budget: Optional[int] = 16,
         start: bool = True,
     ):
         if max_batch < 1:
@@ -169,10 +162,6 @@ class RenderService:
         self.streaming_threshold_s = streaming_threshold_s
         self.chunk_seconds = float(chunk_seconds)
         self.max_queued = int(max_queued)
-        self.eq_shape_budget = (
-            None if eq_shape_budget is None else int(eq_shape_budget)
-        )
-        self._eq_shapes: set = set()
         self._q: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()
         self._batch_sizes: List[int] = []
@@ -256,6 +245,23 @@ class RenderService:
                 "with_metrics is not supported on the shard_map Pallas path "
                 "(ir_backend='pallas' with a device_mesh)"
             )
+        if self.ir_backend == "pallas" and self.device_mesh is not None:
+            from ..models import pipeline
+            from ..parallel.sharding import bucket_length
+
+            n = np.asarray(job.audio).shape[0]
+            if pipeline.eq_enabled(
+                job.params.bass_gain, job.params.treble_gain
+            ) and n != bucket_length(n, int(job.rate)):
+                # the length-dynamic exact EQ rides clip_lengths, which the
+                # shard_map Pallas path rejects — a padded EQ clip there
+                # would silently run the out-of-contract padded-length EQ
+                raise ValueError(
+                    "EQ on an off-grid clip length is not supported on the "
+                    "shard_map Pallas path (ir_backend='pallas' with a "
+                    "device_mesh): pad/trim to a half-second-grid length "
+                    "or use ir_backend='jnp'"
+                )
         item = self._prepare(job)
         fut: "Future[RenderResult]" = Future()
         item.future = fut
@@ -284,44 +290,16 @@ class RenderService:
         if not isinstance(job.params, RenderParams):
             raise ValueError("job.params must be a RenderParams")
         clip = pipeline._ensure_stereo_host(audio)
-        grid_bucket = bucket_length(clip.shape[0], rate)
-        n_bucket = grid_bucket
-        eq_on = pipeline.eq_enabled(job.params.bass_gain, job.params.treble_gain)
-        if eq_on:
-            # the exact-length circular EQ cannot run on bucket padding
-            # (render_batch rejects it — the brick-wall masks make the
-            # padded-length wrap deviate ~1e-2 from the clip's true-length
-            # EQ): EQ-on jobs group by their exact length instead; jobs
-            # with identical lengths still share one batch
-            n_bucket = clip.shape[0]
+        # EQ-on jobs bucket like everything else: render_batch runs the
+        # circular EQ length-DYNAMICALLY for padded clips (chirps from the
+        # traced true length — apply_shelf_eq_dynamic), so one executable
+        # per (rate, bucket) serves any clip length. No per-length compiles.
+        n_bucket = bucket_length(clip.shape[0], rate)
 
         streaming = (
             self.streaming_threshold_s is not None
             and clip.shape[0] > self.streaming_threshold_s * rate
         )
-
-        if (
-            eq_on
-            and not streaming
-            and self.eq_shape_budget is not None
-            and n_bucket != grid_bucket
-        ):
-            # every distinct off-grid EQ length is a fresh compile (minutes
-            # through the TPU tunnel) — admission-control the shape set so
-            # arbitrary-length uploads cannot grow it without bound
-            # (review finding: a trivially triggerable compile-stall DoS)
-            sig = (rate, n_bucket)
-            with self._lock:
-                if sig not in self._eq_shapes:
-                    if len(self._eq_shapes) >= self.eq_shape_budget:
-                        raise ValueError(
-                            "EQ shape budget exhausted "
-                            f"({self.eq_shape_budget} distinct off-grid clip "
-                            "lengths with EQ): disable EQ, pad/trim the clip "
-                            "to a half-second-grid length, or deploy with a "
-                            "larger eq_shape_budget"
-                        )
-                    self._eq_shapes.add(sig)
 
         if job.params.use_external_ir:
             if job.external_ir is None:
@@ -466,13 +444,17 @@ class RenderService:
         seeds = [int(it.job.seed) for it in items] + [0] * pad
         true_lens = [it.clip.shape[0] for it in items] + [n_bucket] * pad
 
+        pallas_mesh = self.ir_backend == "pallas" and self.device_mesh is not None
         kwargs: Dict[str, Any] = dict(
             seeds=seeds,
             device_mesh=self.device_mesh,
             with_metrics=with_metrics,
             fast_filters=self.fast_filters,
             pcm16_output=self.pcm16_output,
-            clip_lengths=true_lens if with_metrics else None,
+            # always given (except on the shard_map Pallas path, which
+            # rejects it): true lengths drive BOTH the masked meter and the
+            # length-dynamic exact EQ of padded EQ-on clips
+            clip_lengths=None if pallas_mesh else true_lens,
         )
         if items[0].key[0] == "external":
             kwargs["external_ir"] = items[0].prepared_ir

@@ -487,11 +487,12 @@ class TestRenderDir:
     def test_eq_group_rerouted_when_decode_shorter_than_header(
         self, tmp_path, capsys, monkeypatch
     ):
-        """Lossy headers can OVER-declare frames; the decoded clip would
-        then zero-pad its 'exact-length' EQ bucket, silently bypassing the
-        sharding padded-EQ guard (review finding: the >1e-3-class padded
-        circular EQ). Short decodes re-route to sub-batches keyed by their
-        DECODED length and must equal the unpadded solo render."""
+        """Lossy headers can OVER-declare frames; the short decode then
+        sits zero-padded in its header-length bucket (review finding: the
+        >1e-3-class padded circular EQ).  render_dir hands render_batch the
+        DECODED lengths, whose length-dynamic exact EQ keys on the true
+        length — so the output must equal the unpadded solo render of the
+        decoded samples."""
         from audio_raytracing_studio_tpu.cli import render_dir
         from audio_raytracing_studio_tpu.models import pipeline
         from audio_raytracing_studio_tpu.params import RenderParams

@@ -202,34 +202,43 @@ class TestBatchedRender:
             solo = np.asarray(pipeline.render(clips[i], rate, params[i], seed=i))
             np.testing.assert_allclose(out[i], solo, atol=1e-4)
 
-    def test_padded_eq_clip_rejected(self, rng):
-        """The circular shelf EQ cannot run on bucket padding: its
+    def test_padded_eq_clip_matches_unpadded_solo(self, rng):
+        """The circular shelf EQ cannot run on bucket padding (its
         brick-wall masks make padded-length EQ deviate ~1e-2 from the
-        clip's true-length EQ (found by tools/fuzz_campaign.py batch
-        mode).  A padded clip whose params enable EQ must be rejected;
-        padded EQ-OFF clips batch fine alongside EQ-on unpadded ones."""
-        clips, rate = short_clips(rng, 2, seconds=0.5)
-        eq = RenderParams(target_layout="Stereo", room_size=50.0, bass_gain=2.0)
+        clip's true-length EQ — found by tools/fuzz_campaign.py batch
+        mode).  render_batch therefore runs the EQ length-DYNAMICALLY for
+        padded EQ-on clips: chirps/gain derive on device from the traced
+        true length (ops.filters.apply_shelf_eq_dynamic), so every clip —
+        padded or not, EQ on or off — matches its unpadded solo render
+        inside ONE bucket executable."""
+        clips, rate = short_clips(rng, 3, seconds=0.5)
+        eq = RenderParams(
+            target_layout="Stereo", room_size=50.0,
+            bass_gain=2.0, treble_gain=0.4,
+        )
         flat = RenderParams(target_layout="Stereo", room_size=50.0)
-        true_lens = [clips.shape[1], clips.shape[1] - 777]
-        clips[1, true_lens[1]:] = 0.0  # bucket padding is ZEROS by contract
-        with pytest.raises(ValueError, match="exact length"):
-            sharding.render_batch(
-                clips, rate, [eq, eq], seeds=[0, 1], clip_lengths=true_lens
+        params = [eq, eq, flat]
+        true_lens = [clips.shape[1], clips.shape[1] - 777, clips.shape[1] - 1234]
+        for b, tl in enumerate(true_lens):
+            clips[b, tl:] = 0.0  # bucket padding is ZEROS by contract
+        out, mets = sharding.render_batch(
+            clips, rate, params, seeds=[0, 1, 2], clip_lengths=true_lens,
+            with_metrics=True,
+        )
+        for b, (tl, p) in enumerate(zip(true_lens, params)):
+            solo, sm = pipeline.render(
+                clips[b, :tl], rate, p, seed=b, return_metrics=True
             )
-        # EQ-on but unpadded + EQ-off padded in one batch: allowed, and the
-        # widened-EQ graph keeps the padded flat clip's solo semantics
-        out = sharding.render_batch(
-            clips, rate, [eq, flat], seeds=[0, 1], clip_lengths=true_lens
-        )
-        solo_eq = np.asarray(pipeline.render(clips[0], rate, eq, seed=0))
-        solo_flat = np.asarray(
-            pipeline.render(clips[1, : true_lens[1]], rate, flat, seed=1)
-        )
-        np.testing.assert_allclose(out[0], solo_eq, atol=1e-4)
-        np.testing.assert_allclose(
-            out[1, : solo_flat.shape[0]], solo_flat, atol=1e-4
-        )
+            solo = np.asarray(solo)
+            np.testing.assert_allclose(
+                out[b, : solo.shape[0]], solo, atol=2e-5,
+                err_msg=f"clip {b} (true len {tl})",
+            )
+            # beyond the true span the buffer stays zero (the dynamic EQ
+            # masks its output past n0)
+            assert np.all(out[b, solo.shape[0]:] == 0.0)
+            for key in ("lufs", "rms_dbfs"):
+                assert abs(float(mets[b][key]) - float(sm[key])) < 0.01
 
     def test_quantize_pcm16_nonfinite_matches_host_contract(self):
         """Device quantize mirrors the host path (app/api.py:154-157):

@@ -66,11 +66,11 @@ class TestBatcher:
             svc.stop()
 
     def test_value_sweep_batches_into_one_dispatch(self):
-        """Different material/diffusion/position/seed jobs share one
-        compiled batch — the whole point of the serving layer.  EQ-on jobs
-        group separately by EXACT length (padded-length circular EQ
-        deviates ~1e-2 — batcher.py padding semantics) but same-length EQ
-        jobs still coalesce into one dispatch."""
+        """Different material/diffusion/position/EQ/seed jobs share ONE
+        compiled batch — the whole point of the serving layer.  Padded
+        EQ-on jobs ride the length-DYNAMIC exact EQ (batcher.py padding
+        semantics), so they coalesce with everything else AND match their
+        unpadded solo renders."""
         svc = RenderService(max_batch=8, max_wait_ms=50, start=False)
         p_base = dict(target_layout="Stereo", room_size=50.0)
         jobs = [
@@ -87,16 +87,12 @@ class TestBatcher:
         ]
         svc.start()
         results = wait_all(futs)
-        # 3 linear jobs in one padded batch + 2 same-length EQ jobs in one
-        # exact-length batch
-        assert sorted(svc.stats()["batch_sizes"]) == [2, 3]
-        for i, (c, p) in enumerate(zip(clips, jobs[:3])):
-            np.testing.assert_allclose(
-                results[i].audio, padded_reference(c, p, seed=i), atol=2e-5
-            )
-        for i in (3, 4):
-            # EQ jobs: exact-length semantics — equal to the UNPADDED solo
-            solo = np.asarray(pipeline.render(clips[i], RATE, jobs[i], seed=i))
+        assert svc.stats()["batch_sizes"] == [5]
+        for i, (c, p) in enumerate(zip(clips, jobs)):
+            # every job equals its UNPADDED solo render: the widened batch
+            # runs the dynamic EQ at each clip's true length, and the
+            # linear stages are padding-exact
+            solo = np.asarray(pipeline.render(c, RATE, p, seed=i))
             np.testing.assert_allclose(results[i].audio, solo, atol=2e-5)
         svc.stop()
 
@@ -118,10 +114,10 @@ class TestBatcher:
             svc.stop()
 
     def test_eq_job_matches_unpadded_solo_exactly(self):
-        """EQ-on jobs group by EXACT length (never bucket padding): the
-        result must equal the unpadded single render, not the
-        padded_reference — padded-length circular EQ deviates ~1e-2 (see
-        batcher.py padding semantics)."""
+        """A padded EQ-on job must equal the unpadded single render, not
+        the padded_reference — padded-length circular EQ deviates ~1e-2;
+        the batcher's render_batch call runs the length-DYNAMIC exact EQ
+        at the clip's true length (batcher.py padding semantics)."""
         svc = RenderService(max_batch=2, max_wait_ms=20)
         try:
             clip = make_clip(2)  # NOT a half-second multiple → real padding
@@ -135,34 +131,6 @@ class TestBatcher:
             np.testing.assert_allclose(res.audio, unpadded, atol=2e-5)
         finally:
             svc.stop()
-
-    def test_eq_shape_budget_bounds_offgrid_compiles(self):
-        """Every distinct off-grid EQ length is a fresh XLA compile
-        (minutes through the TPU tunnel) — without a bound,
-        arbitrary-length EQ uploads are a compile-stall DoS (review
-        finding). Grid-aligned lengths are exempt; repeats are free."""
-        svc = RenderService(max_batch=4, max_wait_ms=20, eq_shape_budget=2,
-                            start=False)
-        p = RenderParams(target_layout="Stereo", room_size=50.0,
-                         bass_gain=1.5)
-        half = RATE // 2
-        clips = [make_clip(i, seconds=1.0) for i in range(6)]
-        # two distinct off-grid lengths fill the budget
-        svc.submit(RenderJob(clips[0][: half + 11], RATE, p))
-        svc.submit(RenderJob(clips[1][: half + 23], RATE, p))
-        # a repeat of an admitted length is free
-        svc.submit(RenderJob(clips[2][: half + 11], RATE, p))
-        # a grid-aligned EQ length never charges the budget
-        svc.submit(RenderJob(clips[3][:half], RATE, p))
-        # EQ-off jobs never charge it either
-        svc.submit(RenderJob(
-            clips[4][: half + 37], RATE,
-            RenderParams(target_layout="Stereo", room_size=50.0),
-        ))
-        # the third distinct off-grid EQ length is refused, fail-fast
-        with pytest.raises(ValueError, match="EQ shape budget"):
-            svc.submit(RenderJob(clips[5][: half + 99], RATE, p))
-        svc.stop()
 
     def test_distinct_specs_split_batches(self):
         svc = RenderService(max_batch=8, max_wait_ms=50, start=False)

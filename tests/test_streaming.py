@@ -178,6 +178,17 @@ class TestStreaming:
         with pytest.raises(ValueError, match="with_metrics"):
             streaming.render_streaming(x, rate, p, return_output=False)
 
+    def test_nonfinite_chunk_seconds_is_clean_valueerror(self, rng):
+        """int(inf·rate) was an OverflowError traceback through the CLI
+        (fuzz-found, cli mode seed 1210271) — must be the ValueError the
+        error contract maps to exit 2."""
+        rate = 8000
+        x = clip(rng, 0.5, rate)
+        p = RenderParams(target_layout="Stereo", room_size=60.0)
+        for bad in (float("inf"), float("nan"), 0.0, -1.0):
+            with pytest.raises(ValueError, match="chunk_seconds"):
+                streaming.render_streaming(x, rate, p, chunk_seconds=bad)
+
     def test_metrics_with_chunk_shorter_than_meter_fir(self, rng):
         """Review regression: chunk < the 8192-tap K-weighting FIR crashed
         the chunked meter with a broadcast error; the chunk floor must

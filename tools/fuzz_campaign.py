@@ -924,11 +924,8 @@ def run_batch(n_cases: int, start_seed: int) -> int:
         params = []
         for _ in range(bsz):
             v = _random_params(rng)  # value fields come from these draws
-            if use_buckets:
-                # padded EQ-on clips are rejected by design (the circular
-                # EQ cannot run on bucket padding — see sharding.py); the
-                # guard itself is pinned in tests/test_parallel.py
-                v = dataclasses.replace(v, bass_gain=1.0, treble_gain=1.0)
+            # padded EQ-on clips run the length-DYNAMIC exact EQ (chirps
+            # from the traced true length) — same ≤2e-4 contract vs solo
             params.append(dataclasses.replace(
                 v,
                 hall_type=shared.hall_type,
