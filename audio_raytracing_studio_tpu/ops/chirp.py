@@ -30,10 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config
-
-
-def is_power_of_two(n: int) -> bool:
-    return n > 0 and (n & (n - 1)) == 0
+from .fftops import is_power_of_two  # noqa: F401  (one definition, re-exported)
 
 
 def fft_length_for(n0: int) -> int:

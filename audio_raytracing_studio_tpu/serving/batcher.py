@@ -245,23 +245,6 @@ class RenderService:
                 "with_metrics is not supported on the shard_map Pallas path "
                 "(ir_backend='pallas' with a device_mesh)"
             )
-        if self.ir_backend == "pallas" and self.device_mesh is not None:
-            from ..models import pipeline
-            from ..parallel.sharding import bucket_length
-
-            n = np.asarray(job.audio).shape[0]
-            if pipeline.eq_enabled(
-                job.params.bass_gain, job.params.treble_gain
-            ) and n != bucket_length(n, int(job.rate)):
-                # the length-dynamic exact EQ rides clip_lengths, which the
-                # shard_map Pallas path rejects — a padded EQ clip there
-                # would silently run the out-of-contract padded-length EQ
-                raise ValueError(
-                    "EQ on an off-grid clip length is not supported on the "
-                    "shard_map Pallas path (ir_backend='pallas' with a "
-                    "device_mesh): pad/trim to a half-second-grid length "
-                    "or use ir_backend='jnp'"
-                )
         item = self._prepare(job)
         fut: "Future[RenderResult]" = Future()
         item.future = fut
@@ -300,6 +283,26 @@ class RenderService:
             self.streaming_threshold_s is not None
             and clip.shape[0] > self.streaming_threshold_s * rate
         )
+
+        if (
+            not streaming  # the streaming renderer EQs exactly at any length
+            and self.ir_backend == "pallas"
+            and self.device_mesh is not None
+            and clip.shape[0] != n_bucket
+            and pipeline.eq_enabled(job.params.bass_gain, job.params.treble_gain)
+        ):
+            # the length-dynamic exact EQ rides clip_lengths, which the
+            # shard_map Pallas path rejects — a padded EQ clip there would
+            # silently run the out-of-contract padded-length EQ.  Checked
+            # HERE (after validation, after the streaming decision) so
+            # malformed jobs still get _prepare's ValueErrors and long EQ
+            # jobs still route to streaming (review findings)
+            raise ValueError(
+                "EQ on an off-grid clip length is not supported on the "
+                "shard_map Pallas path (ir_backend='pallas' with a "
+                "device_mesh): pad/trim to a half-second-grid length "
+                "or use ir_backend='jnp'"
+            )
 
         if job.params.use_external_ir:
             if job.external_ir is None:

@@ -259,6 +259,57 @@ class TestDegenerateEdges:
         assert_parity(p, (x, rate))
 
 
+class TestDynamicEQOracleParity:
+    """The length-DYNAMIC exact EQ (padded batches, traced-n0 chirps —
+    ops.filters.apply_shelf_eq_dynamic) vs the float64 ORACLE at the clip's
+    true length.  CLAUDE.md parity discipline: a new fast path tests
+    against the oracle, not just the exact mode — a drift between the
+    device band edges/chirps and the oracle's rfftfreq masks at a length
+    only the dynamic path reaches must fail HERE."""
+
+    @pytest.mark.parametrize("n0", [5123, 7777, 8000])
+    def test_padded_batch_eq_matches_oracle(self, rng, n0):
+        from audio_raytracing_studio_tpu.ops import ir_synth
+        from audio_raytracing_studio_tpu.parallel import sharding
+
+        rate = 8000
+        n_bucket = 8000
+        t = np.arange(n0) / rate
+        x = (
+            0.4 * np.sin(2 * np.pi * 330.0 * t)
+            + 0.05 * rng.standard_normal(n0)
+        ).astype(np.float32)
+        p = RenderParams(
+            target_layout="Stereo", room_size=60.0,
+            bass_gain=1.7, treble_gain=0.5,
+        )
+        padded = np.zeros((1, n_bucket), np.float32)
+        padded[0, :n0] = x
+        seed = 11
+        out = sharding.render_batch(
+            padded, rate, [p], seeds=[seed], clip_lengths=[n0]
+        )[0]
+        # the oracle consumes the SAME counter-stream draws the batch used
+        g = geometry_for(p, rate)
+        shape = ir_synth.IRShape.from_geometry(g)
+        d, st, nz = map(np.asarray, ir_synth.hash_draws(seed, shape))
+        draws = IRDraws(
+            delays=d[: g.reflection_count],
+            strengths=st[: g.reflection_count],
+            noise=nz[: g.late_length],
+        )
+        ref = dsp.render(x, rate, p, draws=draws)
+        err = float(np.max(np.abs(out[: ref.shape[0]] - ref)))
+        assert err <= TOL, f"n0={n0}: dynamic-EQ batch vs oracle {err:.2e}"
+        assert np.all(out[ref.shape[0]:] == 0.0)
+        # PCM16 quantization contract holds through the dynamic path too
+        lsb = int(np.max(np.abs(
+            dsp.quantize_pcm16(out[: ref.shape[0]]).astype(np.int32)
+            - dsp.quantize_pcm16(ref).astype(np.int32)
+        )))
+        assert lsb <= max(1, int(np.ceil(TOL * 32768)))
+
+
 class TestFuzzParity:
     """Randomized parameter combinations vs the oracle (fixed seeds)."""
 
