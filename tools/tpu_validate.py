@@ -151,6 +151,46 @@ def main() -> int:
     report("masked_metrics_on_chip", d_lufs < 1e-3 and d_rms < 1e-3,
            d_lufs=d_lufs, d_rms=d_rms)
 
+    # --- 6: length-DYNAMIC exact EQ (round 3 continuation): traced-n0
+    # int32-modular chirps compiled by XLA:TPU — the uint32 modular
+    # doubling/squaring must stay exact on hardware, and the full padded
+    # batch must match the unpadded solo render ---
+    from audio_raytracing_studio_tpu.ops import filters
+    from audio_raytracing_studio_tpu.parallel import sharding
+
+    rate_e = 16000
+    L, n0 = 24000, 19777
+    xe = (0.4 * rng.standard_normal((2, L))).astype(np.float32)
+    xe[:, n0:] = 0.0
+    dyn = filters.eq_dyn_host(n0, rate_e)
+    got_dyn = np.asarray(jax.jit(filters.apply_shelf_eq_dynamic)(
+        jnp.asarray(xe), jnp.float32(1.7), jnp.float32(0.4), dyn
+    ))
+    ref_static = np.asarray(jax.jit(
+        lambda s, b, t: filters.apply_shelf_eq(s, rate_e, b, t)
+    )(jnp.asarray(xe[:, :n0]), jnp.float32(1.7), jnp.float32(0.4)))
+    err_op = float(np.abs(got_dyn[:, :n0] - ref_static).max())
+    tail = float(np.abs(got_dyn[:, n0:]).max()) if n0 < L else 0.0
+    report("dynamic_eq_op_on_chip", err_op < 1e-5 and tail == 0.0,
+           max_err_vs_static=err_op, tail=tail)
+
+    n_clip, n_bucket = 5123, 8000
+    clip_e = (0.4 * np.sin(2 * np.pi * 330.0 * np.arange(n_clip) / rate_e)
+              ).astype(np.float32)
+    padded_e = np.zeros((1, n_bucket), np.float32)
+    padded_e[0, :n_clip] = clip_e
+    p_eq = RenderParams(target_layout="Stereo", room_size=60.0,
+                        bass_gain=1.7, treble_gain=0.5)
+    from audio_raytracing_studio_tpu.models import pipeline as mpipe
+
+    out_b = sharding.render_batch(
+        padded_e, rate_e, [p_eq], seeds=[11], clip_lengths=[n_clip]
+    )[0]
+    solo_e = np.asarray(mpipe.render(clip_e, rate_e, p_eq, seed=11))
+    err_b = float(np.abs(out_b[: solo_e.shape[0]] - solo_e).max())
+    report("dynamic_eq_padded_batch_on_chip", err_b < 1e-4,
+           max_err_vs_solo=err_b)
+
     return 1 if failures else 0
 
 
