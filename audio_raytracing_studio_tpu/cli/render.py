@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import math
 import sys
 
 import numpy as np
@@ -103,8 +104,10 @@ def build_parser() -> argparse.ArgumentParser:
 def params_from_args(args) -> RenderParams:
     p = RenderParams()
     if args.preset:
-        store = PresetStore(args.preset_dir)
-        p = store.load(args.preset)
+        try:
+            p = PresetStore(args.preset_dir).load(args.preset)
+        except (OSError, ValueError) as e:
+            raise ValueError(f"cannot load preset: {e}") from e
     overrides = {
         "hall_type": args.hall,
         "material": args.material,
@@ -123,6 +126,13 @@ def params_from_args(args) -> RenderParams:
         "z_pos": args.z_pos,
     }
     overrides = {k: v for k, v in overrides.items() if v is not None}
+    for k, v in overrides.items():
+        # argparse type=float happily parses "nan"/"inf"; a NaN diffusion
+        # was an int(NaN) ValueError traceback out of render_dir
+        # (fuzz-found, cli mode seed 1220091), and NaN positions render
+        # silent garbage — the CLI boundary rejects non-finite values
+        if isinstance(v, float) and not math.isfinite(v):
+            raise ValueError(f"--{k.replace('_', '-')} must be finite (got {v})")
     if args.external_ir:
         overrides["use_external_ir"] = True
     return dataclasses.replace(p, **overrides)
@@ -184,7 +194,7 @@ def main(argv=None) -> int:
     try:
         base_params = params_from_args(args)
     except (OSError, ValueError, json.JSONDecodeError) as e:
-        print(f"error: cannot load preset: {e}", file=sys.stderr)
+        print(f"error: {e}", file=sys.stderr)
         return 2
 
     external_ir = external_rate = None

@@ -96,7 +96,11 @@ def main(argv=None) -> int:
     except OSError as e:
         print(f"error: cannot create {args.output!r}: {e}", file=sys.stderr)
         return 1
-    p = params_from_args(args)
+    try:
+        p = params_from_args(args)
+    except (OSError, ValueError, json.JSONDecodeError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 2
     if p.use_external_ir:
         print("error: render_dir covers the internal hall path", file=sys.stderr)
         return 2

@@ -673,6 +673,27 @@ class TestCLIErrorContracts:
     reported, --json stays RFC-8259-valid, and --binaural metrics describe
     the stereo file actually written."""
 
+    def test_nonfinite_flag_values_clean_error(self, wav_file, tmp_path, capsys):
+        """argparse type=float parses 'nan'/'inf'; NaN diffusion was an
+        int(NaN) ValueError traceback out of render_dir (fuzz cli mode seed
+        1220091) and NaN positions render silent garbage — both CLIs reject
+        non-finite flag values at the boundary with exit 2."""
+        from audio_raytracing_studio_tpu.cli.render import main as render_main
+        from audio_raytracing_studio_tpu.cli.render_dir import main as dir_main
+
+        rc = render_main([wav_file, str(tmp_path / "o.wav"), "--x", "inf"])
+        assert rc == 2
+        assert "must be finite" in capsys.readouterr().err
+        in_dir = tmp_path / "din"
+        in_dir.mkdir()
+        import shutil
+
+        shutil.copy(wav_file, in_dir / "a.wav")
+        rc = dir_main([str(in_dir), str(tmp_path / "dout"),
+                       "--diffusion", "nan"])
+        assert rc == 2
+        assert "must be finite" in capsys.readouterr().err
+
     def test_missing_preset_clean_error(self, wav_file, tmp_path, capsys):
         from audio_raytracing_studio_tpu.cli.render import main
 
