@@ -224,6 +224,8 @@ def run_parity(n_cases: int, start_seed: int) -> int:
                 f"worst {worst:.2e}, {dt / (i + 1):.1f} s/case",
                 flush=True,
             )
+        if (i + 1) % 40 == 0:
+            jax.clear_caches()  # random shapes — bound retained executables
     print(f"[parity] DONE: {n_cases} cases, {failures} failures, worst {worst:.2e}")
     return failures
 
@@ -513,6 +515,8 @@ def run_streaming(n_cases: int, start_seed: int) -> int:
                 f"worst {worst:.2e}, {dt / (i + 1):.1f} s/case",
                 flush=True,
             )
+        if (i + 1) % 20 == 0:
+            jax.clear_caches()  # random shapes — bound retained executables
     print(f"[streaming] DONE: {n_cases} cases, {failures} failures, worst {worst:.2e}")
     return failures
 
@@ -1017,6 +1021,11 @@ def run_batch(n_cases: int, start_seed: int) -> int:
                 f"worst {worst:.2e}, {dt / (i + 1):.1f} s/case",
                 flush=True,
             )
+        if (i + 1) % 40 == 0:
+            # every case compiles fresh random shapes; past ~150 retained
+            # executables the 1-core box dies with 'LLVM compilation error:
+            # Cannot allocate memory' (observed at batch case ~170)
+            jax.clear_caches()
     print(f"[batch] DONE: {n_cases} cases, {failures} failures, worst {worst:.2e}")
     return failures
 
