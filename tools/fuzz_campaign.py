@@ -1362,7 +1362,15 @@ def run_ui(n_cases: int, start_seed: int) -> int:
         op_log = []
         try:
             marker.ensure_map_asset()
-            demo = studio.build_demo(PresetStore(case_dir))
+            if rng.uniform() < 0.3:
+                # the sidecar analyzer UI runs on the same server/runtime —
+                # its two-mode handlers (analyze / normalize+convert) get
+                # the same type-valid adversarial traffic
+                from audio_raytracing_studio_tpu.app import analyzer_ui
+
+                demo = analyzer_ui.build_demo()
+            else:
+                demo = studio.build_demo(PresetStore(case_dir))
             srv = StudioHTTPServer(demo, host="127.0.0.1", port=0).start()
             # a couple of real uploads for Audio/File components
             paths = []
