@@ -41,6 +41,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -370,7 +371,11 @@ def render_streaming(
         from .streaming_eq import shelf_eq_streaming
 
         mixed_buf = shelf_eq_streaming(
-            mixed_buf, len_out, int(rate), scal.bass_gain, scal.treble_gain
+            mixed_buf, len_out, int(rate), scal.bass_gain, scal.treble_gain,
+            # A/B knob (hardware session): key the EQ executables on the
+            # padded slab grid with n0 traced — varying-length long jobs
+            # stop paying a per-length tunnel compile, at ≤ ~2× EQ FFT cost
+            dynamic=os.environ.get("ARS_STREAM_EQ_DYNAMIC", "0") == "1",
         )
         global_max = jnp.max(jnp.abs(mixed_buf))
 

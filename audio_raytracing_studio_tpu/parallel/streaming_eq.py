@@ -202,6 +202,79 @@ def _compiled_eq(n0: int, rate: int, d: int, b: int, n_total: int):
     return kernel_spectra, eq_channel, eq_pair
 
 
+@functools.lru_cache(maxsize=4)
+def _compiled_eq_dynamic(d: int, b: int, n_total: int):
+    """Jitted callables whose exact length n0 is a TRACED scalar.
+
+    One executable per (d, b, n_total) serves EVERY exact length n0 ≤
+    (m+1)/2: the chirp phases and gain masks derive on device from traced
+    int32 scalars (ops.chirp — the batched dynamic EQ's machinery), with
+    the parity-bearing float64 band edges computed on the host per call.
+    Trade vs ``_compiled_eq``: m keys on the PADDED buffer length instead
+    of n0 (≤ ~2× the FFT work at worst), but long jobs of *varying* length
+    stop paying a fresh multi-minute tunnel compile per distinct n0.
+    Opt-in via ``shelf_eq_streaming(dynamic=True)`` / the
+    ARS_STREAM_EQ_DYNAMIC=1 knob until a hardware A/B picks a default.
+    """
+    m = d * b
+
+    def _dyn_chirps(n0):
+        j = _global_index(d, b)
+        valid = j < n0
+        jv = jnp.where(valid, j, 0)
+        zero = jnp.complex64(0.0)
+        w_fwd = jnp.where(valid, _chirp(jv, n0, -1.0), zero)
+        w_inv = jnp.where(valid, _chirp(jv, n0, +1.0), zero)
+        return w_fwd, w_inv
+
+    @jax.jit
+    def kernel_spectra(n0):
+        kf = _fftm(chirp_kernel_at_bins(_global_index(d, b), n0, m, -1.0), d, b)
+        ki = _fftm(chirp_kernel_at_bins(_global_index(d, b), n0, m, +1.0), d, b)
+        return kf, ki
+
+    def _eq_core_dyn(x_db, kf, ki, gain, n0):
+        w_fwd, w_inv = _dyn_chirps(n0)
+        u = x_db * w_fwd
+        conv1 = _ifftm(_fftm(u, d, b) * kf, d, b)
+        u2 = conv1 * gain  # chirp pair cancelled; gain zeroed past n0
+        conv2 = _ifftm(_fftm(u2, d, b) * ki, d, b)
+        return conv2 * w_inv / jnp.asarray(n0, jnp.float32)
+
+    def _pad_db(row):
+        return jnp.zeros(m, jnp.float32).at[:n_total].set(row).reshape(d, b)
+
+    def _gain(n0, k_lo, k_bass, k_treble, bg, tg):
+        from ..ops.chirp import shelf_gain_from_edges
+
+        return shelf_gain_from_edges(
+            _global_index(d, b), n0, k_lo, k_bass, k_treble, bg, tg
+        )
+
+    @jax.jit
+    def eq_channel(row, kf, ki, bg, tg, n0, k_lo, k_bass, k_treble):
+        gain = _gain(n0, k_lo, k_bass, k_treble, bg, tg)
+        y = jnp.real(
+            _eq_core_dyn(_pad_db(row).astype(jnp.complex64), kf, ki, gain, n0)
+        ).reshape(m)[:n_total]
+        # the buffer past n0 must come back zero (w masks the EQ; the input
+        # tail was zero by construction)
+        j = jnp.arange(n_total, dtype=jnp.int32)
+        return jnp.where(j < n0, y, 0.0)
+
+    @jax.jit
+    def eq_pair(row_l, row_r, kf, ki, bg, tg, n0, k_lo, k_bass, k_treble):
+        gain = _gain(n0, k_lo, k_bass, k_treble, bg, tg)
+        z = jax.lax.complex(_pad_db(row_l), _pad_db(row_r))
+        y = _eq_core_dyn(z, kf, ki, gain, n0).reshape(m)[:n_total]
+        j = jnp.arange(n_total, dtype=jnp.int32)
+        out_l = jnp.where(j < n0, jnp.real(y), 0.0)
+        out_r = jnp.where(j < n0, jnp.imag(y), 0.0)
+        return out_l, out_r
+
+    return kernel_spectra, eq_channel, eq_pair
+
+
 def shelf_eq_streaming(
     buf_cn: jnp.ndarray,
     n0: int,
@@ -209,6 +282,7 @@ def shelf_eq_streaming(
     bass_gain,
     treble_gain,
     d_rows: int = DEFAULT_D_ROWS,
+    dynamic: bool = False,
 ) -> jnp.ndarray:
     """Exact-length circular shelf EQ of a (C, n_total) device buffer.
 
@@ -216,13 +290,18 @@ def shelf_eq_streaming(
     ignored and return as zeros).  Matches ``ops.filters.apply_shelf_eq``
     at length n0 to float32 round-off; bounded FFT workspace regardless of
     n0.  Channels run sequentially to cap peak HBM.
+
+    ``dynamic=True`` keys the executables on the PADDED buffer length and
+    passes n0 (+ host float64 band edges) as traced scalars — one compile
+    serves every clip length sharing a slab grid, at ≤ ~2× the EQ-stage
+    FFT cost (see ``_compiled_eq_dynamic``).
     """
     c_count, n_total = int(buf_cn.shape[0]), int(buf_cn.shape[1])
     if n0 < 2:
         return buf_cn
     if n0 >= (1 << 30):
         raise ValueError("exact streaming EQ supports n0 < 2^30")
-    m = fft_length_for(n0)
+    m = fft_length_for(n_total if dynamic else n0)
     d = min(d_rows, m)
     if d < 1 or not is_power_of_two(d):
         # m is a power of two: a non-pow2 d truncates b = m // d, silently
@@ -232,14 +311,26 @@ def shelf_eq_streaming(
         raise ValueError(f"d_rows must be a power of two (got {d_rows})")
     b = m // d
 
-    kernel_spectra, eq_channel, eq_pair = _compiled_eq(n0, rate, d, b, n_total)
-    kf, ki = kernel_spectra()
     bg = jnp.float32(bass_gain)
     tg = jnp.float32(treble_gain)
+    if dynamic:
+        from ..ops.chirp import band_edges
+
+        kernel_spectra, eq_channel, eq_pair = _compiled_eq_dynamic(d, b, n_total)
+        k_lo, k_bass, k_treble = band_edges(n0, rate)
+        scalars = tuple(
+            jnp.int32(v) for v in (n0, k_lo, k_bass, k_treble)
+        )
+        kf, ki = kernel_spectra(scalars[0])
+        extra = scalars
+    else:
+        kernel_spectra, eq_channel, eq_pair = _compiled_eq(n0, rate, d, b, n_total)
+        kf, ki = kernel_spectra()
+        extra = ()
     rows = []
     for ch in range(0, c_count - 1, 2):
-        out_l, out_r = eq_pair(buf_cn[ch], buf_cn[ch + 1], kf, ki, bg, tg)
+        out_l, out_r = eq_pair(buf_cn[ch], buf_cn[ch + 1], kf, ki, bg, tg, *extra)
         rows.extend([out_l, out_r])
     if c_count % 2:
-        rows.append(eq_channel(buf_cn[c_count - 1], kf, ki, bg, tg))
+        rows.append(eq_channel(buf_cn[c_count - 1], kf, ki, bg, tg, *extra))
     return jnp.stack(rows)

@@ -178,6 +178,25 @@ class TestStreaming:
         with pytest.raises(ValueError, match="with_metrics"):
             streaming.render_streaming(x, rate, p, return_output=False)
 
+    def test_stream_eq_dynamic_knob_matches_default(self, rng, monkeypatch):
+        """ARS_STREAM_EQ_DYNAMIC=1 (the hardware A/B knob) routes the exact
+        EQ through the traced-n0 padded-grid executables — the rendered
+        audio must match the default per-n0 path."""
+        rate = 8000
+        x = clip(rng, 1.2, rate)
+        p = RenderParams(
+            target_layout="Stereo", room_size=60.0,
+            bass_gain=1.6, treble_gain=0.7,
+        )
+        base = np.asarray(
+            streaming.render_streaming(x, rate, p, seed=3, chunk_seconds=0.5)
+        )
+        monkeypatch.setenv("ARS_STREAM_EQ_DYNAMIC", "1")
+        dyn = np.asarray(
+            streaming.render_streaming(x, rate, p, seed=3, chunk_seconds=0.5)
+        )
+        np.testing.assert_allclose(dyn, base, atol=5e-5)
+
     def test_nonfinite_chunk_seconds_is_clean_valueerror(self, rng):
         """int(inf·rate) was an OverflowError traceback through the CLI
         (fuzz-found, cli mode seed 1210271) — must be the ValueError the

@@ -66,6 +66,52 @@ class TestStreamingEQ:
         if n_total > n0:  # positions past the signal come back zero
             assert float(jnp.max(jnp.abs(got[:, n0:]))) == 0.0
 
+    @pytest.mark.parametrize(
+        "n0,n_total,rate,d",
+        [
+            (4801, 6000, 8000, 16),
+            (12007, 12007, 44100, 8),
+            (777, 1024, 48000, 16),
+            (97, 97, 8000, 4),
+        ],
+    )
+    def test_dynamic_matches_exact_eq(self, rng, n0, n_total, rate, d):
+        """dynamic=True: traced-n0 chirps at the PADDED grid must equal the
+        static exact EQ (and zero the buffer past n0)."""
+        x = rng.standard_normal((2, n_total)).astype(np.float32)
+        x[:, n0:] = 0.0
+        ref = filters.apply_shelf_eq(
+            jnp.asarray(x[:, :n0]), rate, jnp.float32(1.7), jnp.float32(0.55)
+        )
+        got = shelf_eq_streaming(
+            jnp.asarray(x), n0, rate, 1.7, 0.55, d_rows=d, dynamic=True
+        )
+        assert float(jnp.max(jnp.abs(got[:, :n0] - ref))) < 5e-5
+        if n_total > n0:
+            assert float(jnp.max(jnp.abs(got[:, n0:]))) == 0.0
+
+    def test_dynamic_shares_one_executable_across_lengths(self, rng):
+        """The point of dynamic mode: different exact lengths over the same
+        padded buffer reuse ONE compiled set (static mode compiles per n0)."""
+        from audio_raytracing_studio_tpu.parallel.streaming_eq import (
+            _compiled_eq_dynamic,
+        )
+
+        _compiled_eq_dynamic.cache_clear()
+        rate, n_total = 16000, 4096
+        x = rng.standard_normal((2, n_total)).astype(np.float32)
+        for n0 in (4096, 3777, 2049, 1111):
+            xa = x.copy()
+            xa[:, n0:] = 0.0
+            ref = filters.apply_shelf_eq(
+                jnp.asarray(xa[:, :n0]), rate, jnp.float32(2.0), jnp.float32(0.4)
+            )
+            got = shelf_eq_streaming(
+                jnp.asarray(xa), n0, rate, 2.0, 0.4, d_rows=8, dynamic=True
+            )
+            assert float(jnp.max(jnp.abs(got[:, :n0] - ref))) < 5e-5, n0
+        assert _compiled_eq_dynamic.cache_info().currsize == 1
+
     def test_d_rows_invariance(self, rng):
         n0, rate = 3001, 16000
         x = rng.standard_normal((1, n0)).astype(np.float32)
