@@ -167,33 +167,52 @@ def _sharded_pallas_fn(
     ir_shape: ir_synth.IRShape,
     spec: pipeline.StaticSpec,
     with_metrics: bool,
+    pcm16: bool,
+    has_mask: bool,
+    has_eq_dyn: bool,
 ):
     """Jitted shard_map program for one (mesh, shape, spec) — built ONCE.
 
     Rebuilding the closure + shard_map wrapper per call re-traces the full
     per-shard render graph on every dispatch (the CLAUDE.md per-call-jit
     host tax); the cache holds function objects only, never arrays.
+
+    The full option matrix of the jnp path is supported here too (round-4
+    VERDICT item 4): on-device PCM16 quantization, true-length masked
+    metering (``has_mask``) and the length-dynamic exact EQ for padded
+    EQ-on clips (``has_eq_dyn``) — all batch-sharded over the data axis,
+    so serving can run the Pallas bank under a mesh with no feature holes.
     """
     from ..ops.ir_synth_pallas import fused_rir_bank
 
-    def local(audio_shard, seed_shard, ir_sc_shard, mix_shard):
+    def local(audio_shard, seed_shard, ir_sc_shard, mix_shard, *rest):
+        i = 0
+        vlens = vblocks = eq_dyn_sh = None
+        if has_mask:
+            vlens, vblocks = rest[0], rest[1]
+            i = 2
+        if has_eq_dyn:
+            eq_dyn_sh = rest[i]
         early_bank, late_bank = fused_rir_bank(seed_shard, ir_shape, ir_sc_shard)
 
-        def one(audio_cn, early_ir, late_ir, mix_sc):
+        def one(audio_cn, early_ir, late_ir, mix_sc, vlen, vbl, dyn):
             out = pipeline.internal_graph_with_irs(
-                audio_cn, early_ir, late_ir, mix_sc, spec=spec
+                audio_cn, early_ir, late_ir, mix_sc, dyn, spec=spec
             )
-            # pcm16/masked metering are rejected upstream on this path —
-            # the shared epilogue threads spec.pow2_conv into the meter
-            return _metrics_and_quantize(out, spec, with_metrics, False, None, None)
+            return _metrics_and_quantize(out, spec, with_metrics, pcm16, vlen, vbl)
 
-        return jax.vmap(one)(audio_shard, early_bank, late_bank, mix_shard)
+        # None legs are empty pytrees under vmap — mapped away for free
+        return jax.vmap(one)(
+            audio_shard, early_bank, late_bank, mix_shard, vlens, vblocks,
+            eq_dyn_sh,
+        )
 
     data_spec = P(meshlib.DATA_AXIS)
+    n_args = 4 + (2 if has_mask else 0) + (1 if has_eq_dyn else 0)
     shard = jax.shard_map(
         local,
         mesh=device_mesh,
-        in_specs=(data_spec, data_spec, data_spec, data_spec),
+        in_specs=(data_spec,) * n_args,  # pytree-prefix per argument
         out_specs=data_spec,  # pytree-prefix: both outputs batch-sharded
         check_vma=False,  # pallas_call outputs don't carry vma annotations
     )
@@ -206,10 +225,14 @@ def _sharded_internal_pallas(
     seeds: jnp.ndarray,
     ir_scalars,
     mix_scalars,
+    vlens=None,
+    vblocks=None,
+    eq_dyn=None,
     *,
     ir_shape: ir_synth.IRShape,
     spec: pipeline.StaticSpec,
     with_metrics: bool,
+    pcm16: bool = False,
 ):
     """Data-parallel Pallas-bank render: shard_map over the "data" axis.
 
@@ -217,8 +240,16 @@ def _sharded_internal_pallas(
     each device runs its own bank + render over its batch shard explicitly.
     """
     spec = spec._replace(pow2_conv=True)  # 3·2^k grids mis-tile under vmap
-    fn = _sharded_pallas_fn(device_mesh, ir_shape, spec, with_metrics)
-    return fn(audio_bcn, seeds, ir_scalars, mix_scalars)
+    fn = _sharded_pallas_fn(
+        device_mesh, ir_shape, spec, with_metrics, pcm16,
+        vlens is not None, eq_dyn is not None,
+    )
+    args = [audio_bcn, seeds, ir_scalars, mix_scalars]
+    if vlens is not None:
+        args += [vlens, vblocks]
+    if eq_dyn is not None:
+        args.append(eq_dyn)
+    return fn(*args)
 
 
 def render_batch(
@@ -442,20 +473,19 @@ def render_batch(
             eq_dyn = jax.device_put(eq_dyn, bs)
 
     if ir_backend == "pallas" and device_mesh is not None:
-        if vlens is not None or eq_dyn is not None or pcm16_output:
-            raise ValueError(
-                "clip_lengths/pcm16_output are not supported on the "
-                "shard_map Pallas path (render_dir runs meshless)"
-            )
         out, metrics = _sharded_internal_pallas(
             device_mesh,
             audio_bcn,
             keys,
             ir_scalars,
             mix_scalars,
+            vlens,
+            vblocks,
+            eq_dyn,
             ir_shape=shape0,
             spec=spec0,
             with_metrics=with_metrics,
+            pcm16=pcm16_output,
         )
     else:
         out, metrics = batched_fn(

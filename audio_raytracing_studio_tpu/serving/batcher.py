@@ -146,13 +146,6 @@ class RenderService:
             raise ValueError(f"max_batch must be >= 1 (got {max_batch})")
         if max_queued < 1:
             raise ValueError(f"max_queued must be >= 1 (got {max_queued})")
-        if ir_backend == "pallas" and device_mesh is not None and pcm16_output:
-            # render_batch rejects this combination at dispatch — fail at
-            # construction, not on every job
-            raise ValueError(
-                "pcm16_output is not supported on the shard_map Pallas path "
-                "(ir_backend='pallas' with a device_mesh)"
-            )
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self.device_mesh = device_mesh
@@ -234,17 +227,6 @@ class RenderService:
             raise RuntimeError(
                 f"render service overloaded ({self.max_queued} jobs queued) — retry later"
             )
-        if (
-            job.with_metrics
-            and self.ir_backend == "pallas"
-            and self.device_mesh is not None
-        ):
-            # render_batch rejects clip_lengths on the shard_map Pallas
-            # path — fail the one job up front, not the whole batch later
-            raise ValueError(
-                "with_metrics is not supported on the shard_map Pallas path "
-                "(ir_backend='pallas' with a device_mesh)"
-            )
         item = self._prepare(job)
         fut: "Future[RenderResult]" = Future()
         item.future = fut
@@ -283,26 +265,6 @@ class RenderService:
             self.streaming_threshold_s is not None
             and clip.shape[0] > self.streaming_threshold_s * rate
         )
-
-        if (
-            not streaming  # the streaming renderer EQs exactly at any length
-            and self.ir_backend == "pallas"
-            and self.device_mesh is not None
-            and clip.shape[0] != n_bucket
-            and pipeline.eq_enabled(job.params.bass_gain, job.params.treble_gain)
-        ):
-            # the length-dynamic exact EQ rides clip_lengths, which the
-            # shard_map Pallas path rejects — a padded EQ clip there would
-            # silently run the out-of-contract padded-length EQ.  Checked
-            # HERE (after validation, after the streaming decision) so
-            # malformed jobs still get _prepare's ValueErrors and long EQ
-            # jobs still route to streaming (review findings)
-            raise ValueError(
-                "EQ on an off-grid clip length is not supported on the "
-                "shard_map Pallas path (ir_backend='pallas' with a "
-                "device_mesh): pad/trim to a half-second-grid length "
-                "or use ir_backend='jnp'"
-            )
 
         if job.params.use_external_ir:
             if job.external_ir is None:
@@ -447,17 +409,16 @@ class RenderService:
         seeds = [int(it.job.seed) for it in items] + [0] * pad
         true_lens = [it.clip.shape[0] for it in items] + [n_bucket] * pad
 
-        pallas_mesh = self.ir_backend == "pallas" and self.device_mesh is not None
         kwargs: Dict[str, Any] = dict(
             seeds=seeds,
             device_mesh=self.device_mesh,
             with_metrics=with_metrics,
             fast_filters=self.fast_filters,
             pcm16_output=self.pcm16_output,
-            # always given (except on the shard_map Pallas path, which
-            # rejects it): true lengths drive BOTH the masked meter and the
-            # length-dynamic exact EQ of padded EQ-on clips
-            clip_lengths=None if pallas_mesh else true_lens,
+            # always given: true lengths drive BOTH the masked meter and the
+            # length-dynamic exact EQ of padded EQ-on clips (the shard_map
+            # Pallas path supports the full option matrix since round 4)
+            clip_lengths=true_lens,
         )
         if items[0].key[0] == "external":
             kwargs["external_ir"] = items[0].prepared_ir

@@ -267,6 +267,59 @@ def test_render_batch_pallas_sharded(rng, room_shape):
     assert np.max(np.abs(out)) <= 1.0 + 1e-5
 
 
+def test_render_batch_pallas_sharded_full_matrix(rng, room_shape):
+    """Round-4 VERDICT item 4: pcm16_output + clip_lengths (masked meter +
+    length-dynamic exact EQ for padded EQ-on clips) on the shard_map Pallas
+    path — the option matrix the jnp path already had."""
+    from unittest import mock
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from audio_raytracing_studio_tpu.ops import ir_synth_pallas
+    from audio_raytracing_studio_tpu.parallel import mesh as meshlib
+    from audio_raytracing_studio_tpu.parallel import sharding
+
+    rate = 16000
+    t = np.arange(rate // 2) / rate
+    clips = np.stack(
+        [(0.4 * np.sin(2 * np.pi * (200 + 30 * i) * t)).astype(np.float32)
+         for i in range(4)]
+    )
+    p_eq = RenderParams(
+        target_layout="Stereo", bass_gain=1.8, treble_gain=0.5
+    )
+    p_flat = RenderParams(target_layout="Stereo")
+    params = [p_eq, p_eq, p_flat, p_flat]
+    true_lens = [clips.shape[1], clips.shape[1] - 999, clips.shape[1] - 555,
+                 clips.shape[1]]
+    for b, tl in enumerate(true_lens):
+        clips[b, tl:] = 0.0  # bucket padding is zeros by contract
+    m = meshlib.make_mesh(data=4, block=1, devices=jax.devices()[:4])
+
+    original = ir_synth_pallas.fused_rir_bank
+
+    def interpreted(seeds, shape, scalars, interpret=False, injected_draws=None):
+        return original(seeds, shape, scalars, interpret=True, injected_draws=injected_draws)
+
+    with mock.patch.object(ir_synth_pallas, "fused_rir_bank", interpreted):
+        q, metrics = sharding.render_batch(
+            clips, rate, params, seeds=[0, 1, 2, 3], device_mesh=m,
+            ir_backend="pallas", with_metrics=True, pcm16_output=True,
+            clip_lengths=true_lens,
+        )
+        # reference: the SAME options on the meshless jnp path (same
+        # counter-based seed stream → ~2e-5 float agreement → ±2 LSBs)
+        want, want_metrics = sharding.render_batch(
+            clips, rate, params, seeds=[0, 1, 2, 3],
+            with_metrics=True, pcm16_output=True, clip_lengths=true_lens,
+        )
+    assert q.dtype == np.int16 and q.shape == want.shape
+    assert np.max(np.abs(q.astype(np.int32) - want.astype(np.int32))) <= 2
+    for got, ref in zip(metrics, want_metrics):
+        for key in ("lufs", "rms_dbfs", "true_peak_dbfs"):
+            assert got[key] == pytest.approx(ref[key], abs=0.02), key
+
+
 def test_injected_bank_rejects_oversized_ir(room_shape):
     """Only the injected-draws (whole-IR-per-program) kernel has a VMEM cap;
     the production block-grid path has none."""
