@@ -6,10 +6,14 @@ graph (BASELINE config 1: Room hall, default material, mono → stereo,
 including the air-absorption filter and all normalizations) batched over B
 clips in one SPMD program.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is the ratio against the measured CPU oracle realtime factor
-(BASELINE_CPU.json — the reference-equivalent NumPy/SciPy pipeline on this
-machine; the reference itself publishes no numbers).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"value_exact", "vs_baseline_exact"} — "value" is the fast filter mode
+(≤~2e-4 deviation, inside the 1e-3 parity contract), "value_exact" the
+bit-honest exact-length filter path (the reference's semantics), both
+measured in one process on the warm cache.  vs_baseline is the ratio
+against the measured CPU oracle realtime factor (BASELINE_CPU.json — the
+reference-equivalent NumPy/SciPy pipeline on this machine; the reference
+itself publishes no numbers).
 """
 
 from __future__ import annotations
@@ -150,51 +154,73 @@ def main() -> None:
 
     # Build the batched program pieces once (host setup + device inputs).
     clips_cn = np.stack([pipeline._ensure_stereo_host(c).T for c in clips])
-    # fast_air applies the air gain on the conv grid — parity-tested ≤1e-3
-    # vs the oracle (tests/test_parity.py::TestFastFilters); BENCH_FAST=0 for
-    # the bit-honest exact-length filter path.
-    fast = os.environ.get("BENCH_FAST", "1") == "1"
-    setup = pipeline.build_internal_setup(p, RATE, clips.shape[1], fast_filters=fast)
     import jax.numpy as jnp
 
     audio_bcn = jnp.asarray(clips_cn)
     keys = jnp.arange(batch, dtype=jnp.int32)  # counter-based seeds (ops.rng)
-    ir_scalars = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,)), setup.ir_scalars)
-    mix_scalars = jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,)), setup.mix_scalars)
 
-    def run():
-        out, _ = sharding._batched_internal(
-            audio_bcn,
-            keys,
-            ir_scalars,
-            mix_scalars,
-            ir_shape=setup.ir_shape,
-            spec=setup.spec,
-            with_metrics=False,
+    def measure(fast: bool) -> float:
+        """Warm up + time one filter mode → realtime factor."""
+        setup = pipeline.build_internal_setup(
+            p, RATE, clips.shape[1], fast_filters=fast
         )
-        # block_until_ready does NOT block under the axon tunnel (measured:
-        # returns in ~0.3 ms for work that takes ~0.2 s) — force a real
-        # device sync with a scalar readback of the full output.
-        return float(jnp.sum(out))
+        ir_scalars = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (batch,)), setup.ir_scalars
+        )
+        mix_scalars = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (batch,)), setup.mix_scalars
+        )
 
-    run()  # compile + warmup
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        run()
-    wall = (time.perf_counter() - t0) / iters
+        def run():
+            out, _ = sharding._batched_internal(
+                audio_bcn,
+                keys,
+                ir_scalars,
+                mix_scalars,
+                ir_shape=setup.ir_shape,
+                spec=setup.spec,
+                with_metrics=False,
+            )
+            # block_until_ready does NOT block under the axon tunnel
+            # (measured: returns in ~0.3 ms for work that takes ~0.2 s) —
+            # force a real device sync with a scalar readback of the output.
+            return float(jnp.sum(out))
 
-    rtf = batch * DURATION_S / wall
+        run()  # compile + warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            run()
+        wall = (time.perf_counter() - t0) / iters
+        return batch * DURATION_S / wall
+
+    # BOTH modes in one process on the warm cache (round-4 VERDICT item 2):
+    # "value" is the fast mode (conv-grid air + fused wet spectrum, ≤~2e-4
+    # deviation — parity-tested vs the oracle, inside the 1e-3 contract);
+    # "value_exact" is the bit-honest exact-length filter path — the
+    # reference's own semantics (raytracer_studio.py:310-336, 387-398) —
+    # carried in the SAME driver-recorded line so it cannot silently
+    # regress.  BENCH_FAST=0 skips the fast arm (exact becomes the
+    # headline), BENCH_EXACT=0 skips the exact arm — iteration knobs only;
+    # the driver runs both.
     baseline = _cpu_baseline_rtf()
-    print(
-        json.dumps(
-            {
-                "metric": "realtime_factor_60s48k_batched_per_chip",
-                "value": round(rtf, 2),
-                "unit": "audio_seconds_per_second",
-                "vs_baseline": round(rtf / baseline, 2),
-            }
-        )
-    )
+    record = {
+        "metric": "realtime_factor_60s48k_batched_per_chip",
+        "value": 0.0,
+        "unit": "audio_seconds_per_second",
+        "vs_baseline": 0.0,
+    }
+    if os.environ.get("BENCH_FAST", "1") == "1":
+        rtf = measure(fast=True)
+        record["value"] = round(rtf, 2)
+        record["vs_baseline"] = round(rtf / baseline, 2)
+    if os.environ.get("BENCH_EXACT", "1") == "1":
+        rtf_exact = measure(fast=False)
+        record["value_exact"] = round(rtf_exact, 2)
+        record["vs_baseline_exact"] = round(rtf_exact / baseline, 2)
+        if record["value"] == 0.0:  # fast arm skipped: exact IS the headline
+            record["value"] = record["value_exact"]
+            record["vs_baseline"] = record["vs_baseline_exact"]
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
