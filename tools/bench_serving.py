@@ -9,8 +9,16 @@ Protocol mirrors bench.py's honesty rules: results are forced all the way
 to host numpy (no block_until_ready lies — the trimmed arrays ARE host
 data), one warmup burst pays the compile before the measured burst.
 
+``--soak S`` switches to a sustained-load soak (round-4 VERDICT item 3):
+Poisson arrivals of mixed-length, mixed-metrics jobs for S seconds, with a
+warmup pass per static signature first.  Reports p50/p95/p99 end-to-end job
+latency, the dispatch-size histogram, rejection count (backpressure), and
+RSS at start/peak/end — the evidence that queueing, memory and latency stay
+bounded under minutes of production-shaped load.
+
 Usage:
   python tools/bench_serving.py                 # TPU: 48× 60 s 48 kHz jobs
+  python tools/bench_serving.py --soak 600 --arrival-rate 2.0
   JAX_PLATFORMS=cpu python tools/bench_serving.py --jobs 4 --seconds 2 --rate 16000
 """
 
@@ -20,6 +28,7 @@ import argparse
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -27,6 +36,171 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 os.chdir(REPO)  # the axon plugin only registers from the repo root
+
+
+def _rss_mb() -> float:
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return float(line.split()[1]) / 1024.0
+    return 0.0
+
+
+def _pct(sorted_vals, q):
+    if not sorted_vals:
+        return 0.0
+    i = min(len(sorted_vals) - 1, int(round(q * (len(sorted_vals) - 1))))
+    return sorted_vals[i]
+
+
+def soak(args) -> int:
+    """Poisson-arrival sustained-load soak through RenderService."""
+    from audio_raytracing_studio_tpu.params import RenderParams
+    from audio_raytracing_studio_tpu.serving import RenderJob, RenderService
+
+    rate = args.rate
+    rng = np.random.default_rng(0x50AC)
+    durations = [float(d) for d in args.soak_durations.split(",")]
+    # pre-generate one clip per duration; per-job variation comes from the
+    # value-parameter sweep (content doesn't change serving behavior)
+    clips = {}
+    for d in durations:
+        n = int(d * rate)
+        t = np.arange(n) / rate
+        clips[d] = (
+            0.35 * np.sin(2 * np.pi * 200.0 * t)
+            + 0.05 * rng.standard_normal(n)
+        ).astype(np.float32)
+
+    svc = RenderService(
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        fast_filters=args.fast_filters,
+        pcm16_output=True,
+        max_queued=args.max_queued,
+    )
+
+    def make_job(i: int, with_metrics=None, eq=None) -> RenderJob:
+        d = durations[i % len(durations)]
+        if eq is None:
+            eq = i % 3 == 0
+        if with_metrics is None:
+            with_metrics = i % 2 == 0
+        p = RenderParams(
+            target_layout="Stereo",
+            diffusion=0.2 + 0.6 * ((i * 37) % 100) / 100.0,
+            x_pos=0.1 + 0.8 * ((i * 53) % 100) / 100.0,
+            # EQ flips per job: widened batch-wide inside one batch key; a
+            # padded EQ-on job adds the eq_dyn leg to the executable
+            bass_gain=1.5 if eq else 1.0,
+        )
+        return RenderJob(clips[d], rate, p, seed=i, with_metrics=with_metrics)
+
+    # --- warmup: one job per compiled-executable signature (duration ×
+    # metrics × EQ/eq_dyn), serialized, so the soak measures serving, not
+    # tunnel compiles ---
+    t_warm = time.monotonic()
+    warm_jobs = 0
+    for di in range(len(durations)):
+        for wm in (False, True):
+            for eq in (False, True):
+                svc.render(
+                    make_job(di, with_metrics=wm, eq=eq), timeout=3600
+                )
+                warm_jobs += 1
+    warmup_s = time.monotonic() - t_warm
+    print(f"warmup ({warm_jobs} signatures): {warmup_s:.1f} s", file=sys.stderr)
+
+    lock = threading.Lock()
+    latencies: list[float] = []
+    failures: list[str] = []
+    rejected = 0
+    rss_samples = [_rss_mb()]
+    queue_depths: list[int] = []
+    stop_sampler = threading.Event()
+
+    def sampler():
+        while not stop_sampler.wait(5.0):
+            with lock:
+                rss_samples.append(_rss_mb())
+                queue_depths.append(svc.stats()["queued"])
+
+    smp = threading.Thread(target=sampler, daemon=True)
+    smp.start()
+
+    # --- Poisson arrivals for --soak seconds ---
+    t0 = time.monotonic()
+    deadline = t0 + args.soak
+    submitted = 0
+    audio_seconds = 0.0
+    pending = []
+    i = 0
+    while time.monotonic() < deadline:
+        # exponential inter-arrival gap at the target rate
+        time.sleep(float(rng.exponential(1.0 / args.arrival_rate)))
+        if time.monotonic() >= deadline:
+            break
+        job = make_job(i)
+        i += 1
+        t_sub = time.monotonic()
+
+        def done(fut, t_sub=t_sub):
+            with lock:
+                err = fut.exception()
+                if err is not None:
+                    failures.append(repr(err))
+                else:
+                    latencies.append(time.monotonic() - t_sub)
+
+        try:
+            fut = svc.submit(job)
+        except RuntimeError:  # backpressure (503)
+            rejected += 1
+            continue
+        fut.add_done_callback(done)
+        pending.append(fut)
+        submitted += 1
+        audio_seconds += len(job.audio) / rate
+    for f in pending:  # drain
+        try:
+            f.result(timeout=3600)
+        except Exception:
+            pass
+    wall = time.monotonic() - t0
+    stop_sampler.set()
+    smp.join(timeout=10)
+    stats = svc.stats()
+    svc.stop()
+    rss_samples.append(_rss_mb())
+
+    lat = sorted(latencies)
+    sizes = stats["batch_sizes"]
+    hist: dict[str, int] = {}
+    for s in sizes[warm_jobs:]:  # warmup ran one job per dispatch
+        hist[str(s)] = hist.get(str(s), 0) + 1
+    out = {
+        "metric": "serving soak (Poisson arrivals, mixed lengths/metrics)",
+        "soak_seconds": round(wall, 1),
+        "arrival_rate_hz": args.arrival_rate,
+        "submitted": submitted,
+        "completed": len(lat),
+        "failed": len(failures),
+        "rejected_503": rejected,
+        "audio_seconds": round(audio_seconds, 1),
+        "throughput_x_realtime": round(audio_seconds / wall, 1) if wall else 0,
+        "latency_p50_s": round(_pct(lat, 0.50), 3),
+        "latency_p95_s": round(_pct(lat, 0.95), 3),
+        "latency_p99_s": round(_pct(lat, 0.99), 3),
+        "latency_max_s": round(lat[-1], 3) if lat else 0.0,
+        "dispatch_size_hist": hist,
+        "queue_depth_max": max(queue_depths, default=0),
+        "rss_start_mb": round(rss_samples[0], 1),
+        "rss_peak_mb": round(max(rss_samples), 1),
+        "rss_end_mb": round(rss_samples[-1], 1),
+        "failures_sample": failures[:3],
+    }
+    print(json.dumps(out))
+    return 1 if failures else 0
 
 
 def main(argv=None) -> int:
@@ -41,6 +215,21 @@ def main(argv=None) -> int:
         "--exact-filters", dest="fast_filters", action="store_false",
         default=True, help="bit-honest exact-length filters (default: fast)",
     )
+    ap.add_argument(
+        "--soak", type=float, default=0.0, metavar="SECONDS",
+        help="sustained-load soak: Poisson arrivals for this many seconds",
+    )
+    ap.add_argument(
+        "--arrival-rate", type=float, default=2.0,
+        help="soak mean arrival rate, jobs/s (Poisson)",
+    )
+    ap.add_argument(
+        # off the half-second bucket grid on purpose: padded EQ-on jobs
+        # must exercise the length-dynamic exact EQ under sustained load
+        "--soak-durations", default="5.3,14.7,44.9",
+        help="comma-separated clip durations (s) cycled through in the soak",
+    )
+    ap.add_argument("--max-queued", type=int, default=64)
     args = ap.parse_args(argv)
 
     from audio_raytracing_studio_tpu.utils.profiling import enable_compilation_cache
@@ -49,6 +238,9 @@ def main(argv=None) -> int:
     backend = ensure_backend()
     enable_compilation_cache()
     print(f"backend: {backend}", file=sys.stderr)
+
+    if args.soak > 0:
+        return soak(args)
 
     from audio_raytracing_studio_tpu.params import RenderParams
     from audio_raytracing_studio_tpu.serving import RenderJob, RenderService

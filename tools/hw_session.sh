@@ -25,6 +25,9 @@ run() {  # run <name> <timeout_s> <cmd...>
 run validate 1800 python tools/tpu_validate.py
 run bench 3600 python bench.py
 run bench_serving 3600 python tools/bench_serving.py
+# 10-min Poisson soak, mixed lengths/metrics/EQ (round-4 VERDICT item 3);
+# warmup compiles up to 12 signatures first — slow on a cold cache
+run soak 5400 python tools/bench_serving.py --soak 600 --arrival-rate 2.0
 run long_unity 5400 python tools/bench_long.py long --minutes 30
 run long_eq 5400 python tools/bench_long.py long --minutes 30 --bass 1.6 --treble 0.7
 # A/B: traced-n0 EQ executables keyed on the padded slab grid (one compile
