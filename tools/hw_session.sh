@@ -24,6 +24,8 @@ run() {  # run <name> <timeout_s> <cmd...>
 
 run validate 1800 python tools/tpu_validate.py
 run bench 3600 python bench.py
+# per-stage exact-mode roofline (round-4 VERDICT item 6) → PERF.md data
+run profile_exact 5400 python tools/profile_exact.py
 run bench_serving 3600 python tools/bench_serving.py
 # 10-min Poisson soak, mixed lengths/metrics/EQ (round-4 VERDICT item 3);
 # warmup compiles up to 12 signatures first — slow on a cold cache
