@@ -66,12 +66,14 @@ def main() -> int:
 
     orig = streaming_eq.shelf_eq_streaming
 
-    def with_barrier(buf, n0, r, bg, tg, d_rows=streaming_eq.DEFAULT_D_ROWS):
+    def with_barrier(buf, n0, r, bg, tg, d_rows=streaming_eq.DEFAULT_D_ROWS, **kw):
         # scalar readback forces pass 1's producer chain to complete before
         # the EQ graphs are traced/dispatched (block_until_ready lies on
-        # axon — CLAUDE.md)
+        # axon — CLAUDE.md).  **kw passes the round-3 ``dynamic`` knob
+        # through — without it this arm TypeErrors under streaming.py's
+        # call signature.
         float(jnp.max(jnp.abs(buf[:, :8])))
-        return orig(buf, n0, r, bg, tg, d_rows)
+        return orig(buf, n0, r, bg, tg, d_rows, **kw)
 
     # warm both arms' executables (identical device graphs; the barrier is
     # host-side only) — TWICE, so any residual first-run cost (persistent-
