@@ -181,6 +181,7 @@ def main() -> int:
 
     t_full, _ = bench("full_exact_graph", full)
     results["full_exact_graph_s"] = t_full
+    del full, _  # the closure cell pins audio_bcn; drop it before staging
 
     t_ir, (early, late) = bench(
         "ir_synth", stage_ir, keys, ir_scalars, shape=ir_shape
@@ -191,28 +192,38 @@ def main() -> int:
         "conv_pow2", stage_conv, audio_bcn, early, late, n_out=len_out
     )
     results["conv_s"] = t_conv
-    early_wet = conv[:, 0]
-    late_wet = conv[:, 1]
+    # Free consumed intermediates between stages: the chip has 16 GB HBM and
+    # the full set of (B, 2, len_out) float32 stage products (~1.1 GB each,
+    # plus the 6-channel pan temps) does not fit at once — the first hardware
+    # run RESOURCE_EXHAUSTED at the pan stage with everything held live.
+    early_wet = jnp.copy(conv[:, 0])
+    late_wet = jnp.copy(conv[:, 1])
+    del conv, early, late
 
     t_air, late_aired = bench(
         "exact_air", stage_air, late_wet, mix_scalars.air_absorption, rate=RATE
     )
     results["exact_air_s"] = t_air
+    del late_wet
 
     dry = jnp.pad(audio_bcn, ((0, 0), (0, 0), (0, len_out - n_in)))
+    del audio_bcn
     t_mix, mixed = bench(
         "mix_normalize", stage_mix, dry, early_wet, late_aired, mix_scalars
     )
     results["mix_s"] = t_mix
+    del dry, early_wet, late_aired
 
     t_pan, out = bench(
         "pan_map", stage_pan, mixed, mix_scalars,
         layout=spec.layout, rate=RATE,
     )
     results["pan_map_s"] = t_pan
+    del mixed
 
     t_meter, _ = bench("meter", stage_meter, out, rate=RATE)
     results["meter_s"] = t_meter
+    del out, _
 
     # FFT units at the two grids
     x = jnp.asarray(rng.standard_normal((batch, 2, p2)).astype(np.float32))
