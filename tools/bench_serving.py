@@ -133,7 +133,8 @@ def soak(args) -> int:
     deadline = t0 + args.soak
     submitted = 0
     audio_seconds = 0.0
-    pending = []
+    outstanding = 0
+    drained = threading.Condition(lock)
     i = 0
     while time.monotonic() < deadline:
         # exponential inter-arrival gap at the target rate
@@ -145,32 +146,40 @@ def soak(args) -> int:
         t_sub = time.monotonic()
 
         def done(fut, t_sub=t_sub):
+            nonlocal outstanding
             with lock:
                 err = fut.exception()
                 if err is not None:
                     failures.append(repr(err))
                 else:
                     latencies.append(time.monotonic() - t_sub)
+                outstanding -= 1
+                drained.notify_all()
 
         try:
             fut = svc.submit(job)
         except RuntimeError:  # backpressure (503)
             rejected += 1
             continue
+        with lock:
+            outstanding += 1
         fut.add_done_callback(done)
-        pending.append(fut)
+        # drop the future reference NOW: a retained future pins its result
+        # (~4 MB of rendered audio per job), which would make the harness
+        # itself look like a service-side leak in the RSS numbers
+        del fut
         submitted += 1
         audio_seconds += len(job.audio) / rate
-    for f in pending:  # drain
-        try:
-            f.result(timeout=3600)
-        except Exception:
-            pass
+    with drained:  # drain without retaining any result
+        drained.wait_for(lambda: outstanding == 0, timeout=3600)
     wall = time.monotonic() - t0
     stop_sampler.set()
     smp.join(timeout=10)
     stats = svc.stats()
     svc.stop()
+    import gc
+
+    gc.collect()  # big numpy results are mmap'd; RSS reflects real frees
     rss_samples.append(_rss_mb())
 
     lat = sorted(latencies)
@@ -195,6 +204,7 @@ def soak(args) -> int:
         "dispatch_size_hist": hist,
         "queue_depth_max": max(queue_depths, default=0),
         "rss_start_mb": round(rss_samples[0], 1),
+        "rss_mid_mb": round(rss_samples[len(rss_samples) // 2], 1),
         "rss_peak_mb": round(max(rss_samples), 1),
         "rss_end_mb": round(rss_samples[-1], 1),
         "failures_sample": failures[:3],
