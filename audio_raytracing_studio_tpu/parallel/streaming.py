@@ -372,10 +372,14 @@ def render_streaming(
 
         mixed_buf = shelf_eq_streaming(
             mixed_buf, len_out, int(rate), scal.bass_gain, scal.treble_gain,
-            # A/B knob (hardware session): key the EQ executables on the
-            # padded slab grid with n0 traced — varying-length long jobs
-            # stop paying a per-length tunnel compile, at ≤ ~2× EQ FFT cost
-            dynamic=os.environ.get("ARS_STREAM_EQ_DYNAMIC", "0") == "1",
+            # DEFAULT: traced-n0 executables keyed on the padded slab grid —
+            # varying-length long jobs stop paying a per-length tunnel
+            # compile. On-chip A/B (2026-08-19, 30-min 5.1 render,
+            # BENCH_HISTORY round-4): dynamic won end-to-end 140.5 s vs
+            # 161.2 s float32 and 59.3 s vs 83.1 s pcm16, on top of killing
+            # the unbounded compile surface. ARS_STREAM_EQ_DYNAMIC=0 forces
+            # the old per-length exact executables.
+            dynamic=os.environ.get("ARS_STREAM_EQ_DYNAMIC", "1") == "1",
         )
         global_max = jnp.max(jnp.abs(mixed_buf))
 

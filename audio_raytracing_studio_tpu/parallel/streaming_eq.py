@@ -213,8 +213,11 @@ def _compiled_eq_dynamic(d: int, b: int, n_total: int):
     Trade vs ``_compiled_eq``: m keys on the PADDED buffer length instead
     of n0 (≤ ~2× the FFT work at worst), but long jobs of *varying* length
     stop paying a fresh multi-minute tunnel compile per distinct n0.
-    Opt-in via ``shelf_eq_streaming(dynamic=True)`` / the
-    ARS_STREAM_EQ_DYNAMIC=1 knob until a hardware A/B picks a default.
+    DEFAULT since the round-4 on-chip A/B (2026-08-19): on the 30-min
+    5.1 exact-EQ render this path won end-to-end (140.5 s vs 161.2 s
+    float32; 59.3 s vs 83.1 s pcm16 — BENCH_HISTORY round-4) AND removes
+    the per-length multi-minute tunnel compile. ARS_STREAM_EQ_DYNAMIC=0
+    forces the per-n0 exact executables (``_compiled_eq``).
     """
     m = d * b
 

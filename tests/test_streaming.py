@@ -179,9 +179,9 @@ class TestStreaming:
             streaming.render_streaming(x, rate, p, return_output=False)
 
     def test_stream_eq_dynamic_knob_matches_default(self, rng, monkeypatch):
-        """ARS_STREAM_EQ_DYNAMIC=1 (the hardware A/B knob) routes the exact
-        EQ through the traced-n0 padded-grid executables — the rendered
-        audio must match the default per-n0 path."""
+        """The default streaming EQ is the traced-n0 padded-grid path
+        (round-4 on-chip A/B). ARS_STREAM_EQ_DYNAMIC=0 forces the legacy
+        per-n0 exact executables — the rendered audio must match."""
         rate = 8000
         x = clip(rng, 1.2, rate)
         p = RenderParams(
@@ -191,11 +191,11 @@ class TestStreaming:
         base = np.asarray(
             streaming.render_streaming(x, rate, p, seed=3, chunk_seconds=0.5)
         )
-        monkeypatch.setenv("ARS_STREAM_EQ_DYNAMIC", "1")
-        dyn = np.asarray(
+        monkeypatch.setenv("ARS_STREAM_EQ_DYNAMIC", "0")
+        static = np.asarray(
             streaming.render_streaming(x, rate, p, seed=3, chunk_seconds=0.5)
         )
-        np.testing.assert_allclose(dyn, base, atol=5e-5)
+        np.testing.assert_allclose(static, base, atol=5e-5)
 
     def test_nonfinite_chunk_seconds_is_clean_valueerror(self, rng):
         """int(inf·rate) was an OverflowError traceback through the CLI

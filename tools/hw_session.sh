@@ -32,10 +32,10 @@ run bench_serving 3600 python tools/bench_serving.py
 run soak 5400 python tools/bench_serving.py --soak 600 --arrival-rate 2.0
 run long_unity 5400 python tools/bench_long.py long --minutes 30
 run long_eq 5400 python tools/bench_long.py long --minutes 30 --bass 1.6 --treble 0.7
-# A/B: traced-n0 EQ executables keyed on the padded slab grid (one compile
-# serves varying clip lengths) vs the default per-n0 path — decides the
-# ROADMAP round-4 candidate. Same warm-cache discipline as long_eq.
-run long_eq_dynamic 5400 env ARS_STREAM_EQ_DYNAMIC=1 \
+# A/B: the default is now the traced-n0 padded-grid EQ (round-4 on-chip
+# measurement — see BENCH_HISTORY); this arm re-measures the legacy
+# per-n0 exact executables so a regression in either path is visible.
+run long_eq_static 5400 env ARS_STREAM_EQ_DYNAMIC=0 \
     python tools/bench_long.py long --minutes 30 --bass 1.6 --treble 0.7
 run eq_barrier 5400 python tools/measure_eq_barrier.py --minutes 30
 echo "== done — record the numbers in BENCH_HISTORY.md =="
