@@ -265,6 +265,7 @@ def render_batch(
     external_ir_rate: Optional[int] = None,
     clip_lengths: Optional[Sequence[int]] = None,
     pcm16_output: bool = False,
+    async_results: bool = False,
 ):
     """Render a batch of clips (B, N) or (B, N, C) through one SPMD program.
 
@@ -287,6 +288,14 @@ def render_batch(
 
     Returns (B, len_out, channels) float32 (int16 with ``pcm16_output``) —
     plus a list of per-clip metric dicts when ``with_metrics``.
+
+    ``async_results=True`` returns instead a zero-argument ``fetch()``
+    callable producing that same value: the SPMD computation is already
+    dispatched (JAX dispatch is asynchronous) but the device→host result
+    transfer — the dominant cost through the axon tunnel, ~20 MB/s
+    measured (BENCH_HISTORY round 3) — happens when ``fetch()`` runs.
+    The serving batcher uses this to download batch *i* on a completer
+    thread while batch *i+1* stacks, uploads and computes.
     """
     audio = np.asarray(audio, dtype=np.float32)
     if audio.ndim == 2:
@@ -396,13 +405,7 @@ def render_batch(
             audio_bcn, jnp.asarray(ir.T), mix_scalars, vlens, vblocks, eq_dyn,
             spec=spec0, with_metrics=with_metrics, pcm16=pcm16_output,
         )
-        result = np.asarray(out).transpose(0, 2, 1)
-        if with_metrics:
-            metrics_np = jax.tree.map(np.asarray, metrics)
-            return result, [
-                {k: float(v[i]) for k, v in metrics_np.items()} for i in range(batch)
-            ]
-        return result
+        return _finalize_render(out, metrics, batch, with_metrics, async_results)
 
     setups = [
         pipeline.build_internal_setup(p, rate, n_in, fast_filters=fast_filters)
@@ -501,11 +504,25 @@ def render_batch(
             with_metrics=with_metrics,
             pcm16=pcm16_output,
         )
-    result = np.asarray(out).transpose(0, 2, 1)
-    if with_metrics:
-        metrics_np = jax.tree.map(np.asarray, metrics)
-        per_clip = [
-            {k: float(v[i]) for k, v in metrics_np.items()} for i in range(batch)
-        ]
-        return result, per_clip
-    return result
+    return _finalize_render(out, metrics, batch, with_metrics, async_results)
+
+
+def _finalize_render(out, metrics, batch: int, with_metrics: bool, async_results: bool):
+    """Device→host completion of a dispatched batch render.
+
+    ``fetch()`` blocks on the result transfer and converts metrics to
+    per-clip host dicts; with ``async_results`` the caller decides WHEN to
+    pay that (pipelined serving), otherwise it is paid inline.
+    """
+
+    def fetch():
+        result = np.asarray(out).transpose(0, 2, 1)
+        if with_metrics:
+            metrics_np = jax.tree.map(np.asarray, metrics)
+            return result, [
+                {k: float(v[i]) for k, v in metrics_np.items()}
+                for i in range(batch)
+            ]
+        return result
+
+    return fetch if async_results else fetch()

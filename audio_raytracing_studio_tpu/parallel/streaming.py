@@ -370,6 +370,12 @@ def render_streaming(
         # like pipeline._mix_eq_spatial's ordering (mix → EQ → normalize)
         from .streaming_eq import shelf_eq_streaming
 
+        # NO sync barrier before the EQ dispatch, by measurement: the
+        # round-3 anomaly (10.4 s with a barrier vs 13.4-13.9 s without)
+        # did NOT reproduce under the A/B harness — on-chip 2026-08-19
+        # (tools/measure_eq_barrier.py, 30-min 5.1 render, warm, 2 iters):
+        # no_barrier 13.99/12.32 s vs barrier 21.48/14.80 s. Back-to-back
+        # enqueueing wins; the earlier number was a measurement artifact.
         mixed_buf = shelf_eq_streaming(
             mixed_buf, len_out, int(rate), scal.bass_gain, scal.treble_gain,
             # DEFAULT: traced-n0 executables keyed on the padded slab grid —

@@ -474,6 +474,12 @@ def main(argv=None) -> int:
         help="streaming chunk size for routed long jobs",
     )
     ap.add_argument(
+        "--pipeline-depth", type=int, default=2,
+        help="dispatched groups in flight at once (2 overlaps one group's "
+             "result download with the next group's upload+compute; 1 = "
+             "fully serial worker)",
+    )
+    ap.add_argument(
         "--preset-dir", default=".",
         help="directory containing the studio's presets_v4/ (for "
              '\'{"preset": "<name>_v4.json"}\' job payloads)',
@@ -490,6 +496,7 @@ def main(argv=None) -> int:
         fast_filters=args.fast_filters,
         streaming_threshold_s=args.streaming_threshold_s,
         chunk_seconds=args.chunk_seconds,
+        pipeline_depth=args.pipeline_depth,
     )
     http = RenderHTTPService(service, args.host, args.port, preset_dir=args.preset_dir)
     print(f"* Render service on http://{args.host}:{http.port}")

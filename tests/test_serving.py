@@ -282,6 +282,82 @@ class TestBatcher:
         with pytest.raises(RuntimeError, match="stopped"):
             svc.submit(RenderJob(make_clip(3), RATE, p))
 
+    def test_pipelined_matches_serial_bit_exactly(self):
+        """pipeline_depth=2 (default: completer thread downloads group i
+        while the worker launches group i+1) must produce byte-identical
+        results to the fully serial pipeline_depth=1 worker."""
+        p = RenderParams(target_layout="Stereo", room_size=50.0, bass_gain=1.4)
+        jobs = [
+            (make_clip(i, seconds=0.2 + 0.15 * (i % 3)), i % 2 == 0, i)
+            for i in range(6)
+        ]
+
+        def run(depth):
+            svc = RenderService(
+                max_batch=2, max_wait_ms=20, pipeline_depth=depth
+            )
+            try:
+                futs = [
+                    svc.submit(
+                        RenderJob(c, RATE, p, seed=s, with_metrics=wm)
+                    )
+                    for c, wm, s in jobs
+                ]
+                return wait_all(futs), svc.stats()
+            finally:
+                svc.stop()
+
+        serial, st1 = run(1)
+        piped, st2 = run(2)
+        assert st1["pipeline_depth"] == 1 and st2["pipeline_depth"] == 2
+        # phase split is accounted in both modes (dispatch covers the
+        # host-stack + launch; on CPU the fetch can round to 0.000)
+        assert st2["dispatch_s"] > 0.0 and st2["fetch_s"] >= 0.0
+        for a, b in zip(serial, piped):
+            np.testing.assert_array_equal(a.audio, b.audio)
+            assert a.metrics == b.metrics
+
+    def test_fetch_failure_is_isolated_to_its_group(self, monkeypatch):
+        """A failure during the RESULT DOWNLOAD (completer thread) must fail
+        only that group's futures; the service keeps serving."""
+        svc = RenderService(max_batch=2, max_wait_ms=20, start=False)
+        p = RenderParams(target_layout="Stereo", room_size=50.0)
+
+        def bad_dispatch(*a, **k):
+            assert k.get("async_results"), "batcher must dispatch async"
+
+            def bad_fetch():
+                raise RuntimeError("injected download failure")
+
+            return bad_fetch
+
+        monkeypatch.setattr(sharding, "render_batch", bad_dispatch)
+        futs = [
+            svc.submit(RenderJob(make_clip(i), RATE, p, seed=i)) for i in range(2)
+        ]
+        svc.start()
+        for f in futs:
+            with pytest.raises(RuntimeError, match="injected download failure"):
+                f.result(timeout=60)
+        assert svc.stats()["jobs_failed"] == 2
+        monkeypatch.undo()
+        # both threads survived: a fresh job renders fine
+        res = svc.render(RenderJob(make_clip(9), RATE, p, seed=9), timeout=300)
+        assert np.isfinite(res.audio).all()
+        svc.stop()
+
+    def test_stop_drains_inflight_downloads(self):
+        """stop() must resolve every dispatched-but-undownloaded future
+        (the completer drains before exiting)."""
+        svc = RenderService(max_batch=1, max_wait_ms=5, pipeline_depth=3)
+        p = RenderParams(target_layout="Stereo", room_size=50.0)
+        futs = [
+            svc.submit(RenderJob(make_clip(i), RATE, p, seed=i)) for i in range(3)
+        ]
+        svc.stop(timeout=300)
+        for f in futs:
+            assert np.isfinite(f.result(timeout=5).audio).all()
+
     def test_pallas_mesh_full_option_matrix(self):
         """Round-4 VERDICT item 4: the shard_map Pallas path supports the
         FULL service option matrix — pcm16_output, with_metrics (masked to

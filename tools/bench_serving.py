@@ -78,6 +78,7 @@ def soak(args) -> int:
         fast_filters=args.fast_filters,
         pcm16_output=True,
         max_queued=args.max_queued,
+        pipeline_depth=args.pipeline_depth,
     )
 
     def make_job(i: int, with_metrics=None, eq=None) -> RenderJob:
@@ -203,6 +204,10 @@ def soak(args) -> int:
         "latency_max_s": round(lat[-1], 3) if lat else 0.0,
         "dispatch_size_hist": hist,
         "queue_depth_max": max(queue_depths, default=0),
+        "pipeline_depth": stats["pipeline_depth"],
+        "dispatch_s": stats["dispatch_s"],  # host-stack+upload+launch total
+        "fetch_s": stats["fetch_s"],  # result download+trim total
+
         "rss_start_mb": round(rss_samples[0], 1),
         "rss_mid_mb": round(rss_samples[len(rss_samples) // 2], 1),
         "rss_peak_mb": round(max(rss_samples), 1),
@@ -240,6 +245,10 @@ def main(argv=None) -> int:
         help="comma-separated clip durations (s) cycled through in the soak",
     )
     ap.add_argument("--max-queued", type=int, default=64)
+    ap.add_argument(
+        "--pipeline-depth", type=int, default=2,
+        help="dispatched groups in flight (1 = the pre-round-4 serial worker)",
+    )
     args = ap.parse_args(argv)
 
     from audio_raytracing_studio_tpu.utils.profiling import enable_compilation_cache
@@ -279,6 +288,7 @@ def main(argv=None) -> int:
         max_wait_ms=args.max_wait_ms,
         fast_filters=args.fast_filters,
         pcm16_output=True,
+        pipeline_depth=args.pipeline_depth,
     )
 
     def burst(tag: str) -> float:
