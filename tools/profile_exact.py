@@ -159,8 +159,12 @@ def main() -> int:
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def unit_cfft_pair(re, im, *, n):
+        # the production transform pair (ops/fftops radix-3 over pow2 FFTs,
+        # the path _apply_affine_circular runs) — NOT jnp.fft.fft: a native
+        # complex FFT at 3·2^k lowers to a dense O(n²) DFT on this backend
+        # (CLAUDE.md), which RESOURCE_EXHAUSTED the first two runs here
         z = jax.lax.complex(re, im)
-        w = jnp.fft.ifft(jnp.fft.fft(z, n=n, axis=-1), axis=-1)
+        w = fftops.ifft_fast(fftops.fft_fast(z, n))
         return jnp.real(w) + jnp.imag(w)
 
     # --- materialize stage inputs (device-resident) ---
@@ -229,6 +233,9 @@ def main() -> int:
     x = jnp.asarray(rng.standard_normal((batch, 2, p2)).astype(np.float32))
     t_r, _ = bench("unit_rfft_pair", unit_rfft_pair, x, n=p2)
     results["unit_rfft_pair_s"] = t_r
+    # free the rfft unit's 1.6 GB input and retained output before the
+    # complex unit allocates its ~7 GB working set (first run OOM'd here)
+    del x, _
     re = jnp.asarray(rng.standard_normal((batch, m_air)).astype(np.float32))
     im = jnp.asarray(rng.standard_normal((batch, m_air)).astype(np.float32))
     t_c, _ = bench("unit_cfft_pair", unit_cfft_pair, re, im, n=m_air)
