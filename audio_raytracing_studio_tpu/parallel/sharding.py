@@ -266,6 +266,7 @@ def render_batch(
     clip_lengths: Optional[Sequence[int]] = None,
     pcm16_output: bool = False,
     async_results: bool = False,
+    real_batch: Optional[int] = None,
 ):
     """Render a batch of clips (B, N) or (B, N, C) through one SPMD program.
 
@@ -296,6 +297,12 @@ def render_batch(
     measured (BENCH_HISTORY round 3) — happens when ``fetch()`` runs.
     The serving batcher uses this to download batch *i* on a completer
     thread while batch *i+1* stacks, uploads and computes.
+
+    ``real_batch``: when the caller padded the batch dimension (mesh
+    divisibility, or the serving batcher's batch-size buckets), the first
+    ``real_batch`` rows are the real jobs — the pad rows are sliced off ON
+    DEVICE before the result transfer, so padding never inflates the
+    device→host download.
     """
     audio = np.asarray(audio, dtype=np.float32)
     if audio.ndim == 2:
@@ -405,7 +412,9 @@ def render_batch(
             audio_bcn, jnp.asarray(ir.T), mix_scalars, vlens, vblocks, eq_dyn,
             spec=spec0, with_metrics=with_metrics, pcm16=pcm16_output,
         )
-        return _finalize_render(out, metrics, batch, with_metrics, async_results)
+        return _finalize_render(
+            out, metrics, batch, with_metrics, async_results, real_batch
+        )
 
     setups = [
         pipeline.build_internal_setup(p, rate, n_in, fast_filters=fast_filters)
@@ -504,16 +513,36 @@ def render_batch(
             with_metrics=with_metrics,
             pcm16=pcm16_output,
         )
-    return _finalize_render(out, metrics, batch, with_metrics, async_results)
+    return _finalize_render(
+        out, metrics, batch, with_metrics, async_results, real_batch
+    )
 
 
-def _finalize_render(out, metrics, batch: int, with_metrics: bool, async_results: bool):
+def _finalize_render(
+    out,
+    metrics,
+    batch: int,
+    with_metrics: bool,
+    async_results: bool,
+    real_batch: Optional[int] = None,
+):
     """Device→host completion of a dispatched batch render.
 
     ``fetch()`` blocks on the result transfer and converts metrics to
     per-clip host dicts; with ``async_results`` the caller decides WHEN to
     pay that (pipelined serving), otherwise it is paid inline.
+
+    ``real_batch`` (< batch when the caller padded): pad rows are dropped
+    by a device-side slice BEFORE ``np.asarray`` forces the transfer, so
+    only real jobs ride the ~20 MB/s tunnel download.
     """
+    if real_batch is not None and not 1 <= real_batch <= batch:
+        raise ValueError(f"real_batch {real_batch} outside [1, {batch}]")
+    if real_batch is not None and real_batch < batch:
+        out = out[:real_batch]
+        if with_metrics:
+            metrics = jax.tree.map(lambda v: v[:real_batch], metrics)
+        batch = real_batch
 
     def fetch():
         result = np.asarray(out).transpose(0, 2, 1)

@@ -107,10 +107,14 @@ class RenderService:
     Parameters
     ----------
     max_batch:    dispatch a group as soon as it holds this many jobs.
+                  Groups are zero-padded up to power-of-two size buckets
+                  capped at max_batch (see ``_batch_pad``) so the compiled
+                  executable set stays O(log max_batch) whatever sizes
+                  arrival timing produces; pad rows never download.
     max_wait_ms:  dispatch a partial group once its oldest job has waited
                   this long (latency bound under light load).
-    device_mesh:  optional ``jax.sharding.Mesh`` — batches are padded up to
-                  a multiple of the data axis (pad renders are discarded).
+    device_mesh:  optional ``jax.sharding.Mesh`` — the padded batch also
+                  rounds up to a multiple of the data axis.
     ir_backend:   "jnp" or "pallas" (the fused RIR-bank kernel).
     fast_filters: conv-grid air absorption (≤2e-4 deviation) instead of the
                   reference's exact-length transform.
@@ -473,11 +477,34 @@ class RenderService:
         with self._lock:
             self._jobs_done += len(items)
 
+    def _batch_pad(self, batch: int) -> int:
+        """Pad count that rounds ``batch`` up to its executable size bucket.
+
+        The compiled XLA program is keyed on the batch dimension, and a
+        group's size depends on arrival timing — unbucketed, production
+        traffic keeps hitting fresh batch sizes and pays a multi-minute
+        tunnel compile each time (measured: a 48-job burst that warmed as
+        3+45 dispatched as 4+44 and recompiled both, BENCH_HISTORY round-4
+        session 2).  Buckets are powers of two capped at ``max_batch``
+        (e.g. {1,2,4,8,16,32,48} for max_batch=48): O(log max_batch)
+        executables total, ≤2× zero-pad upload waste worst-case, and pad
+        rows never download — render_batch slices them off on device
+        (``real_batch``).  A mesh's data axis still divides the result.
+        """
+        b = 1 << max(0, batch - 1).bit_length()  # next power of two ≥ batch
+        if b > self.max_batch >= batch:
+            b = self.max_batch
+        if self.device_mesh is not None:
+            from ..parallel import mesh as meshlib
+
+            d = self.device_mesh.shape[meshlib.DATA_AXIS]
+            b += (-b) % d
+        return b - batch
+
     def _render_group(self, items: List[_Item]):
         """Stack + dispatch one group.  Returns a zero-arg ``fetch()``
         producing ``(outs, metrics)`` — the download happens when it runs
         (on the completer thread in pipelined mode)."""
-        from ..parallel import mesh as meshlib
         from ..parallel.sharding import render_batch
 
         if items[0].key[0] == "streaming":
@@ -492,11 +519,7 @@ class RenderService:
         with_metrics = bool(items[0].job.with_metrics)
         batch = len(items)
 
-        # pad the batch up to the mesh's data axis (discarded after)
-        pad = 0
-        if self.device_mesh is not None:
-            d = self.device_mesh.shape[meshlib.DATA_AXIS]
-            pad = (-batch) % d
+        pad = self._batch_pad(batch)
 
         clips = np.zeros((batch + pad, n_bucket, 2), dtype=np.float32)
         for i, it in enumerate(items):
@@ -524,15 +547,18 @@ class RenderService:
             kwargs["ir_backend"] = self.ir_backend
 
         fetch_raw = render_batch(
-            clips, rate, param_list, async_results=True, **kwargs
+            clips, rate, param_list, async_results=True, real_batch=batch,
+            **kwargs,
         )
 
         def fetch():
+            # pad rows were sliced off on device (real_batch) — only the
+            # real jobs rode the tunnel download
             result = fetch_raw()
             if with_metrics:
                 outs, metrics = result
-                return np.asarray(outs)[:batch], metrics[:batch]
-            return np.asarray(result)[:batch], None
+                return np.asarray(outs), metrics
+            return np.asarray(result), None
 
         return fetch
 

@@ -96,6 +96,62 @@ class TestBatcher:
             np.testing.assert_allclose(results[i].audio, solo, atol=2e-5)
         svc.stop()
 
+    def test_batch_size_buckets(self):
+        """Group sizes round up to pow2-capped-at-max_batch executables:
+        arrival timing must not mint fresh batch-dimension compiles (a
+        48-burst measured on chip warmed as 3+45 then dispatched as 4+44
+        and recompiled BOTH through the tunnel)."""
+        svc = RenderService(max_batch=48, start=False)
+        try:
+            for b, padded in [
+                (1, 1), (2, 2), (3, 4), (5, 8), (9, 16), (17, 32),
+                (33, 48), (44, 48), (45, 48), (48, 48),
+            ]:
+                assert b + svc._batch_pad(b) == padded, b
+        finally:
+            svc.stop()
+        # a non-pow2 max_batch below the pow2 ceiling is itself the cap
+        svc = RenderService(max_batch=6, start=False)
+        try:
+            assert [b + svc._batch_pad(b) for b in (1, 2, 3, 5, 6)] == [
+                1, 2, 4, 6, 6,
+            ]
+        finally:
+            svc.stop()
+
+    def test_dispatch_pads_batch_and_slices_download(self, monkeypatch):
+        """The dispatched render sees the BUCKETED batch with real_batch
+        marking the true jobs (pad rows must not ride the download), and
+        each real job still matches its reference."""
+        from audio_raytracing_studio_tpu.parallel import sharding
+
+        seen = {}
+        real_render_batch = sharding.render_batch
+
+        def spy(clips, rate, params, **kwargs):
+            seen["batch"] = clips.shape[0]
+            seen["real_batch"] = kwargs.get("real_batch")
+            return real_render_batch(clips, rate, params, **kwargs)
+
+        monkeypatch.setattr(
+            "audio_raytracing_studio_tpu.parallel.sharding.render_batch", spy
+        )
+        svc = RenderService(max_batch=8, max_wait_ms=50, start=False)
+        p = RenderParams(target_layout="Stereo", room_size=50.0)
+        clips = [make_clip(i) for i in range(3)]
+        futs = [
+            svc.submit(RenderJob(c, RATE, p, seed=i))
+            for i, c in enumerate(clips)
+        ]
+        svc.start()
+        results = wait_all(futs)
+        svc.stop()
+        assert seen == {"batch": 4, "real_batch": 3}
+        assert svc.stats()["batch_sizes"] == [3]  # stats report TRUE sizes
+        for i, c in enumerate(clips):
+            expect = padded_reference(c, p, seed=i)
+            np.testing.assert_allclose(results[i].audio, expect, atol=2e-5)
+
     def test_padding_is_exact_on_the_linear_path(self):
         """With no exact-length circular stage (air off, EQ unity) the
         bucket padding is mathematically invisible: the trimmed output
