@@ -477,6 +477,61 @@ class RenderService:
         with self._lock:
             self._jobs_done += len(items)
 
+    def bucket_sizes(self) -> List[int]:
+        """The executable batch-size buckets this service dispatches at.
+
+        Powers of two capped at ``max_batch`` (mesh-divisibility rounded) —
+        the fixed points of ``_batch_pad``.  This is the set ``warm()``
+        pre-compiles.
+        """
+        raw = {1 << k for k in range(self.max_batch.bit_length())}
+        raw = {b for b in raw if b <= self.max_batch} | {self.max_batch}
+        return sorted({b + self._batch_pad(b) for b in raw})
+
+    def warm(
+        self, job: RenderJob, sizes: Optional[List[int]] = None
+    ) -> List[int]:
+        """Pre-compile the batched render executable for every batch-size
+        bucket of ``job``'s static signature.
+
+        The compiled XLA program is keyed on (static spec, padded batch
+        size); which bucket a production group lands in depends on arrival
+        timing, so without warming, traffic keeps discovering fresh buckets
+        at request latency — on the axon tunnel a fresh bucket is a
+        multi-minute compile (measured: a 48-job burst warmed buckets
+        {2, 48} then hit bucket 4 cold in the measured pass, +35 s,
+        BENCH_HISTORY round-4 session 2).  Call this once per expected
+        signature before taking traffic; compiles land in the persistent
+        XLA cache, so subsequent processes warm in seconds.
+
+        Dispatches ONE template-filled batch per bucket synchronously on
+        the calling thread (compilation happens inside the dispatch call;
+        results are dropped undownloaded).  Call before ``submit`` traffic
+        — it does not coordinate with the worker's own dispatches.
+
+        Returns the bucket sizes warmed.
+        """
+        item = self._prepare(job)
+        if item.key[0] == "streaming":
+            raise ValueError(
+                "streaming-routed jobs have no batch buckets to warm "
+                "(the streaming renderer keys on chunk shape, not batch)"
+            )
+        if sizes is None:
+            sizes = self.bucket_sizes()
+        else:
+            sizes = sorted(
+                {
+                    b + self._batch_pad(b)
+                    for b in (min(max(1, int(s)), self.max_batch) for s in sizes)
+                }
+            )
+        for b in sizes:
+            # compilation is synchronous inside the dispatch; dropping the
+            # fetch closure frees the device results without a download
+            self._render_group([item] * b)
+        return sizes
+
     def _batch_pad(self, batch: int) -> int:
         """Pad count that rounds ``batch`` up to its executable size bucket.
 

@@ -119,6 +119,71 @@ class TestBatcher:
         finally:
             svc.stop()
 
+    def test_bucket_sizes_enumerates_the_executable_set(self):
+        svc = RenderService(max_batch=48, start=False)
+        try:
+            assert svc.bucket_sizes() == [1, 2, 4, 8, 16, 32, 48]
+        finally:
+            svc.stop()
+        svc = RenderService(max_batch=6, start=False)
+        try:
+            assert svc.bucket_sizes() == [1, 2, 4, 6]
+        finally:
+            svc.stop()
+
+    def test_warm_precompiles_every_bucket(self, monkeypatch):
+        """warm() must dispatch exactly one batch per size bucket BEFORE
+        traffic (on chip a fresh bucket discovered mid-burst costs a
+        multi-minute tunnel compile), and a subsequent real job must still
+        render correctly."""
+        from audio_raytracing_studio_tpu.parallel import sharding
+
+        dispatched = []
+        real_render_batch = sharding.render_batch
+
+        def spy(clips, rate, params, **kwargs):
+            dispatched.append((clips.shape[0], kwargs.get("real_batch")))
+            return real_render_batch(clips, rate, params, **kwargs)
+
+        monkeypatch.setattr(
+            "audio_raytracing_studio_tpu.parallel.sharding.render_batch", spy
+        )
+        svc = RenderService(max_batch=8, max_wait_ms=50, start=False)
+        p = RenderParams(target_layout="Stereo", room_size=50.0)
+        clip = make_clip(0)
+        warmed = svc.warm(RenderJob(clip, RATE, p))
+        assert warmed == [1, 2, 4, 8]
+        # one dispatch per bucket, at exactly the bucket size (pad = 0)
+        assert dispatched == [(1, 1), (2, 2), (4, 4), (8, 8)]
+        # warm dispatches are not production stats
+        assert svc.stats()["batch_sizes"] == []
+        # a real job after warming renders through the same path
+        fut = svc.submit(RenderJob(clip, RATE, p, seed=3))
+        svc.start()
+        result = fut.result(timeout=120)
+        svc.stop()
+        expect = padded_reference(clip, p, seed=3)
+        np.testing.assert_allclose(result.audio, expect, atol=2e-5)
+        # explicit sizes normalize to their buckets
+        svc2 = RenderService(max_batch=8, start=False)
+        try:
+            dispatched.clear()
+            assert svc2.warm(RenderJob(clip, RATE, p), sizes=[3, 8]) == [4, 8]
+            assert dispatched == [(4, 4), (8, 8)]
+        finally:
+            svc2.stop()
+
+    def test_warm_rejects_streaming_jobs(self):
+        svc = RenderService(
+            max_batch=4, streaming_threshold_s=0.5, start=False
+        )
+        try:
+            clip = np.zeros(RATE, np.float32)  # 1 s > 0.5 s threshold
+            with pytest.raises(ValueError, match="streaming"):
+                svc.warm(RenderJob(clip, RATE, RenderParams()))
+        finally:
+            svc.stop()
+
     def test_dispatch_pads_batch_and_slices_download(self, monkeypatch):
         """The dispatched render sees the BUCKETED batch with real_batch
         marking the true jobs (pad rows must not ride the download), and

@@ -112,6 +112,26 @@ def soak(args) -> int:
     warmup_s = time.monotonic() - t_warm
     print(f"warmup ({warm_jobs} signatures): {warmup_s:.1f} s", file=sys.stderr)
 
+    # warm the batch-size buckets traffic will actually form (the compiled
+    # program is keyed on the padded batch dim too): one warm() per
+    # traffic-shaped signature — make_job ties EQ to the duration index, so
+    # (duration, metrics) with eq=None reproduces exactly the executables
+    # the Poisson mix dispatches.  Without this the soak's first minutes
+    # measure tunnel compiles, not serving.
+    if args.warm_buckets:
+        t_warm = time.monotonic()
+        bucket_list = [int(b) for b in args.warm_buckets.split(",")]
+        for di in range(len(durations)):
+            for wm in (False, True):
+                warmed = svc.warm(
+                    make_job(di, with_metrics=wm), sizes=bucket_list
+                )
+        print(
+            f"warm buckets {warmed} x {2 * len(durations)} signatures: "
+            f"{time.monotonic() - t_warm:.1f} s",
+            file=sys.stderr,
+        )
+
     lock = threading.Lock()
     latencies: list[float] = []
     failures: list[str] = []
@@ -246,6 +266,11 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--max-queued", type=int, default=64)
     ap.add_argument(
+        "--warm-buckets", default="2,4,8,16",
+        help="soak: comma-separated batch-size buckets to pre-compile per "
+             "traffic signature ('' skips; singles are always warmed)",
+    )
+    ap.add_argument(
         "--pipeline-depth", type=int, default=2,
         help="dispatched groups in flight (1 = the pre-round-4 serial worker)",
     )
@@ -309,7 +334,20 @@ def main(argv=None) -> int:
         print(f"{tag}: {dt:.3f} s for {args.jobs} jobs", file=sys.stderr)
         return dt
 
-    burst("warmup (compile)")
+    # pre-compile EVERY batch-size bucket of the signature: which bucket a
+    # group lands in depends on arrival timing, so without this the
+    # measured pass can hit a fresh bucket and pay its compile (measured
+    # +35 s, BENCH_HISTORY round-4 session 2)
+    t0 = time.perf_counter()
+    warmed = svc.warm(
+        RenderJob(clips[0], rate, params[0], with_metrics=args.metrics)
+    )
+    print(
+        f"warm buckets {warmed}: {time.perf_counter() - t0:.1f} s",
+        file=sys.stderr,
+    )
+    burst("warmup (download path)")
+    stats0 = svc.stats()
     dt = burst("measured")
 
     audio_seconds = args.jobs * args.seconds
@@ -322,6 +360,11 @@ def main(argv=None) -> int:
         "jobs": args.jobs,
         "job_latency_s": round(dt, 3),
         "batch_sizes": stats["batch_sizes"][-8:],
+        "pipeline_depth": args.pipeline_depth,
+        # measured-pass phase totals (worker dispatch vs completer fetch;
+        # they overlap under pipelining, so the sum can exceed job_latency_s)
+        "dispatch_s": round(stats["dispatch_s"] - stats0["dispatch_s"], 3),
+        "fetch_s": round(stats["fetch_s"] - stats0["fetch_s"], 3),
         "backend": backend,
     }
     print(json.dumps(out))
