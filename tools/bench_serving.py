@@ -53,6 +53,28 @@ def _pct(sorted_vals, q):
     return sorted_vals[i]
 
 
+def _watchdog(svc, args, metric: str):
+    """No-progress abort for mid-run tunnel outages (utils.watchdog).
+
+    Progress = the batcher's own counters; the watchdog adds process-I/O
+    movement on top, so a long in-flight transfer never trips it.  A COLD
+    first compile at a new shape can sit quiet longer than the default —
+    pass a larger --stall-timeout (or 0 to disable) on cold-cache runs.
+    """
+    from audio_raytracing_studio_tpu.utils.watchdog import StallWatchdog
+
+    def progress():
+        st = svc.stats()
+        return (st["jobs_done"], st["jobs_failed"], st["batches"])
+
+    return StallWatchdog(
+        progress,
+        timeout_s=args.stall_timeout,
+        stall_json={"metric": metric},
+        name="bench-serving-watchdog",
+    )
+
+
 def soak(args) -> int:
     """Poisson-arrival sustained-load soak through RenderService."""
     from audio_raytracing_studio_tpu.params import RenderParams
@@ -80,6 +102,9 @@ def soak(args) -> int:
         max_queued=args.max_queued,
         pipeline_depth=args.pipeline_depth,
     )
+    wd = _watchdog(
+        svc, args, "serving soak (Poisson arrivals, mixed lengths/metrics)"
+    ).start()
 
     def make_job(i: int, with_metrics=None, eq=None) -> RenderJob:
         d = durations[i % len(durations)]
@@ -197,6 +222,7 @@ def soak(args) -> int:
     stop_sampler.set()
     smp.join(timeout=10)
     stats = svc.stats()
+    wd.stop()
     svc.stop()
     import gc
 
@@ -274,6 +300,13 @@ def main(argv=None) -> int:
         "--pipeline-depth", type=int, default=2,
         help="dispatched groups in flight (1 = the pre-round-4 serial worker)",
     )
+    ap.add_argument(
+        "--stall-timeout", type=float, default=600.0,
+        help="abort (exit 3, thread dump, error JSON) when neither the "
+             "batcher's counters nor process I/O move for this many "
+             "seconds — the mid-run tunnel-outage guard.  Raise it (or 0 "
+             "to disable) for cold-cache first compiles at a new shape",
+    )
     args = ap.parse_args(argv)
 
     from audio_raytracing_studio_tpu.utils.profiling import enable_compilation_cache
@@ -315,6 +348,9 @@ def main(argv=None) -> int:
         pcm16_output=True,
         pipeline_depth=args.pipeline_depth,
     )
+    wd = _watchdog(
+        svc, args, "serving realtime factor (audio-sec/sec, end-to-end jobs)"
+    ).start()
 
     def burst(tag: str) -> float:
         t0 = time.perf_counter()
@@ -352,6 +388,7 @@ def main(argv=None) -> int:
 
     audio_seconds = args.jobs * args.seconds
     stats = svc.stats()
+    wd.stop()
     svc.stop()
     out = {
         "metric": "serving realtime factor (audio-sec/sec, end-to-end jobs)",
