@@ -61,11 +61,13 @@ def _k_weight_impl(signal: jnp.ndarray, rate: int, pow2: bool = False) -> jnp.nd
     # per-example trace can't see the batch dim, and a 3·2^k minor dim
     # mis-tiles 8-16× past ~4 batch rows on this TPU backend (CLAUDE.md;
     # same rule as StaticSpec.pow2_conv on the render conv)
+    from ..ops import fftops
     from ..ops.fftops import next_power_of_two
 
     nfft = next_power_of_two(need) if pow2 else convolution.fast_fft_length(need)
-    sig_f = jnp.fft.rfft(signal, n=nfft, axis=-1)
-    out = jnp.fft.irfft(sig_f * jnp.fft.rfft(fir, n=nfft), n=nfft, axis=-1)
+    sig_f = fftops.rfft_rows(fftops.pad_last(signal, nfft))
+    fir_f = fftops.rfft_rows(fftops.pad_last(fir, nfft))
+    out = fftops.irfft_rows(sig_f * fir_f)
     return out[..., :n].astype(jnp.float32)
 
 

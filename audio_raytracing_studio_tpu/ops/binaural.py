@@ -29,6 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import config
+from . import fftops
 from .fftops import next_power_of_two
 
 HEAD_RADIUS_M = 0.0875
@@ -112,11 +113,11 @@ def _binaural_mix(data_cn, table_re, table_im, nfft: int, n: int):
     # UNIMPLEMENTED on the axon TPU backend (CLAUDE.md) — complex values may
     # only exist inside the compiled graph
     table = jax.lax.complex(table_re, table_im)
-    spec = jnp.fft.rfft(data_cn, n=nfft, axis=-1)
+    spec = fftops.rfft_rows(fftops.pad_last(data_cn, nfft))
     # elementwise sum over the small channel axis (VPU) — the default einsum
     # contraction would run bf16 on the MXU (see CLAUDE.md)
     ears = jnp.sum(spec[:, None, :] * table, axis=0)
-    return jnp.fft.irfft(ears, n=nfft, axis=-1)[:, :n].astype(jnp.float32)
+    return fftops.irfft_rows(ears)[:, :n].astype(jnp.float32)
 
 
 def binauralize(data_nc: np.ndarray, rate: int, layout_name: str) -> np.ndarray:

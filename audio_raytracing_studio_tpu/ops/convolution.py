@@ -91,12 +91,14 @@ def convolve_full(
             return _convolve_full_packed_stereo(signal, kernels, out_length, fast)
         nfft = p2 if pow2 else fast
 
-    sig_f = jnp.fft.rfft(signal, n=nfft, axis=-1)  # (..., C, F)
-    ker_f = jnp.fft.rfft(kernels, n=nfft, axis=-1)  # (K, F)
+    # flat-batching transforms (fftops.*_rows): under vmap the rank-3/4
+    # shapes these produce pay a measured ~28% tiling tax vs flat rows
+    sig_f = fftops.rfft_rows(fftops.pad_last(signal, nfft))  # (..., C, F)
+    ker_f = fftops.rfft_rows(fftops.pad_last(kernels, nfft))  # (K, F)
     if kernel_gains is not None:
         ker_f = ker_f * kernel_gains
     prod = sig_f[..., None, :, :] * ker_f[..., :, None, :]  # (..., K, C, F)
-    full = jnp.fft.irfft(prod, n=nfft, axis=-1)
+    full = fftops.irfft_rows(prod)
     return full[..., :out_length].astype(jnp.float32)
 
 
@@ -154,14 +156,14 @@ def convolve_combined(
     else:
         nfft = fast_fft_length(need)
 
-    sig_f = jnp.fft.rfft(signal, n=nfft, axis=-1)  # (..., C, F)
-    ker_f = jnp.fft.rfft(kernels, n=nfft, axis=-1)  # (K, F)
+    sig_f = fftops.rfft_rows(fftops.pad_last(signal, nfft))  # (..., C, F)
+    ker_f = fftops.rfft_rows(fftops.pad_last(kernels, nfft))  # (K, F)
     if kernel_gains is not None:
         ker_f = ker_f * kernel_gains
     # elementwise weighted sum over the tiny K axis (VPU; a tensordot would
     # hit the bf16 MXU path — see CLAUDE.md)
     combined = jnp.sum(weights.astype(ker_f.dtype)[:, None] * ker_f, axis=0)  # (F,)
-    full = jnp.fft.irfft(sig_f * combined, n=nfft, axis=-1)
+    full = fftops.irfft_rows(sig_f * combined)
     return full[..., :out_length].astype(jnp.float32)
 
 
@@ -176,7 +178,7 @@ def convolve_pairwise(signal: jnp.ndarray, kernels: jnp.ndarray, out_length: int
     n = signal.shape[-1]
     l = kernels.shape[-1]
     nfft = fast_fft_length(max(out_length, n + l - 1))
-    sig_f = jnp.fft.rfft(signal, n=nfft, axis=-1)
-    ker_f = jnp.fft.rfft(kernels, n=nfft, axis=-1)
-    full = jnp.fft.irfft(sig_f * ker_f, n=nfft, axis=-1)
+    sig_f = fftops.rfft_rows(fftops.pad_last(signal, nfft))
+    ker_f = fftops.rfft_rows(fftops.pad_last(kernels, nfft))
+    full = fftops.irfft_rows(sig_f * ker_f)
     return full[..., :out_length].astype(jnp.float32)

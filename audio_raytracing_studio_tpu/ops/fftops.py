@@ -28,6 +28,56 @@ def is_power_of_two(n: int) -> bool:
     return n > 0 and (n & (n - 1)) == 0
 
 
+def _rows_transform(fn):
+    """Last-axis device transform that batches FLAT (custom_vmap).
+
+    Rank matters on this backend: the same 96 pow2-FFT rows cost 197 ms as
+    a rank-3 (48, 2, m) op but 142 ms as a flat (96, m) op (measured on
+    chip, tools/profile_conv.py — BENCH_HISTORY round-4 session 2).  The
+    batched renderers build their transforms under ``jax.vmap``, where a
+    reshape inside the per-example trace cannot collapse the batch axis —
+    so the collapse is expressed as a *custom batching rule*: under vmap
+    (nested vmaps included — the rule re-enters itself) all leading batch
+    dims flatten into one row axis around the transform, and the reshapes
+    are free (leading-dim collapse of a row-major array is a bitcast).
+    """
+    wrapped = jax.custom_batching.custom_vmap(fn)
+
+    @wrapped.def_vmap
+    def _rule(axis_size, in_batched, z):  # noqa: ARG001 — jax API shape
+        (zb,) = in_batched
+        if not zb:
+            return wrapped(z), False
+        if z.ndim <= 2:
+            return wrapped(z), True
+        out = wrapped(z.reshape((-1, z.shape[-1])))
+        return out.reshape(z.shape[:-1] + (out.shape[-1],)), True
+
+    return wrapped
+
+
+# Flat-batching device transforms (use these instead of raw jnp.fft.* on any
+# array that can acquire batch dims under vmap).  Length is implicit: pad the
+# last axis to the grid FIRST (``pad_last``) — jnp.fft's ``n=`` kwarg does the
+# same pad internally, so this costs nothing extra.  ``irfft_rows`` implies an
+# even output length 2·(F−1) — every conv/filter grid here is even; odd exact
+# lengths go through the Bluestein path, not these.
+fft_rows = _rows_transform(lambda z: jnp.fft.fft(z, axis=-1))
+ifft_rows = _rows_transform(lambda z: jnp.fft.ifft(z, axis=-1))
+rfft_rows = _rows_transform(lambda x: jnp.fft.rfft(x, axis=-1))
+irfft_rows = _rows_transform(lambda z: jnp.fft.irfft(z, axis=-1))
+
+
+def pad_last(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Zero-pad (or truncate) the last axis to exactly ``m`` samples."""
+    n = x.shape[-1]
+    if n == m:
+        return x
+    if n > m:
+        return x[..., :m]
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, m - n)])
+
+
 def next_power_of_two(n: int) -> int:
     return 1 << max(0, int(np.ceil(np.log2(max(1, n)))))
 
@@ -90,9 +140,7 @@ def _fft_radix3(z: jnp.ndarray) -> jnp.ndarray:
     u0 = a + b + c
     u1 = (a + w3 * b + w3c * c) * jnp.asarray(t1_np)
     u2 = (a + w3c * b + w3 * c) * jnp.asarray(t2_np)
-    return jnp.concatenate(
-        [jnp.fft.fft(u, axis=-1) for u in (u0, u1, u2)], axis=-1
-    )
+    return jnp.concatenate([fft_rows(u) for u in (u0, u1, u2)], axis=-1)
 
 
 def _ifft_radix3(z: jnp.ndarray) -> jnp.ndarray:
@@ -101,9 +149,9 @@ def _ifft_radix3(z: jnp.ndarray) -> jnp.ndarray:
     m = z.shape[-1]
     M = m // 3
     t1_np, t2_np = _radix3_twiddles(m)
-    v0 = jnp.fft.ifft(z[..., :M], axis=-1)
-    v1 = jnp.fft.ifft(z[..., M : 2 * M], axis=-1) * jnp.conj(jnp.asarray(t1_np))
-    v2 = jnp.fft.ifft(z[..., 2 * M :], axis=-1) * jnp.conj(jnp.asarray(t2_np))
+    v0 = ifft_rows(z[..., :M])
+    v1 = ifft_rows(z[..., M : 2 * M]) * jnp.conj(jnp.asarray(t1_np))
+    v2 = ifft_rows(z[..., 2 * M :]) * jnp.conj(jnp.asarray(t2_np))
     w3i = np.complex64(np.exp(2j * np.pi / 3.0))  # conj(omega)
     w3ic = np.conj(w3i)
     third = np.float32(1.0 / 3.0)
@@ -128,13 +176,10 @@ def fft_fast(z: jnp.ndarray, m: int) -> jnp.ndarray:
     the two elementwise (host constants reorder via ``radix3_permute``).
     """
     if is_power_of_two(m):
-        return jnp.fft.fft(z, n=m, axis=-1)
+        return fft_rows(pad_last(z, m))
     if m % 3 != 0 or not is_power_of_two(m // 3):
         raise ValueError(f"fft_fast supports 2^k and 3·2^k lengths, got {m}")
-    n = z.shape[-1]
-    if n < m:
-        z = jnp.pad(z.astype(jnp.complex64), [(0, 0)] * (z.ndim - 1) + [(0, m - n)])
-    return _fft_radix3(z[..., :m].astype(jnp.complex64))
+    return _fft_radix3(pad_last(z.astype(jnp.complex64), m))
 
 
 def ifft_fast(z: jnp.ndarray) -> jnp.ndarray:
@@ -142,7 +187,7 @@ def ifft_fast(z: jnp.ndarray) -> jnp.ndarray:
     permuted spectrum order at 3·2^k; emits natural-order samples)."""
     m = z.shape[-1]
     if is_power_of_two(m):
-        return jnp.fft.ifft(z, axis=-1)
+        return ifft_rows(z)
     if m % 3 != 0 or not is_power_of_two(m // 3):
         raise ValueError(f"ifft_fast supports 2^k and 3·2^k lengths, got {m}")
     return _ifft_radix3(z)
@@ -188,10 +233,9 @@ def _bluestein_dft(x: jnp.ndarray, n: int, inverse: bool) -> jnp.ndarray:
     B = jnp.asarray(B_np)
     a = x.astype(jnp.complex64) * w
     if is_power_of_two(m):
-        conv = jnp.fft.ifft(jnp.fft.fft(a, n=m, axis=-1) * B, axis=-1)[..., :n]
+        conv = ifft_rows(fft_rows(pad_last(a, m)) * B)[..., :n]
     else:  # m = 3·2^k via the explicit radix-3 decimation
-        pad = [(0, 0)] * (a.ndim - 1) + [(0, m - n)]
-        conv = _ifft_radix3(_fft_radix3(jnp.pad(a, pad)) * B)[..., :n]
+        conv = _ifft_radix3(_fft_radix3(pad_last(a, m)) * B)[..., :n]
     return conv * w
 
 
@@ -199,17 +243,19 @@ def rfft_exact(x: jnp.ndarray, n: int) -> jnp.ndarray:
     """rfft of real input at exactly length n (any n ≥ 2); like
     ``np.fft.rfft(x, n)``, shorter input is zero-padded, longer truncated."""
     if is_power_of_two(n):
-        return jnp.fft.rfft(x, n=n, axis=-1)
-    if x.shape[-1] < n:
-        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, n - x.shape[-1])])
-    full = _bluestein_dft(x[..., :n].astype(jnp.complex64), n, inverse=False)
+        return rfft_rows(pad_last(x, n))
+    full = _bluestein_dft(
+        pad_last(x, n).astype(jnp.complex64), n, inverse=False
+    )
     return full[..., : n // 2 + 1]
 
 
 def irfft_exact(spec: jnp.ndarray, n: int) -> jnp.ndarray:
     """irfft back to real length n from a (..., n//2+1) half spectrum."""
     if is_power_of_two(n):
-        return jnp.fft.irfft(spec, n=n, axis=-1)
+        # n = 2·(F−1): pin the bin count so irfft_rows' implicit length
+        # matches jnp.fft.irfft(spec, n=n) even for an over-long spectrum
+        return irfft_rows(spec[..., : n // 2 + 1])
     # Rebuild the full Hermitian spectrum, inverse-DFT, take the real part.
     if n % 2 == 0:
         mirror = jnp.conj(spec[..., -2:0:-1])
@@ -243,8 +289,8 @@ def apply_circular_gain(signal: jnp.ndarray, gain: jnp.ndarray) -> jnp.ndarray:
     """
     n = signal.shape[-1]
     if is_power_of_two(n):
-        spec = jnp.fft.rfft(signal, n=n, axis=-1) * gain
-        return jnp.fft.irfft(spec, n=n, axis=-1).astype(jnp.float32)
+        spec = rfft_rows(signal) * gain
+        return irfft_rows(spec).astype(jnp.float32)
     if signal.ndim >= 2 and signal.shape[-2] == 2:
         z = jax.lax.complex(signal[..., 0, :], signal[..., 1, :])
         spec = _bluestein_dft(z, n, inverse=False) * _full_gain(gain, n)

@@ -153,12 +153,12 @@ def _apply_affine_circular(
     pow2 = pow2 or rows > 4
     specs = [_wrap_spectrum(k, n, rate, pow2) for k, _ in terms]
     m = specs[0][1]
-    X = jnp.fft.rfft(x, n=m, axis=-1)
+    X = fftops.rfft_rows(fftops.pad_last(x, m))
     H = None
     for (spec_np, _m), (_key, c) in zip(specs, terms):
         term = jnp.asarray(spec_np) * c
         H = term if H is None else H + term
-    wrap = jnp.fft.irfft(X * H, n=m, axis=-1)[..., n : 2 * n]
+    wrap = fftops.irfft_rows(X * H)[..., n : 2 * n]
     return (x + wrap).astype(jnp.float32)
 
 
@@ -299,8 +299,8 @@ def apply_shelf_eq_dynamic(
     w_inv = jnp.where(valid, chirp._chirp(jv, n0, +1.0), zero)
 
     km = jnp.arange(m, dtype=jnp.int32)
-    kf = jnp.fft.fft(chirp.chirp_kernel_at_bins(km, n0, m, -1.0))
-    ki = jnp.fft.fft(chirp.chirp_kernel_at_bins(km, n0, m, +1.0))
+    kf = fftops.fft_rows(chirp.chirp_kernel_at_bins(km, n0, m, -1.0))
+    ki = fftops.fft_rows(chirp.chirp_kernel_at_bins(km, n0, m, +1.0))
     gain = chirp.shelf_gain_from_edges(
         km, n0, dyn.k_lo, dyn.k_bass, dyn.k_treble, bass_gain, treble_gain
     )
@@ -308,10 +308,10 @@ def apply_shelf_eq_dynamic(
     def _stream(z: jnp.ndarray) -> jnp.ndarray:
         """EQ one complex stream (real channel or packed L+iR pair)."""
         u = jnp.zeros(m, jnp.complex64).at[:L].set(z * w_fwd)
-        conv1 = jnp.fft.ifft(jnp.fft.fft(u) * kf)
+        conv1 = fftops.ifft_rows(fftops.fft_rows(u) * kf)
         # forward post-chirp w⁻ and inverse pre-chirp w⁺ cancel: only the
         # gain (zeroed past n0) sits between the two convolutions
-        conv2 = jnp.fft.ifft(jnp.fft.fft(conv1 * gain) * ki)
+        conv2 = fftops.ifft_rows(fftops.fft_rows(conv1 * gain) * ki)
         return conv2[:L] * w_inv * inv_n
 
     rows = []

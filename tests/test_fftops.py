@@ -180,3 +180,69 @@ def test_radix3_pair_packed_under_vmap(rng):
     got = np.asarray(f(jnp.asarray(sigs)))
     ref = np.fft.irfft(np.fft.rfft(sigs.astype(np.float64), axis=-1) * gain, n, axis=-1)
     assert np.max(np.abs(got - ref)) < 5e-5
+
+
+class TestFlatBatching:
+    """*_rows transforms: under vmap, batch dims must collapse into rows.
+
+    Rank matters on the TPU backend: the same 96 pow2-FFT rows measured
+    197 ms rank-3 but 142 ms flat (tools/profile_conv.py, BENCH_HISTORY
+    round-4 session 2).  These tests pin (a) the custom batching rule's
+    numerics against per-example application and (b) that the lowered
+    module really contains only rank-2 FFT ops under (nested) vmap.
+    """
+
+    def test_vmapped_fft_fast_matches_per_example(self, rng):
+        import jax
+
+        for m in (256, 384):  # pow2 and 3·2^k
+            x = rng.standard_normal((6, 2, 200)).astype(np.float32)
+            f = jax.jit(jax.vmap(lambda a, m=m: fftops.fft_fast(a, m)))
+            got = np.asarray(f(jnp.asarray(x)))
+            ref = np.stack(
+                [np.asarray(fftops.fft_fast(jnp.asarray(x[i]), m)) for i in range(6)]
+            )
+            assert np.max(np.abs(got - ref)) < 1e-5, m
+            gi = np.asarray(jax.jit(jax.vmap(fftops.ifft_fast))(jnp.asarray(got)))
+            ri = np.stack(
+                [np.asarray(fftops.ifft_fast(jnp.asarray(ref[i]))) for i in range(6)]
+            )
+            assert np.max(np.abs(gi - ri)) < 1e-5, m
+
+    def test_nested_vmap_flattens_and_matches(self, rng):
+        import jax
+
+        y = rng.standard_normal((3, 4, 2, 128)).astype(np.float32)
+        g = jax.jit(jax.vmap(jax.vmap(lambda a: fftops.fft_fast(a, 128))))
+        got = np.asarray(g(jnp.asarray(y)))
+        ref = np.fft.fft(y, n=128, axis=-1)
+        assert np.max(np.abs(got - ref)) < 1e-4
+
+    def test_lowered_ffts_are_rank2_under_vmap(self):
+        import re
+
+        import jax
+
+        txt = (
+            jax.jit(jax.vmap(lambda a: fftops.fft_fast(a, 256)))
+            .lower(jnp.zeros((6, 2, 200), jnp.float32))
+            .as_text()
+        )
+        shapes = re.findall(r"stablehlo\.fft[^:]*:\s*\(tensor<([0-9x]+)x", txt)
+        assert shapes, "no fft op found in lowered module"
+        for s in shapes:
+            assert s.count("x") == 1, f"fft not flattened to rank 2: {s}x..."
+
+    def test_rows_transforms_unbatched_passthrough(self, rng):
+        x = rng.standard_normal((5, 64)).astype(np.float32)
+        assert np.allclose(
+            np.asarray(fftops.rfft_rows(jnp.asarray(x))),
+            np.fft.rfft(x, axis=-1),
+            atol=1e-4,
+        )
+        z = np.fft.rfft(x, axis=-1).astype(np.complex64)
+        assert np.allclose(
+            np.asarray(fftops.irfft_rows(jnp.asarray(z))),
+            np.fft.irfft(z, axis=-1),
+            atol=1e-5,
+        )

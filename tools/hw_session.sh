@@ -1,9 +1,14 @@
 #!/bin/bash
 # One-command hardware validation + bench pass (run when the TPU tunnel is up).
 #
-# Order: bounded probe -> kernel validation -> driver bench -> streaming
-# benches (unity + exact EQ) -> EQ-barrier A/B.  Each step logs to
-# /tmp/hw_<step>.log and the script stops early if the probe fails.
+# Order: bounded probe -> kernel validation -> driver bench -> exact-mode
+# roofline + conv micro-breakdown (flat-batching A/B data) -> serving burst
+# (pipelined + buckets) -> Poisson soak -> streaming benches (unity + exact
+# EQ, dynamic vs per-n0).  Each step logs to /tmp/hw_<step>.log and the
+# script stops early if the probe fails.  The serving steps carry a stall
+# watchdog (utils/watchdog) so a mid-run tunnel outage aborts in ~10 min
+# with a thread dump instead of eating the step timeout (observed round-4
+# session 3).
 # REQUIREMENTS (CLAUDE.md): idle host (no concurrent CPU suite), exactly one
 # TPU process at a time — this script runs its steps strictly sequentially.
 cd /root/repo || exit 1
@@ -24,11 +29,14 @@ run() {  # run <name> <timeout_s> <cmd...>
 
 run validate 1800 python tools/tpu_validate.py
 run bench 3600 python bench.py
-# per-stage exact-mode roofline (round-4 VERDICT item 6) → PERF.md data
+# per-stage exact-mode roofline (PERF.md) + the conv micro-breakdown — both
+# re-measure the flat-batching (custom_vmap *_rows) change vs the session-2
+# rank-3 numbers (conv 449.7 ms, fwd_kernels 197.1 vs flat 142.1)
 run profile_exact 5400 python tools/profile_exact.py
+run profile_conv 3600 python tools/profile_conv.py
 run bench_serving 3600 python tools/bench_serving.py
-# 10-min Poisson soak, mixed lengths/metrics/EQ (round-4 VERDICT item 3);
-# warmup compiles up to 12 signatures first — slow on a cold cache
+# 10-min Poisson soak, mixed lengths/metrics/EQ; warmup compiles up to 12
+# signatures first — slow on a cold cache (raise --stall-timeout there)
 run soak 5400 python tools/bench_serving.py --soak 600 --arrival-rate 2.0
 run long_unity 5400 python tools/bench_long.py long --minutes 30
 run long_eq 5400 python tools/bench_long.py long --minutes 30 --bass 1.6 --treble 0.7
@@ -37,5 +45,4 @@ run long_eq 5400 python tools/bench_long.py long --minutes 30 --bass 1.6 --trebl
 # per-n0 exact executables so a regression in either path is visible.
 run long_eq_static 5400 env ARS_STREAM_EQ_DYNAMIC=0 \
     python tools/bench_long.py long --minutes 30 --bass 1.6 --treble 0.7
-run eq_barrier 5400 python tools/measure_eq_barrier.py --minutes 30
 echo "== done — record the numbers in BENCH_HISTORY.md =="
