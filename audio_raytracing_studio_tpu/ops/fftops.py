@@ -28,7 +28,7 @@ def is_power_of_two(n: int) -> bool:
     return n > 0 and (n & (n - 1)) == 0
 
 
-def _rows_transform(fn):
+def _rows_transform(fn, grid_of=None):
     """Last-axis device transform that batches FLAT (custom_vmap).
 
     Rank matters on this backend: the same 96 pow2-FFT rows cost 197 ms as
@@ -40,7 +40,17 @@ def _rows_transform(fn):
     (nested vmaps included — the rule re-enters itself) all leading batch
     dims flatten into one row axis around the transform, and the reshapes
     are free (leading-dim collapse of a row-major array is a bitcast).
+
+    Only POWER-OF-TWO grids flatten.  The real 3·2^k transforms are
+    rank-SENSITIVE the other way: rank-3 (48, 2, 3·2^k) rffts are measured
+    clean while other batched 3·2^k layouts mis-tile 8-16× (CLAUDE.md), so
+    at a non-pow2 grid the rule reproduces the pre-flattening batched op
+    bit-for-bit (fft along the last axis is row-independent, so applying
+    ``fn`` to the full-rank batched array IS what vmap would have built).
+    ``grid_of`` maps the batched array's last dim to the time-domain grid
+    length (identity for complex transforms; 2·(F−1) for irfft).
     """
+    grid_of = grid_of or (lambda last: last)
     wrapped = jax.custom_batching.custom_vmap(fn)
 
     @wrapped.def_vmap
@@ -48,6 +58,8 @@ def _rows_transform(fn):
         (zb,) = in_batched
         if not zb:
             return wrapped(z), False
+        if not is_power_of_two(grid_of(z.shape[-1])):
+            return fn(z), True
         if z.ndim <= 2:
             return wrapped(z), True
         out = wrapped(z.reshape((-1, z.shape[-1])))
@@ -65,7 +77,9 @@ def _rows_transform(fn):
 fft_rows = _rows_transform(lambda z: jnp.fft.fft(z, axis=-1))
 ifft_rows = _rows_transform(lambda z: jnp.fft.ifft(z, axis=-1))
 rfft_rows = _rows_transform(lambda x: jnp.fft.rfft(x, axis=-1))
-irfft_rows = _rows_transform(lambda z: jnp.fft.irfft(z, axis=-1))
+irfft_rows = _rows_transform(
+    lambda z: jnp.fft.irfft(z, axis=-1), grid_of=lambda f: 2 * (f - 1)
+)
 
 
 def pad_last(x: jnp.ndarray, m: int) -> jnp.ndarray:

@@ -246,3 +246,20 @@ class TestFlatBatching:
             np.fft.irfft(z, axis=-1),
             atol=1e-5,
         )
+
+    def test_non_pow2_real_grid_keeps_batched_rank(self, rng):
+        # 3·2^k REAL transforms are rank-sensitive the other way (CLAUDE.md:
+        # rank-3 (B,2,3·2^k) rfft measured clean at B=48, other layouts
+        # mis-tile) — the rule must reproduce the pre-flattening batched op
+        import re
+
+        import jax
+
+        x = rng.standard_normal((6, 2, 300)).astype(np.float32)
+        fn = jax.vmap(lambda a: fftops.rfft_rows(fftops.pad_last(a, 384)))
+        txt = jax.jit(fn).lower(jnp.asarray(x)).as_text()
+        shapes = re.findall(r"stablehlo\.fft[^:]*:\s*\(tensor<([0-9x]+)x", txt)
+        assert shapes and all(s.count("x") == 2 for s in shapes), shapes
+        got = np.asarray(jax.jit(fn)(jnp.asarray(x)))
+        ref = np.fft.rfft(x, n=384, axis=-1)
+        assert np.max(np.abs(got - ref)) < 1e-3
