@@ -49,8 +49,16 @@ def _rows_transform(fn, grid_of=None):
     ``fn`` to the full-rank batched array IS what vmap would have built).
     ``grid_of`` maps the batched array's last dim to the time-domain grid
     length (identity for complex transforms; 2·(F−1) for irfft).
+
+    ``ARS_FLAT_FFT=0`` (read at import) disables the custom rule entirely
+    — every call lowers exactly like the raw jnp.fft op, batched or not —
+    the A/B switch for isolating this change in on-chip measurements.
     """
     grid_of = grid_of or (lambda last: last)
+    import os
+
+    if os.environ.get("ARS_FLAT_FFT", "1") == "0":
+        return fn
     wrapped = jax.custom_batching.custom_vmap(fn)
 
     @wrapped.def_vmap
