@@ -14,7 +14,12 @@ shell timeout in hours.
 
 The I/O-counter signal (``/proc/self/io`` rchar+wchar) covers phases with
 no job-level progress but real work in flight (a multi-hundred-MB upload,
-a result download).  A COLD compile through the tunnel can legitimately
+a result download).  Reading ``/proc/self/io`` itself increments rchar by
+~100 bytes, so raw inequality would reset the idle timer on every poll and
+the watchdog could never fire (round-4 advisor finding); an I/O delta only
+counts as progress when it exceeds ``io_epsilon`` bytes per poll — sized
+far above the self-read cost and far below any real transfer.  A COLD
+compile through the tunnel can legitimately
 sit quiet for many minutes (45-55 min was measured for the 30-min
 streaming graphs) — callers doing first-compiles at a new shape must pass
 a generous ``timeout_s`` or disable the watchdog; the default is sized for
@@ -64,6 +69,12 @@ class StallWatchdog:
     stall_json: optional dict printed to stdout as one JSON line with an
                 added ``"error"`` key before the default abort — keeps the
                 tool's one-JSON-line output contract even when it dies.
+    io_epsilon: minimum I/O-counter delta (bytes) between two polls that
+                counts as progress.  The watchdog's own ``/proc/self/io``
+                read costs ~100 bytes of rchar per poll (measured), so a
+                zero epsilon makes the watchdog inert.  Default 64 KiB:
+                orders of magnitude above the self-read tax plus incidental
+                logging, orders of magnitude below a real upload/download.
     """
 
     def __init__(
@@ -75,10 +86,12 @@ class StallWatchdog:
         on_stall: Optional[Callable[[str], None]] = None,
         stall_json: Optional[dict] = None,
         name: str = "stall-watchdog",
+        io_epsilon: int = 65536,
     ):
         self.progress = progress
         self.timeout_s = float(timeout_s)
         self.poll_s = float(poll_s)
+        self.io_epsilon = int(io_epsilon)
         self.stall_json = stall_json
         self.on_stall = on_stall or self._default_on_stall
         self.name = name
@@ -108,20 +121,29 @@ class StallWatchdog:
         return False
 
     # --- internals ---
-    def _snapshot(self):
+    def _progress_snapshot(self):
         try:
-            snap = self.progress()
+            return self.progress()
         except Exception:  # noqa: BLE001 — a flaky probe must not kill us
-            snap = None
-        return (snap, _io_bytes())
+            return None
 
     def _run(self):
-        last = self._snapshot()
+        last_prog = self._progress_snapshot()
+        last_io = _io_bytes()
         t_last = time.monotonic()
         while not self._stop.wait(self.poll_s):
-            cur = self._snapshot()
-            if cur != last:
-                last = cur
+            cur_prog = self._progress_snapshot()
+            cur_io = _io_bytes()
+            # The io read itself moves rchar (~100 B/poll) — only a delta
+            # beyond io_epsilon is real work, not our own measurement tax.
+            io_moved = (
+                cur_io >= 0
+                and last_io >= 0
+                and abs(cur_io - last_io) >= self.io_epsilon
+            )
+            last_io = cur_io
+            if cur_prog != last_prog or io_moved:
+                last_prog = cur_prog
                 t_last = time.monotonic()
                 continue
             idle = time.monotonic() - t_last

@@ -54,7 +54,7 @@ def test_progress_resets_the_timer(frozen_io):
 
 def test_io_movement_counts_as_progress(monkeypatch):
     fired = threading.Event()
-    io = itertools.count()
+    io = itertools.count(step=1 << 20)  # 1 MiB/poll — a real transfer
     monkeypatch.setattr(wdmod, "_io_bytes", lambda: next(io))
     wd = StallWatchdog(
         lambda: ("static",),  # job-level progress frozen; bytes moving
@@ -65,6 +65,43 @@ def test_io_movement_counts_as_progress(monkeypatch):
     with wd:
         time.sleep(0.6)
     assert not fired.is_set()
+
+
+def test_self_read_io_tax_does_not_reset_timer(monkeypatch):
+    """Sub-epsilon I/O deltas (the watchdog's own /proc read, stray log
+    lines) must NOT count as progress — the round-4 advisor found the
+    watchdog inert because each poll's own ~100-byte rchar bump reset the
+    idle timer forever."""
+    fired = threading.Event()
+    io = itertools.count(step=200)  # ≈ the measured self-read cost
+    monkeypatch.setattr(wdmod, "_io_bytes", lambda: next(io))
+    wd = StallWatchdog(
+        lambda: ("static",),
+        timeout_s=0.15,
+        poll_s=0.03,
+        on_stall=lambda msg: fired.set(),
+    )
+    with wd:
+        assert fired.wait(timeout=5.0), (
+            "watchdog is inert: its own io-read tax keeps resetting the timer"
+        )
+
+
+def test_fires_with_real_io_bytes_on_idle_process():
+    """End-to-end with the REAL /proc/self/io reader: an idle process must
+    trip the watchdog.  No monkeypatching — this is the production
+    configuration the round-4 advisor proved could never fire."""
+    fired = threading.Event()
+    wd = StallWatchdog(
+        lambda: ("static",),
+        timeout_s=0.3,
+        poll_s=0.05,
+        on_stall=lambda msg: fired.set(),
+    )
+    with wd:
+        assert fired.wait(timeout=10.0), (
+            "watchdog with real _io_bytes never fired on an idle process"
+        )
 
 
 def test_zero_timeout_disables(frozen_io):
