@@ -275,10 +275,12 @@ def rfft_exact(x: jnp.ndarray, n: int) -> jnp.ndarray:
 def irfft_exact(spec: jnp.ndarray, n: int) -> jnp.ndarray:
     """irfft back to real length n from a (..., n//2+1) half spectrum."""
     if is_power_of_two(n):
-        # n = 2·(F−1): pin the bin count so irfft_rows' implicit length
-        # matches jnp.fft.irfft(spec, n=n) even for an over-long spectrum
-        return irfft_rows(spec[..., : n // 2 + 1])
+        # Pin the bin count to n//2+1 so irfft_rows' implicit length matches
+        # jnp.fft.irfft(spec, n=n) for over-long AND under-length spectra
+        # (pad_last zero-pads short ones, matching numpy's zero-pad).
+        return irfft_rows(pad_last(spec, n // 2 + 1))
     # Rebuild the full Hermitian spectrum, inverse-DFT, take the real part.
+    spec = pad_last(spec, n // 2 + 1)
     if n % 2 == 0:
         mirror = jnp.conj(spec[..., -2:0:-1])
     else:

@@ -480,13 +480,21 @@ class RenderService:
     def bucket_sizes(self) -> List[int]:
         """The executable batch-size buckets this service dispatches at.
 
-        Powers of two capped at ``max_batch`` (mesh-divisibility rounded) —
-        the fixed points of ``_batch_pad``.  This is the set ``warm()``
+        Powers of two capped at ``max_batch``, each rounded up to a
+        multiple of the mesh data axis — the fixed points of
+        ``_batch_pad`` (every bucket pads to itself, so ``warm()`` and
+        production traffic compile the SAME executable set even when the
+        data axis is not a power of two).  This is the set ``warm()``
         pre-compiles.
         """
         raw = {1 << k for k in range(self.max_batch.bit_length())}
         raw = {b for b in raw if b <= self.max_batch} | {self.max_batch}
-        return sorted({b + self._batch_pad(b) for b in raw})
+        if self.device_mesh is not None:
+            from ..parallel import mesh as meshlib
+
+            d = self.device_mesh.shape[meshlib.DATA_AXIS]
+            raw = {b + (-b) % d for b in raw}
+        return sorted(raw)
 
     def warm(
         self, job: RenderJob, sizes: Optional[List[int]] = None
@@ -545,16 +553,17 @@ class RenderService:
         executables total, ≤2× zero-pad upload waste worst-case, and pad
         rows never download — render_batch slices them off on device
         (``real_batch``).  A mesh's data axis still divides the result.
-        """
-        b = 1 << max(0, batch - 1).bit_length()  # next power of two ≥ batch
-        if b > self.max_batch >= batch:
-            b = self.max_batch
-        if self.device_mesh is not None:
-            from ..parallel import mesh as meshlib
 
-            d = self.device_mesh.shape[meshlib.DATA_AXIS]
-            b += (-b) % d
-        return b - batch
+        Pads to the smallest ``bucket_sizes()`` entry ≥ batch, so every
+        bucket is a fixed point: a group that arrives AT a bucket size
+        dispatches at that size even when the mesh data axis is not a
+        power of two (d=3: bucket 3 stays 3, not 6).
+        """
+        for b in self.bucket_sizes():
+            if b >= batch:
+                return b - batch
+        return 0  # batch > every bucket: only reachable if batch > top
+                  # bucket, which dispatch grouping (≤ max_batch) prevents
 
     def _render_group(self, items: List[_Item]):
         """Stack + dispatch one group.  Returns a zero-arg ``fetch()``

@@ -23,6 +23,19 @@ def test_roundtrip(rng, n):
     assert np.max(np.abs(back - x)) < 2e-5
 
 
+@pytest.mark.parametrize("n", [64, 100])  # pow2 + Bluestein branches
+def test_irfft_zero_pads_short_spectrum(rng, n):
+    # np.fft.irfft(spec, n) zero-pads a spectrum with < n//2+1 bins; the
+    # pow2 branch used to only truncate, returning the wrong length.
+    short = (
+        rng.standard_normal((2, n // 4)) + 1j * rng.standard_normal((2, n // 4))
+    ).astype(np.complex64)
+    ours = np.asarray(fftops.irfft_exact(jnp.asarray(short), n))
+    ref = np.fft.irfft(short, n=n, axis=-1)
+    assert ours.shape == ref.shape
+    assert np.max(np.abs(ours - ref)) < 2e-5
+
+
 def test_circular_gain_matches_numpy(rng):
     n = 48001  # odd length
     x = rng.standard_normal((2, n)).astype(np.float32)

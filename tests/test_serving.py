@@ -131,6 +131,30 @@ class TestBatcher:
         finally:
             svc.stop()
 
+    def test_buckets_are_fixed_points_with_non_pow2_data_axis(self):
+        """Every bucket must pad to ITSELF even when the mesh data axis is
+        not a power of two (d=3: bucket 3 previously re-padded to 6, so
+        warm() compiled executables production never dispatched)."""
+        import jax
+
+        from audio_raytracing_studio_tpu.parallel import mesh as meshlib
+
+        if len(jax.devices()) < 3:
+            pytest.skip("needs 3 devices")
+        m = meshlib.make_mesh(data=3, block=1, devices=jax.devices()[:3])
+        svc = RenderService(max_batch=8, device_mesh=m, start=False)
+        try:
+            buckets = svc.bucket_sizes()
+            assert buckets == [3, 6, 9]  # pow2 {1,2,4,8} rounded up to 3k
+            for b in buckets:
+                assert svc._batch_pad(b) == 0, b  # fixed point
+            # arbitrary sizes land on the smallest bucket >= batch
+            assert [b + svc._batch_pad(b) for b in (1, 2, 3, 4, 6, 7, 8)] == [
+                3, 3, 3, 6, 6, 9, 9,
+            ]
+        finally:
+            svc.stop()
+
     def test_warm_precompiles_every_bucket(self, monkeypatch):
         """warm() must dispatch exactly one batch per size bucket BEFORE
         traffic (on chip a fresh bucket discovered mid-burst costs a
