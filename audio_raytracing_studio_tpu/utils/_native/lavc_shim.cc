@@ -110,15 +110,32 @@ int open_audio_stream(const char *path, DecodeCtx &c, int *stream_index,
 int append_frame(DecodeCtx &c, AVFrame *f, std::vector<float> &out,
                  int channels, char *err, int errlen) {
     if (!c.swr) {
-        AVChannelLayout out_layout;
-        av_channel_layout_default(&out_layout, channels);
+        // Output layout = the frame's OWN layout: swr then only converts
+        // sample format/interleaving and never rematrixes.  Requesting
+        // av_channel_layout_default(n) here silently DOWNMIXED layouts
+        // whose mask differs from the n-channel default — Vorbis 3.0
+        // (SURROUND)→2.1 folded the center into L/R and zeroed a column,
+        // QUAD→4.0 merged the backs (caught by the channel-signature
+        // cross-check in tests/test_lavcio.py).  Column order stays the
+        // layout's mask order (FL FR FC LFE …), the product convention.
         int ret = swr_alloc_set_opts2(
-            &c.swr, &out_layout, AV_SAMPLE_FMT_FLT, f->sample_rate,
+            &c.swr, &f->ch_layout, AV_SAMPLE_FMT_FLT, f->sample_rate,
             &f->ch_layout, (AVSampleFormat)f->format, f->sample_rate, 0, nullptr);
-        av_channel_layout_uninit(&out_layout);
         if (ret < 0 || swr_init(c.swr) < 0) {
-            set_err(err, errlen, "cannot initialize resampler", ret);
-            return -1;
+            // unspec/ambiguous source layouts can refuse identity init —
+            // fall back to the historical default-layout conversion
+            if (c.swr) swr_free(&c.swr);
+            AVChannelLayout out_layout;
+            av_channel_layout_default(&out_layout, channels);
+            ret = swr_alloc_set_opts2(
+                &c.swr, &out_layout, AV_SAMPLE_FMT_FLT, f->sample_rate,
+                &f->ch_layout, (AVSampleFormat)f->format, f->sample_rate, 0,
+                nullptr);
+            av_channel_layout_uninit(&out_layout);
+            if (ret < 0 || swr_init(c.swr) < 0) {
+                set_err(err, errlen, "cannot initialize resampler", ret);
+                return -1;
+            }
         }
         c.swr_rate = f->sample_rate;
         c.swr_fmt = f->format;

@@ -688,6 +688,15 @@ def encode(
         # reject with the clean-ValueError error contract instead
         raise ValueError("vorbis encode: non-finite samples (NaN/Inf)")
     T, ch = x.shape
+    # input columns are in WAV order (FL FR C LFE …, config.CHANNEL_LAYOUTS);
+    # the Vorbis I spec (§4.3.9) fixes its own multichannel order, so permute
+    # before coding — vorbisio.decode applies the inverse, and real-world
+    # decoders (libvorbis, ffmpeg) now read repo files channel-correct
+    from .vorbisio import VORBIS_FROM_WAV
+
+    perm = VORBIS_FROM_WAV.get(ch)
+    if perm is not None:
+        x = x[:, list(perm)]
     xc = np.ascontiguousarray(x.T)  # (ch, T)
 
     n_frames = -(-T // _M) + 1

@@ -994,8 +994,32 @@ def _decode_packet(s: _Setup, packet: bytes):
     return spectra, blockflag, prev_flag, next_flag, n
 
 
+# Vorbis I spec §4.3.9 fixes the channel order for 1-8 channels (e.g. 5.1
+# is L C R RL RR LFE); the product convention — like WAV and the reference's
+# libsndfile — is FL FR C LFE RL RR (config.CHANNEL_LAYOUTS).  These tables
+# map spec order → WAV order on decode; vorbisenc applies the inverse on
+# encode, so repo round trips are identity AND files interop with real-world
+# encoders/decoders (libvorbis, ffmpeg) channel-for-channel.
+# WAV_FROM_VORBIS[n][k] = vorbis channel index holding WAV channel k.
+WAV_FROM_VORBIS: Dict[int, Tuple[int, ...]] = {
+    3: (0, 2, 1),
+    5: (0, 2, 1, 3, 4),
+    6: (0, 2, 1, 5, 3, 4),
+    7: (0, 2, 1, 6, 5, 3, 4),
+    8: (0, 2, 1, 7, 5, 6, 3, 4),
+}
+# VORBIS_FROM_WAV[n][j] = WAV channel index carried by vorbis channel j.
+VORBIS_FROM_WAV: Dict[int, Tuple[int, ...]] = {
+    n: tuple(perm.index(j) for j in range(n)) for n, perm in WAV_FROM_VORBIS.items()
+}
+
+
 def decode(path_or_file: Union[str, os.PathLike, BinaryIO]) -> Tuple[np.ndarray, int]:
     """Decode an Ogg/Vorbis file → (float32 (samples, channels), rate).
+
+    Multichannel output is in WAV order (FL FR C LFE …), mapped from the
+    Vorbis spec order per §4.3.9 — the same convention libsndfile and
+    ffmpeg deliver, and what the render pipeline's CHANNEL_LAYOUTS expect.
 
     Error contract: malformed/adversarial input raises ValueError (or
     UnsupportedCodec for legal-but-non-Vorbis payloads) — never raw
@@ -1087,6 +1111,9 @@ def _decode_impl(path_or_file) -> Tuple[np.ndarray, int]:
     if produced <= 0:
         raise ValueError("Ogg/Vorbis stream decodes to zero samples")
     out = buf[:, valid_start : valid_start + produced]
+    perm = WAV_FROM_VORBIS.get(s.channels)
+    if perm is not None:
+        out = out[list(perm)]
     return np.ascontiguousarray(out.T), s.rate
 
 

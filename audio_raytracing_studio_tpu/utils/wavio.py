@@ -260,8 +260,22 @@ def _read_nonwav(path: Union[str, os.PathLike], container: str) -> Tuple[np.ndar
                 raise
             # compressed AIFC → fall through to soundfile/ffmpeg below
     if container == "OGG/Vorbis":
-        from . import vorbisio
+        from . import lavcio, vorbisio
 
+        if lavcio.decode_available():
+            # fast C tier first: libavcodec decodes Vorbis ~25× faster than
+            # the in-repo decoder (13× → 310× realtime measured on this
+            # 1-core host, tools/bench_codecs.py), which matters because
+            # uploads decode on the serving HTTP thread.  Channel order
+            # agrees since vorbisenc/vorbisio speak spec order on the wire
+            # (vorbisio.WAV_FROM_VORBIS).  Any failure falls through to the
+            # native decoder, which keeps the precise error contract and
+            # stays the spec oracle (cross-validated in tests/test_vorbisio).
+            try:
+                data, rate = lavcio.decode(path)
+                return np.asarray(data, dtype=np.float32), int(rate)
+            except ValueError:
+                pass
         try:
             data, rate = vorbisio.decode(path)
             return np.asarray(data, dtype=np.float32), int(rate)

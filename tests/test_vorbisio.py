@@ -298,3 +298,66 @@ class TestIntegration:
         analyzer.convert(OGG_FIXTURE, str(out))
         d, r = wavio.read(out)
         assert r == 11025 and d.shape[0] == 78331
+
+
+class TestChannelOrder:
+    """Vorbis I §4.3.9 fixes the multichannel wire order (5.1 = L C R RL RR
+    LFE); the product convention is WAV order (config.CHANNEL_LAYOUTS).
+    vorbisenc permutes WAV→spec on encode and decode() inverts it, so repo
+    round trips are identity AND the wire bytes are spec-ordered — which
+    libavcodec (an independent implementation) must agree with."""
+
+    @staticmethod
+    def _signatures(channels, seconds=1.5, rate=44100):
+        rng = np.random.default_rng(0x0C0 + channels)
+        n = int(seconds * rate)
+        return np.stack(
+            [0.2 * rng.standard_normal(n) for _ in range(channels)], axis=1
+        ).astype(np.float32)
+
+    def test_tables_are_inverses(self):
+        for ch, perm in vorbisio.WAV_FROM_VORBIS.items():
+            inv = vorbisio.VORBIS_FROM_WAV[ch]
+            assert sorted(perm) == list(range(ch))
+            assert [perm[inv[j]] for j in range(ch)] == list(range(ch))
+
+    @pytest.mark.parametrize("channels", [3, 4, 5, 6, 7, 8])
+    def test_round_trip_channel_identity(self, channels, tmp_path):
+        from audio_raytracing_studio_tpu.utils import vorbisenc
+
+        data = self._signatures(channels)
+        path = tmp_path / f"order{channels}.ogg"
+        vorbisenc.write(path, data, 44100)
+        out = np.asarray(vorbisio.decode(path)[0])
+        n = min(len(out), len(data))
+        for k in range(channels):
+            cors = [
+                abs(np.corrcoef(out[:n, k], data[:n, j])[0, 1])
+                for j in range(channels)
+            ]
+            assert int(np.argmax(cors)) == k, f"decoded ch{k} -> src {cors}"
+            assert max(cors) > 0.9
+
+    @pytest.mark.parametrize("channels", [3, 4, 6, 8])
+    def test_libavcodec_agrees_channel_for_channel(self, channels, tmp_path):
+        """Independent-decoder check of the wire order, and the regression
+        pin for the lavc_shim downmix bug: requesting the default layout
+        for 3ch (2.1) / 4ch (4.0) folded the center/backs and zeroed a
+        column — every decoded channel must be live and match its source."""
+        from audio_raytracing_studio_tpu.utils import lavcio, vorbisenc
+
+        if not lavcio.decode_available():
+            pytest.skip("FFmpeg libraries not present")
+        data = self._signatures(channels)
+        path = tmp_path / f"lavc{channels}.ogg"
+        vorbisenc.write(path, data, 44100)
+        out, rate = lavcio.decode(path)
+        assert rate == 44100 and out.shape[1] == channels
+        n = min(len(out), len(data))
+        for k in range(channels):
+            assert float(np.std(out[:n, k])) > 0.01, f"ch{k} zeroed (downmix)"
+            cors = [
+                abs(np.corrcoef(out[:n, k], data[:n, j])[0, 1])
+                for j in range(channels)
+            ]
+            assert int(np.argmax(cors)) == k and max(cors) > 0.9
