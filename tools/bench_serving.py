@@ -77,6 +77,63 @@ def _watchdog(svc, args, metric: str):
 
 def soak(args) -> int:
     """Poisson-arrival sustained-load soak through RenderService."""
+    out = run_soak(args, extir_every=args.extir_every)
+    print(json.dumps(out))
+    return 1 if out["failed"] else 0
+
+
+def matrix(args) -> int:
+    """Soak-matrix mode (round-4 VERDICT item 5): run --soak seconds per
+    arm over the service-config matrix — external-IR jobs in the mix,
+    pallas IR backend, device-mesh SPMD, and the pallas+mesh combination —
+    reporting one JSON line per arm plus a summary."""
+    import jax
+
+    arms = [("internal-jnp+extir", {}, args.extir_every or 5)]
+    arms.append(("pallas", {"ir_backend": "pallas"}, 0))
+    ndev = len(jax.devices())
+    if ndev >= 2:
+        from audio_raytracing_studio_tpu.parallel import mesh as meshlib
+
+        m = meshlib.make_mesh(data=ndev, block=1)
+        arms.append(("mesh", {"device_mesh": m}, 0))
+        arms.append(
+            ("pallas-mesh", {"device_mesh": m, "ir_backend": "pallas"}, 0)
+        )
+    else:
+        print(
+            f"matrix: {ndev} device(s) — skipping mesh arms", file=sys.stderr
+        )
+    rc = 0
+    summary = []
+    for label, kw, extir in arms:
+        print(f"--- arm: {label} ---", file=sys.stderr)
+        out = run_soak(args, svc_kwargs=kw, label=label, extir_every=extir)
+        out["arm"] = label
+        print(json.dumps(out), flush=True)
+        rc |= 1 if out["failed"] else 0
+        summary.append(
+            {
+                "arm": label,
+                "completed": out["completed"],
+                "failed": out["failed"],
+                "x_realtime": out["throughput_x_realtime"],
+                "p95_s": out["latency_p95_s"],
+                "rss_end_mb": out["rss_end_mb"],
+            }
+        )
+    print(json.dumps({"metric": "serving soak matrix", "arms": summary}))
+    return rc
+
+
+def run_soak(args, svc_kwargs=None, label="", extir_every=0) -> dict:
+    """One soak arm: Poisson arrivals through a fresh RenderService.
+
+    svc_kwargs overrides the service config (the --matrix arms pass
+    ir_backend/device_mesh here); extir_every mixes one external-IR job
+    per that many arrivals (they share one IR so they micro-batch).
+    Returns the result dict — callers emit the JSON.
+    """
     from audio_raytracing_studio_tpu.params import RenderParams
     from audio_raytracing_studio_tpu.serving import RenderJob, RenderService
 
@@ -93,8 +150,15 @@ def soak(args) -> int:
             0.35 * np.sin(2 * np.pi * 200.0 * t)
             + 0.05 * rng.standard_normal(n)
         ).astype(np.float32)
+    # one shared external IR (0.5 s stereo decaying noise): external-mode
+    # jobs sharing the same IR bytes coalesce into one batch key
+    n_ir = int(0.5 * rate)
+    env = np.exp(-np.arange(n_ir) / (0.12 * rate)).astype(np.float32)
+    ext_ir = (
+        0.5 * rng.standard_normal((n_ir, 2)).astype(np.float32) * env[:, None]
+    )
 
-    svc = RenderService(
+    kwargs = dict(
         max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms,
         fast_filters=args.fast_filters,
@@ -102,16 +166,21 @@ def soak(args) -> int:
         max_queued=args.max_queued,
         pipeline_depth=args.pipeline_depth,
     )
-    wd = _watchdog(
-        svc, args, "serving soak (Poisson arrivals, mixed lengths/metrics)"
-    ).start()
+    kwargs.update(svc_kwargs or {})
+    metric = "serving soak (Poisson arrivals, mixed lengths/metrics)"
+    if label:
+        metric += f" [{label}]"
+    svc = RenderService(**kwargs)
+    wd = _watchdog(svc, args, metric).start()
 
-    def make_job(i: int, with_metrics=None, eq=None) -> RenderJob:
+    def make_job(i: int, with_metrics=None, eq=None, extir=None) -> RenderJob:
         d = durations[i % len(durations)]
         if eq is None:
             eq = i % 3 == 0
         if with_metrics is None:
             with_metrics = i % 2 == 0
+        if extir is None:
+            extir = bool(extir_every) and i % extir_every == extir_every - 1
         p = RenderParams(
             target_layout="Stereo",
             diffusion=0.2 + 0.6 * ((i * 37) % 100) / 100.0,
@@ -119,21 +188,29 @@ def soak(args) -> int:
             # EQ flips per job: widened batch-wide inside one batch key; a
             # padded EQ-on job adds the eq_dyn leg to the executable
             bass_gain=1.5 if eq else 1.0,
+            use_external_ir=extir,
         )
-        return RenderJob(clips[d], rate, p, seed=i, with_metrics=with_metrics)
+        return RenderJob(
+            clips[d], rate, p, seed=i, with_metrics=with_metrics,
+            external_ir=ext_ir if extir else None,
+            external_ir_rate=rate if extir else None,
+        )
 
     # --- warmup: one job per compiled-executable signature (duration ×
     # metrics × EQ/eq_dyn), serialized, so the soak measures serving, not
     # tunnel compiles ---
     t_warm = time.monotonic()
     warm_jobs = 0
+    extir_arms = (False, True) if extir_every else (False,)
     for di in range(len(durations)):
         for wm in (False, True):
             for eq in (False, True):
-                svc.render(
-                    make_job(di, with_metrics=wm, eq=eq), timeout=3600
-                )
-                warm_jobs += 1
+                for xi in extir_arms:
+                    svc.render(
+                        make_job(di, with_metrics=wm, eq=eq, extir=xi),
+                        timeout=3600,
+                    )
+                    warm_jobs += 1
     warmup_s = time.monotonic() - t_warm
     print(f"warmup ({warm_jobs} signatures): {warmup_s:.1f} s", file=sys.stderr)
 
@@ -148,11 +225,14 @@ def soak(args) -> int:
         bucket_list = [int(b) for b in args.warm_buckets.split(",")]
         for di in range(len(durations)):
             for wm in (False, True):
-                warmed = svc.warm(
-                    make_job(di, with_metrics=wm), sizes=bucket_list
-                )
+                for xi in extir_arms:
+                    warmed = svc.warm(
+                        make_job(di, with_metrics=wm, extir=xi),
+                        sizes=bucket_list,
+                    )
         print(
-            f"warm buckets {warmed} x {2 * len(durations)} signatures: "
+            f"warm buckets {warmed} x "
+            f"{2 * len(durations) * len(extir_arms)} signatures: "
             f"{time.monotonic() - t_warm:.1f} s",
             file=sys.stderr,
         )
@@ -163,16 +243,20 @@ def soak(args) -> int:
     rejected = 0
     rss_samples = [_rss_mb()]
     queue_depths: list[int] = []
+    mem_samples: list[dict] = []  # full stats() snapshots (memory accounting)
     stop_sampler = threading.Event()
 
     def sampler():
         while not stop_sampler.wait(5.0):
+            st = svc.stats()
             with lock:
-                rss_samples.append(_rss_mb())
-                queue_depths.append(svc.stats()["queued"])
+                rss_samples.append(st.get("rss_mb", _rss_mb()))
+                queue_depths.append(st["queued"])
+                mem_samples.append(st)
 
     smp = threading.Thread(target=sampler, daemon=True)
     smp.start()
+    n_warm_batches = len(svc.stats()["batch_sizes"])
 
     # --- Poisson arrivals for --soak seconds ---
     t0 = time.monotonic()
@@ -232,10 +316,24 @@ def soak(args) -> int:
     lat = sorted(latencies)
     sizes = stats["batch_sizes"]
     hist: dict[str, int] = {}
-    for s in sizes[warm_jobs:]:  # warmup ran one job per dispatch
+    for s in sizes[n_warm_batches:]:  # skip warmup + bucket-warm dispatches
         hist[str(s)] = hist.get(str(s), 0) + 1
+
+    # --- memory trajectory (VERDICT r4 item 1: prove the plateau) ---
+    # downsample the 5 s RSS samples to <=24 curve points and fit a line
+    # over the last half (mb per minute) — a flat tail is the plateau proof
+    curve = rss_samples
+    if len(curve) > 24:
+        step = (len(curve) - 1) / 23.0
+        curve = [curve[int(round(k * step))] for k in range(24)]
+    tail = rss_samples[len(rss_samples) // 2:]
+    slope = 0.0
+    if len(tail) >= 3:
+        x = np.arange(len(tail)) * (5.0 / 60.0)  # sample period in minutes
+        slope = float(np.polyfit(x, np.asarray(tail, np.float64), 1)[0])
+    mem_last = mem_samples[-1] if mem_samples else {}
     out = {
-        "metric": "serving soak (Poisson arrivals, mixed lengths/metrics)",
+        "metric": metric,
         "soak_seconds": round(wall, 1),
         "arrival_rate_hz": args.arrival_rate,
         "submitted": submitted,
@@ -258,10 +356,19 @@ def soak(args) -> int:
         "rss_mid_mb": round(rss_samples[len(rss_samples) // 2], 1),
         "rss_peak_mb": round(max(rss_samples), 1),
         "rss_end_mb": round(rss_samples[-1], 1),
+        "rss_curve_mb": [round(v, 1) for v in curve],
+        "rss_slope_last_half_mb_per_min": round(slope, 2),
+        "executables_end": mem_last.get("executables"),
+        "device_buffer_end_mb": mem_last.get("device_buffer_mb"),
+        "inflight_input_peak_mb": round(
+            max((s.get("inflight_input_bytes", 0) for s in mem_samples),
+                default=0) / 1e6, 1),
+        "retained_result_peak_mb": round(
+            max((s.get("retained_result_bytes", 0) for s in mem_samples),
+                default=0) / 1e6, 1),
         "failures_sample": failures[:3],
     }
-    print(json.dumps(out))
-    return 1 if failures else 0
+    return out
 
 
 def main(argv=None) -> int:
@@ -292,6 +399,16 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--max-queued", type=int, default=64)
     ap.add_argument(
+        "--matrix", action="store_true",
+        help="run --soak seconds per arm over the service-config matrix "
+             "(external-IR mix, pallas backend, device mesh, pallas+mesh)",
+    )
+    ap.add_argument(
+        "--extir-every", type=int, default=0,
+        help="soak: every Nth job renders through a shared external IR "
+             "(0 disables; the matrix's first arm defaults to 5)",
+    )
+    ap.add_argument(
         "--warm-buckets", default="2,4,8,16",
         help="soak: comma-separated batch-size buckets to pre-compile per "
              "traffic signature ('' skips; singles are always warmed)",
@@ -316,6 +433,10 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     print(f"backend: {backend}", file=sys.stderr)
 
+    if args.matrix:
+        if args.soak <= 0:
+            ap.error("--matrix needs --soak SECONDS (per-arm duration)")
+        return matrix(args)
     if args.soak > 0:
         return soak(args)
 
