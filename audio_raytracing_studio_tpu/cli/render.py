@@ -288,6 +288,11 @@ def main(argv=None) -> int:
                 chunk_seconds=args.chunk_seconds, with_metrics=want_metrics,
                 external_ir=external_ir, external_ir_rate=external_rate,
                 pcm16_output=not args.binaural,
+                # the single-clip CLI contract is the EXACT filter stack
+                # (pipeline.render default); since round 5 the streaming
+                # renderer honors it too (exact-length air via the
+                # blockwise traced-n0 transform)
+                fast_filters=False,
             )
             out, metrics = res if want_metrics else (res, None)
             out_path = _format_output(args.output, 0)

@@ -98,6 +98,39 @@ def chirp_kernel_at_bins(k: jnp.ndarray, n0, m: int, sign: float) -> jnp.ndarray
     return jnp.where(head | tail, wbar, jnp.zeros_like(wbar))
 
 
+def air_gain_from_bins(k: jnp.ndarray, n0, rate, factor) -> jnp.ndarray:
+    """Two-sided air-absorption gain at full-FFT bins ``k`` of an n0-point
+    transform: 1 below 2 kHz, falling linearly to 1 − 0.8·factor at Nyquist
+    (0 outside [0, n0)) — the device mirror of
+    ``ops.filters._air_ramp_np``/``air_absorption_gain`` (reference
+    semantics raytracer_studio.py:310-336) for the exact-length streaming
+    air filter.
+
+    Unlike the shelf masks there are no edge bins to pin: the ramp is
+    continuous, so the float32 bin→frequency arithmetic here differs from
+    the host float64 curve by ≤ ~1e-7 relative (folded bin index ≤ 2^29
+    rounds at 2^-24 relative; the per-bin ramp slope is ~2/n0).  ``n0`` may
+    be a Python int or a traced int32 scalar; ``rate``/``factor`` may be
+    traced.  The gain is real and symmetric under k → n0−k (the ramp reads
+    the FOLDED bin), so the channel-pair complex packing used by the
+    blockwise EQ stays exact for this filter too.
+    """
+    in_band = k < n0
+    k_fold = jnp.minimum(k, jnp.asarray(n0, jnp.int32) - k)
+    df = jnp.asarray(rate, jnp.float32) / jnp.asarray(n0, jnp.float32)
+    f = k_fold.astype(jnp.float32) * df
+    start = jnp.float32(config.AIR_ABSORPTION_START_HZ)
+    max_freq = jnp.asarray(n0 // 2, jnp.float32) * df  # rfftfreq's last bin
+    ramp = jnp.clip((f - start) / (max_freq - start), 0.0, 1.0)
+    ramp = jnp.where(f >= start, ramp, 0.0)
+    damping = (
+        jnp.clip(jnp.asarray(factor, jnp.float32), 0.0, 1.0)
+        * jnp.float32(config.AIR_ABSORPTION_MAX_DAMPING)
+    )
+    gain = 1.0 - ramp * damping
+    return jnp.where(in_band, gain, 0.0).astype(jnp.float32)
+
+
 def band_edges(n0: int, rate: int):
     """(k_lo, k_bass, k_treble): bass bins are [k_lo, k_bass], treble bins
     start at k_treble — replicating ``np.fft.rfftfreq``'s float64 arithmetic

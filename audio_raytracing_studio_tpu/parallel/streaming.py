@@ -139,6 +139,73 @@ _conv_pass_slab_stereo = jax.jit(
 )
 
 
+def _conv_pass_slab_split_body(
+    audio_slab, tail_rest, tail_late, kers, scal,
+    *, chunk, c_in, early_on, slab_chunks, out_len_local,
+):
+    """Exact-air variant of the slab conv pass (fast_filters=False): the
+    LATE stream stays separate — unweighted and un-aired — so the
+    exact-length circular air filter (parallel.streaming_eq.
+    air_absorption_streaming) can run over the whole late buffer between
+    pass 1 and the mix, exactly where the single-shot exact graph applies
+    it (models.pipeline.internal_graph_with_irs exact-air branch /
+    raytracer_studio.py:310-336).  The REST stream carries the dry mix
+    plus the level-weighted early wet.  kers rows: [early?, late]."""
+    l = out_len_local - chunk + 1
+
+    def step(carry, i):
+        rest_buf, late_buf, t_rest, t_late = carry
+        start = i * chunk
+        audio_chunk = jax.lax.dynamic_slice(audio_slab, (0, start), (c_in, chunk))
+        if c_in == 1:
+            audio_chunk = jnp.broadcast_to(audio_chunk, (2, chunk))
+        conv = convolution.convolve_full(audio_chunk, kers, out_len_local)
+        if early_on:
+            early_full = conv[0] * scal.early_level
+            late_full = conv[1]
+        else:
+            early_full = jnp.zeros((2, out_len_local), jnp.float32)
+            late_full = conv[0]
+        early_wet = early_full[..., :chunk].at[..., : l - 1].add(t_rest)
+        late_wet = late_full[..., :chunk].at[..., : l - 1].add(t_late)
+        rest = (
+            scal.dry_factor * (1.0 - scal.dry_wet) * audio_chunk
+            + scal.dry_wet * early_wet
+        )
+        rest_buf = jax.lax.dynamic_update_slice(rest_buf, rest, (0, start))
+        late_buf = jax.lax.dynamic_update_slice(late_buf, late_wet, (0, start))
+        carry_out = (
+            rest_buf, late_buf, early_full[..., chunk:], late_full[..., chunk:]
+        )
+        return carry_out, None
+
+    init = (
+        jnp.zeros((2, slab_chunks * chunk), dtype=jnp.float32),
+        jnp.zeros((2, slab_chunks * chunk), dtype=jnp.float32),
+        tail_rest,
+        tail_late,
+    )
+    (rest_buf, late_buf, t_rest, t_late), _ = jax.lax.scan(
+        step, init, jnp.arange(slab_chunks, dtype=jnp.int32)
+    )
+    return rest_buf, late_buf, t_rest, t_late
+
+
+_SPLIT_STATICS = ("chunk", "c_in", "early_on", "slab_chunks", "out_len_local")
+_conv_split_mono = jax.jit(_conv_pass_slab_split_body, static_argnames=_SPLIT_STATICS)
+_conv_split_stereo = jax.jit(
+    _conv_pass_slab_split_body, static_argnames=_SPLIT_STATICS, donate_argnums=(0,)
+)
+
+
+@jax.jit
+def _combine_late(rest_buf, late_air, dry_wet, late_level):
+    """mixed = rest + dry_wet·late_level·air(late); post-mix running max
+    (the normalization keys on the post-mix peak, like the exact graph)."""
+    mixed = rest_buf + dry_wet * late_level * late_air
+    return mixed, jnp.max(jnp.abs(mixed))
+
+
 @functools.partial(
     jax.jit, static_argnames=("layout", "rate", "len_out")
 )
@@ -215,7 +282,7 @@ def _meter_slab(
 
 
 def _build_kernels(p: RenderParams, rate: int, n_in: int, seed: int,
-                   external_ir, external_ir_rate):
+                   external_ir, external_ir_rate, fast_filters: bool = True):
     """IRs + spec + scalars, identical to long_render's preparation."""
     if p.use_external_ir:
         if external_ir is None:
@@ -231,7 +298,7 @@ def _build_kernels(p: RenderParams, rate: int, n_in: int, seed: int,
         )
         return jnp.asarray(ir.T), [], True, spec, pipeline._mix_scalars(p, 1.0, 1.0)
 
-    setup = pipeline.build_internal_setup(p, rate, n_in, fast_filters=True)
+    setup = pipeline.build_internal_setup(p, rate, n_in, fast_filters=fast_filters)
     spec = setup.spec
     delays, strengths, noise = ir_synth.hash_draws(int(seed), setup.ir_shape)
     early_ir, late_ir = ir_synth.synthesize(
@@ -261,6 +328,7 @@ def render_streaming(
     external_ir_rate: Optional[int] = None,
     return_output: bool = True,
     pcm16_output: bool = False,
+    fast_filters: bool = True,
 ):
     """Render one long clip in bounded memory → (len_out, channels) float32.
 
@@ -268,6 +336,17 @@ def render_streaming(
     layout; internal hall or external IR.  ``chunk_seconds`` bounds per-step
     FFT size and HBM; results are chunk-size-invariant (overlap-add is
     exact, tested).
+
+    ``fast_filters=False`` runs the reference's EXACT-length air-absorption
+    transform (raytracer_studio.py:310-336) instead of the conv-grid
+    approximation: the late stream is kept separate through the chunked
+    conv pass and the exact circular air filter runs blockwise over the
+    whole late buffer (air_absorption_streaming — same traced-n0 Bluestein
+    machinery as the streaming EQ) before the levels combine, matching the
+    single-shot exact path to float32 round-off.  Costs one extra
+    buffer-sized stream through pass 1 plus one blockwise transform pair;
+    the default stays the fast conv-grid gain (≤~2e-4 deviation, inside
+    the 1e-3 contract).
 
     ``return_output=False`` (requires ``with_metrics``) skips the bulk
     device→host result transfer and returns ``(None, metrics)`` — the
@@ -296,7 +375,15 @@ def render_streaming(
     audio_nc = pipeline._ensure_stereo_host(audio)
     n_in = audio_nc.shape[0]
     kers, kernel_is_late, pairwise, spec, scal = _build_kernels(
-        p, rate, n_in, seed, external_ir, external_ir_rate
+        p, rate, n_in, seed, external_ir, external_ir_rate, fast_filters
+    )
+    # exact air (fast_filters=False) needs the late stream separate through
+    # pass 1; with no late kernel the air filter is a no-op either way
+    exact_air = (
+        not fast_filters
+        and not pairwise
+        and spec.air_on
+        and True in kernel_is_late
     )
     # non-unity EQ runs the blockwise exact-length transform on the device
     # buffer between pass 1 and pass 2 (parallel.streaming_eq) — no gate
@@ -324,7 +411,7 @@ def render_streaming(
 
     out_len_local = chunk + l - 1
     gains = None
-    if not pairwise:
+    if not pairwise and not exact_air:
         nfft = convolution.fast_fft_length(out_len_local)
         if spec.air_on and kernel_is_late:
             air_gain = filters.air_absorption_gain(nfft, spec.rate, scal.air_absorption)
@@ -333,8 +420,6 @@ def render_streaming(
                  for is_late in kernel_is_late]
             )
 
-    conv_jit = _conv_pass_slab_mono if c_in == 1 else _conv_pass_slab_stereo
-
     # --- pass 1: initiate ALL slab uploads asynchronously, then dispatch
     # slab scans in order — slab i+1's host→device transfer overlaps slab
     # i's device work (the dominant cost through a remote tunnel) ---
@@ -342,25 +427,63 @@ def render_streaming(
         jax.device_put(audio_cn[:, s * slab_len : (s + 1) * slab_len])
         for s in range(n_slabs)
     ]
-    carry_tail = jnp.zeros((2, l - 1), dtype=jnp.float32)
-    global_max = jnp.float32(0.0)
-    mixed_slabs = []
-    for s in range(n_slabs):
-        mixed_s, carry_tail, global_max = conv_jit(
-            slabs[s], carry_tail, global_max, kers, gains, scal,
-            chunk=chunk, c_in=c_in, pairwise=pairwise,
-            early_on=spec.early_on, late_on=spec.late_on,
-            slab_chunks=slab_chunks, out_len_local=out_len_local,
+    if exact_air:
+        split_jit = _conv_split_mono if c_in == 1 else _conv_split_stereo
+        t_rest = jnp.zeros((2, l - 1), dtype=jnp.float32)
+        t_late = jnp.zeros((2, l - 1), dtype=jnp.float32)
+        rest_slabs, late_slabs = [], []
+        for s in range(n_slabs):
+            rest_s, late_s, t_rest, t_late = split_jit(
+                slabs[s], t_rest, t_late, kers, scal,
+                chunk=chunk, c_in=c_in, early_on=spec.early_on,
+                slab_chunks=slab_chunks, out_len_local=out_len_local,
+            )
+            slabs[s] = None
+            rest_slabs.append(rest_s)
+            late_slabs.append(late_s)
+        rest_buf = (
+            jnp.concatenate(rest_slabs, axis=1)
+            if n_slabs > 1 else rest_slabs[0]
         )
-        # the dispatched execution holds the input slab until it completes;
-        # dropping our reference lets HBM reclaim it then, instead of keeping
-        # ALL input slabs live through the concat (an extra ~1× clip size)
-        slabs[s] = None
-        mixed_slabs.append(mixed_s)
-    mixed_buf = (
-        jnp.concatenate(mixed_slabs, axis=1) if n_slabs > 1 else mixed_slabs[0]
-    )
-    mixed_slabs = None  # per-slab buffers are dead once the concat consumed them
+        late_buf = (
+            jnp.concatenate(late_slabs, axis=1)
+            if n_slabs > 1 else late_slabs[0]
+        )
+        rest_slabs = late_slabs = None
+        # the reference's exact-length air transform over the whole late
+        # stream (blockwise traced-n0 Bluestein), then the levels combine
+        from .streaming_eq import air_absorption_streaming
+
+        late_buf = air_absorption_streaming(
+            late_buf, len_out, int(rate), scal.air_absorption
+        )
+        mixed_buf, global_max = _combine_late(
+            rest_buf, late_buf, scal.dry_wet, scal.late_level
+        )
+        rest_buf = late_buf = None
+    else:
+        conv_jit = _conv_pass_slab_mono if c_in == 1 else _conv_pass_slab_stereo
+        carry_tail = jnp.zeros((2, l - 1), dtype=jnp.float32)
+        global_max = jnp.float32(0.0)
+        mixed_slabs = []
+        for s in range(n_slabs):
+            mixed_s, carry_tail, global_max = conv_jit(
+                slabs[s], carry_tail, global_max, kers, gains, scal,
+                chunk=chunk, c_in=c_in, pairwise=pairwise,
+                early_on=spec.early_on, late_on=spec.late_on,
+                slab_chunks=slab_chunks, out_len_local=out_len_local,
+            )
+            # the dispatched execution holds the input slab until it
+            # completes; dropping our reference lets HBM reclaim it then,
+            # instead of keeping ALL input slabs live through the concat
+            # (an extra ~1× clip size)
+            slabs[s] = None
+            mixed_slabs.append(mixed_s)
+        mixed_buf = (
+            jnp.concatenate(mixed_slabs, axis=1)
+            if n_slabs > 1 else mixed_slabs[0]
+        )
+        mixed_slabs = None  # per-slab buffers die once the concat consumed them
     # the conv tail past len_out is zero by construction (input zero-padded)
 
     if spec.eq_on:

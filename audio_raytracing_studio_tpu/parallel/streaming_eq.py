@@ -278,6 +278,115 @@ def _compiled_eq_dynamic(d: int, b: int, n_total: int):
     return kernel_spectra, eq_channel, eq_pair
 
 
+@functools.lru_cache(maxsize=4)
+def _compiled_air_dynamic(d: int, b: int, n_total: int):
+    """Jitted air-absorption callables with TRACED exact length n0 — the
+    length-dynamic counterpart of ``_compiled_eq_dynamic`` with the air
+    gain (ops.chirp.air_gain_from_bins) between the two Bluestein
+    convolutions instead of the shelf gain.
+
+    Only the traced-n0 variant exists: exact streaming air shipped after
+    the dynamic path won the round-4 on-chip A/B (BENCH_HISTORY — dynamic
+    beat per-length exact executables end-to-end AND kills the per-length
+    multi-minute tunnel compile), so there is no per-n0 static flavor to
+    maintain.  The chirp kernel spectra are the EQ's own (same (d, b, n0)),
+    shared via ``_compiled_eq_dynamic``.
+    """
+    m = d * b
+    kernel_spectra = _compiled_eq_dynamic(d, b, n_total)[0]
+
+    def _dyn_chirps(n0):
+        j = _global_index(d, b)
+        valid = j < n0
+        jv = jnp.where(valid, j, 0)
+        zero = jnp.complex64(0.0)
+        w_fwd = jnp.where(valid, _chirp(jv, n0, -1.0), zero)
+        w_inv = jnp.where(valid, _chirp(jv, n0, +1.0), zero)
+        return w_fwd, w_inv
+
+    def _core(x_db, kf, ki, gain, n0):
+        w_fwd, w_inv = _dyn_chirps(n0)
+        u = x_db * w_fwd
+        conv1 = _ifftm(_fftm(u, d, b) * kf, d, b)
+        u2 = conv1 * gain  # chirp pair cancelled; gain zeroed past n0
+        conv2 = _ifftm(_fftm(u2, d, b) * ki, d, b)
+        return conv2 * w_inv / jnp.asarray(n0, jnp.float32)
+
+    def _pad_db(row):
+        return jnp.zeros(m, jnp.float32).at[:n_total].set(row).reshape(d, b)
+
+    def _gain(n0, rate_f, factor):
+        from ..ops.chirp import air_gain_from_bins
+
+        return air_gain_from_bins(_global_index(d, b), n0, rate_f, factor)
+
+    @jax.jit
+    def air_channel(row, kf, ki, factor, n0, rate_f):
+        gain = _gain(n0, rate_f, factor)
+        y = jnp.real(
+            _core(_pad_db(row).astype(jnp.complex64), kf, ki, gain, n0)
+        ).reshape(m)[:n_total]
+        j = jnp.arange(n_total, dtype=jnp.int32)
+        return jnp.where(j < n0, y, 0.0)
+
+    @jax.jit
+    def air_pair(row_l, row_r, kf, ki, factor, n0, rate_f):
+        gain = _gain(n0, rate_f, factor)
+        z = jax.lax.complex(_pad_db(row_l), _pad_db(row_r))
+        y = _core(z, kf, ki, gain, n0).reshape(m)[:n_total]
+        j = jnp.arange(n_total, dtype=jnp.int32)
+        out_l = jnp.where(j < n0, jnp.real(y), 0.0)
+        out_r = jnp.where(j < n0, jnp.imag(y), 0.0)
+        return out_l, out_r
+
+    return kernel_spectra, air_channel, air_pair
+
+
+def air_absorption_streaming(
+    buf_cn: jnp.ndarray,
+    n0: int,
+    rate: int,
+    factor,
+    d_rows: int = DEFAULT_D_ROWS,
+) -> jnp.ndarray:
+    """Exact-length circular air absorption of a (C, n_total) device buffer.
+
+    Matches ``ops.filters.apply_air_absorption`` at length n0 to float32
+    round-off (the reference's exact-length transform,
+    raytracer_studio.py:310-336) with bounded FFT workspace — the missing
+    piece that let the streaming path honor ``fast_filters=False`` end to
+    end (round-4 VERDICT item 4).  Always the traced-n0 executables: one
+    compile per padded slab grid serves every clip length.
+    """
+    c_count, n_total = int(buf_cn.shape[0]), int(buf_cn.shape[1])
+    if n0 < 2:
+        return buf_cn
+    if n0 >= (1 << 30):
+        raise ValueError("exact streaming air absorption supports n0 < 2^30")
+    m = fft_length_for(n_total)
+    d = min(d_rows, m)
+    if d < 1 or not is_power_of_two(d):
+        raise ValueError(f"d_rows must be a power of two (got {d_rows})")
+    b = m // d
+
+    kernel_spectra, air_channel, air_pair = _compiled_air_dynamic(d, b, n_total)
+    n0_s = jnp.int32(n0)
+    rate_f = jnp.float32(rate)
+    fac = jnp.float32(factor) if np.isscalar(factor) else factor
+    kf, ki = kernel_spectra(n0_s)
+    rows = []
+    for ch in range(0, c_count - 1, 2):
+        out_l, out_r = air_pair(
+            buf_cn[ch], buf_cn[ch + 1], kf, ki, fac, n0_s, rate_f
+        )
+        rows.extend([out_l, out_r])
+    if c_count % 2:
+        rows.append(
+            air_channel(buf_cn[c_count - 1], kf, ki, fac, n0_s, rate_f)
+        )
+    return jnp.stack(rows)
+
+
 def shelf_eq_streaming(
     buf_cn: jnp.ndarray,
     n0: int,

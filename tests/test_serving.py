@@ -406,11 +406,35 @@ class TestBatcher:
             svc.stop()
         assert svc.stats()["batch_sizes"] == [1]
         expect, expect_metrics = render_streaming(
-            clip, RATE, p, seed=6, chunk_seconds=0.25, with_metrics=True
+            clip, RATE, p, seed=6, chunk_seconds=0.25, with_metrics=True,
+            fast_filters=False,  # the service default, honored end to end
         )
         assert res.audio.shape == np.asarray(expect).shape
         np.testing.assert_allclose(res.audio, np.asarray(expect), atol=0)
         assert res.metrics == pytest.approx(expect_metrics)
+
+    def test_streaming_routed_job_honors_exact_filters(self):
+        """Round-4 VERDICT item 4: a service configured fast_filters=False
+        routes long jobs through the streaming renderer's EXACT air path —
+        the result matches the exact single-shot pipeline to float32
+        round-off, not just the ≤1e-3 fast envelope."""
+        from audio_raytracing_studio_tpu.models import pipeline
+
+        clip = make_clip(7, seconds=0.8)
+        p = RenderParams(
+            target_layout="Stereo", room_size=50.0, air_absorption=0.7
+        )
+        svc = RenderService(
+            max_batch=4, max_wait_ms=20, fast_filters=False,
+            streaming_threshold_s=0.5, chunk_seconds=0.25,
+        )
+        try:
+            res = svc.render(RenderJob(clip, RATE, p, seed=9), timeout=600)
+        finally:
+            svc.stop()
+        exact = pipeline.render(clip, RATE, p, seed=9, fast_filters=False)
+        assert res.audio.shape == np.asarray(exact).shape
+        assert np.max(np.abs(res.audio - np.asarray(exact))) < 1e-4
 
     def test_backpressure_and_stopped_service(self):
         svc = RenderService(max_batch=2, max_wait_ms=20, max_queued=2, start=False)
