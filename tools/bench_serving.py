@@ -126,6 +126,283 @@ def matrix(args) -> int:
     return rc
 
 
+def http_soak(args) -> int:
+    """Sustained load THROUGH the HTTP layer (round-4 VERDICT item 3).
+
+    Poisson arrivals where each job is a full client lifecycle over real
+    HTTP on this host: POST /v1/upload with pre-encoded wav/flac/ogg bytes
+    (host decode happens on the request thread at job-POST time — the
+    decode-starvation surface), POST /v1/jobs (mixed metrics/EQ/external-IR
+    mix, mixed result formats), poll GET status, download the result.
+    Proves request-thread decode doesn't starve the dispatch loop and that
+    upload/result temp files are reclaimed under minutes of concurrent
+    load.
+    """
+    import shutil
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+    from http.client import HTTPConnection
+
+    from audio_raytracing_studio_tpu.serving import RenderService
+    from audio_raytracing_studio_tpu.serving.service import RenderHTTPService
+    from audio_raytracing_studio_tpu.utils import wavio
+
+    rate = args.rate
+    rng = np.random.default_rng(0x177E)
+    durations = [float(d) for d in args.soak_durations.split(",")]
+    codecs = ["wav", "flac", "ogg"]
+    result_formats = ["wav", "flac", "ogg"]
+
+    # pre-encode one blob per (duration, codec): the job mix cycles through
+    # them so every decode path carries sustained request-thread load
+    tmpd = tempfile.mkdtemp(prefix="ars_httpsoak_")
+    blobs = {}
+    try:
+        for d in durations:
+            n = int(d * rate)
+            t = np.arange(n) / rate
+            x = (
+                0.35 * np.sin(2 * np.pi * 220.0 * t)
+                + 0.05 * rng.standard_normal(n)
+            ).astype(np.float32)
+            xs = np.stack([x, 0.9 * x], axis=1)
+            for c in codecs:
+                path = os.path.join(tmpd, f"clip_{d}.{c}")
+                wavio.write_audio(path, xs, rate)
+                with open(path, "rb") as f:
+                    blobs[(d, c)] = f.read()
+        n_ir = int(0.4 * rate)
+        env = np.exp(-np.arange(n_ir) / (0.1 * rate)).astype(np.float32)
+        ir = (
+            0.4 * rng.standard_normal((n_ir, 2)).astype(np.float32)
+            * env[:, None]
+        )
+        ir_local = os.path.join(tmpd, "ir.wav")
+        wavio.write(ir_local, ir, rate)
+        with open(ir_local, "rb") as f:
+            ir_blob = f.read()
+    except BaseException:
+        shutil.rmtree(tmpd, ignore_errors=True)
+        raise
+
+    svc = RenderService(
+        max_batch=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        fast_filters=args.fast_filters,
+        pcm16_output=True,
+        max_queued=args.max_queued,
+        pipeline_depth=args.pipeline_depth,
+    )
+    metric = "serving soak over HTTP (mixed-codec uploads, full job lifecycle)"
+    wd = _watchdog(svc, args, metric).start()
+    hsvc = RenderHTTPService(service=svc, host="127.0.0.1", port=0).start()
+
+    def _req(method, path, body=None, headers=None):
+        conn = HTTPConnection("127.0.0.1", hsvc.port, timeout=600)
+        try:
+            conn.request(method, path, body=body, headers=headers or {})
+            r = conn.getresponse()
+            return r.status, r.read()
+        finally:
+            conn.close()
+
+    def _params(i, eq, extir):
+        p = {
+            "target_layout": "Stereo",
+            "diffusion": 0.2 + 0.6 * ((i * 37) % 100) / 100.0,
+            "x_pos": 0.1 + 0.8 * ((i * 53) % 100) / 100.0,
+        }
+        if eq:
+            p["bass_gain"] = 1.5
+        if extir:
+            p["use_external_ir"] = True
+        return p
+
+    # the shared external IR is uploaded once; job uploads rotate per job
+    st, data = _req(
+        "POST", "/v1/upload", ir_blob, {"X-Filename": "ir.wav"}
+    )
+    assert st == 200, (st, data)
+    ir_remote = json.loads(data)["path"]
+
+    def run_job(i, t_arrival):
+        d = durations[i % len(durations)]
+        c = codecs[i % len(codecs)]
+        eq = i % 3 == 0
+        extir = i % 5 == 4
+        fmt = result_formats[i % len(result_formats)]
+        st, data = _req(
+            "POST", "/v1/upload", blobs[(d, c)],
+            {"X-Filename": f"clip{i}.{c}"},
+        )
+        if st != 200:
+            return ("fail_upload", f"{st}: {data[:120]!r}", d)
+        path = json.loads(data)["path"]
+        payload = {
+            "input": path,
+            "seed": i,
+            "metrics": i % 2 == 0,
+            "format": fmt,
+            "params": _params(i, eq, extir),
+        }
+        if extir:
+            payload["external_ir"] = ir_remote
+        st, data = _req("POST", "/v1/jobs", json.dumps(payload).encode())
+        if st == 503:
+            return ("rejected", None, d)
+        if st != 202:
+            return ("fail_submit", f"{st}: {data[:160]!r}", d)
+        jid = json.loads(data)["job_id"]
+        while True:
+            st, data = _req("GET", f"/v1/jobs/{jid}")
+            s = json.loads(data).get("status")
+            if s == "done":
+                break
+            if s in ("error", "cancelled"):
+                return ("fail_job", data[:160].decode("utf-8", "replace"), d)
+            time.sleep(0.25)
+        st, data = _req("GET", f"/v1/jobs/{jid}/result")
+        if st != 200 or len(data) < 1000:
+            return ("fail_result", f"{st}: {len(data)} bytes", d)
+        return ("ok", time.monotonic() - t_arrival, d)
+
+    # --- warmup: one serialized job per signature, straight through HTTP ---
+    t_warm = time.monotonic()
+    warm_jobs = 0
+    for i in range(2 * len(durations) * len(codecs)):
+        outcome = run_job(i, time.monotonic())
+        if outcome[0] != "ok":
+            print(f"warmup job {i} failed: {outcome}", file=sys.stderr)
+            wd.stop()
+            hsvc.stop()
+            shutil.rmtree(tmpd, ignore_errors=True)
+            return 1
+        warm_jobs += 1
+    print(
+        f"warmup ({warm_jobs} jobs over HTTP): "
+        f"{time.monotonic() - t_warm:.1f} s",
+        file=sys.stderr,
+    )
+    if args.warm_buckets:
+        from audio_raytracing_studio_tpu.params import RenderParams
+        from audio_raytracing_studio_tpu.serving import RenderJob
+
+        t_warm = time.monotonic()
+        bucket_list = [int(b) for b in args.warm_buckets.split(",")]
+        for di, d in enumerate(durations):
+            n = int(d * rate)
+            clip = np.zeros(n, np.float32)
+            for wm in (False, True):
+                job = RenderJob(
+                    clip, rate,
+                    RenderParams(**{
+                        k: v for k, v in _params(di, di % 3 == 0, False).items()
+                    }),
+                    with_metrics=wm,
+                )
+                svc.warm(job, sizes=bucket_list)
+        print(
+            f"warm buckets {bucket_list}: {time.monotonic() - t_warm:.1f} s",
+            file=sys.stderr,
+        )
+
+    lock = threading.Lock()
+    latencies: list[float] = []
+    failures: list[tuple] = []
+    rejected = 0
+    audio_ok = 0.0
+    rss_samples = [_rss_mb()]
+    dir_samples: list[tuple] = []
+    stop_sampler = threading.Event()
+
+    def sampler():
+        while not stop_sampler.wait(5.0):
+            st_ = svc.stats()
+            with lock:
+                rss_samples.append(st_.get("rss_mb", _rss_mb()))
+                try:
+                    dir_samples.append((
+                        len(os.listdir(hsvc._uploads.dir)),
+                        len(os.listdir(hsvc._result_dir)),
+                    ))
+                except OSError:
+                    pass
+
+    smp = threading.Thread(target=sampler, daemon=True)
+    smp.start()
+
+    pool = ThreadPoolExecutor(max_workers=args.http_workers)
+    outstanding = []
+    t0 = time.monotonic()
+    deadline = t0 + args.soak
+    i = warm_jobs
+    submitted = 0
+    while time.monotonic() < deadline:
+        time.sleep(float(rng.exponential(1.0 / args.arrival_rate)))
+        if time.monotonic() >= deadline:
+            break
+        outstanding.append(pool.submit(run_job, i, time.monotonic()))
+        i += 1
+        submitted += 1
+    for fut in outstanding:
+        kind, info, d = fut.result(timeout=3600)
+        if kind == "ok":
+            latencies.append(info)
+            audio_ok += d
+        elif kind == "rejected":
+            rejected += 1
+        else:
+            failures.append((kind, info))
+    wall = time.monotonic() - t0
+    pool.shutdown()
+    stop_sampler.set()
+    smp.join(timeout=10)
+    stats = svc.stats()
+    wd.stop()
+    upload_files_end = len(os.listdir(hsvc._uploads.dir))
+    result_files_end = len(os.listdir(hsvc._result_dir))
+    hsvc.stop()
+    shutil.rmtree(tmpd, ignore_errors=True)
+    rss_samples.append(_rss_mb())
+
+    lat = sorted(latencies)
+    tail = rss_samples[len(rss_samples) // 2:]
+    slope = 0.0
+    if len(tail) >= 3:
+        x = np.arange(len(tail)) * (5.0 / 60.0)
+        slope = float(np.polyfit(x, np.asarray(tail, np.float64), 1)[0])
+    out = {
+        "metric": metric,
+        "soak_seconds": round(wall, 1),
+        "arrival_rate_hz": args.arrival_rate,
+        "http_workers": args.http_workers,
+        "submitted": submitted,
+        "completed": len(lat),
+        "failed": len(failures),
+        "rejected_503": rejected,
+        "audio_seconds": round(audio_ok, 1),
+        "throughput_x_realtime": round(audio_ok / wall, 1) if wall else 0,
+        "latency_p50_s": round(_pct(lat, 0.50), 3),
+        "latency_p95_s": round(_pct(lat, 0.95), 3),
+        "latency_p99_s": round(_pct(lat, 0.99), 3),
+        "jobs_done_service": stats["jobs_done"],
+        "dispatch_s": stats["dispatch_s"],
+        "fetch_s": stats["fetch_s"],
+        "rss_start_mb": round(rss_samples[0], 1),
+        "rss_peak_mb": round(max(rss_samples), 1),
+        "rss_end_mb": round(rss_samples[-1], 1),
+        "rss_slope_last_half_mb_per_min": round(slope, 2),
+        "upload_files_peak": max((u for u, _ in dir_samples), default=0),
+        "upload_files_end": upload_files_end,
+        "result_files_peak": max((r for _, r in dir_samples), default=0),
+        "result_files_end": result_files_end,
+        "executables_end": stats.get("executables"),
+        "failures_sample": [f"{k}: {v}" for k, v in failures[:3]],
+    }
+    print(json.dumps(out))
+    return 1 if failures else 0
+
+
 def run_soak(args, svc_kwargs=None, label="", extir_every=0) -> dict:
     """One soak arm: Poisson arrivals through a fresh RenderService.
 
@@ -399,6 +676,15 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--max-queued", type=int, default=64)
     ap.add_argument(
+        "--http", action="store_true",
+        help="soak THROUGH the HTTP layer: per-job upload (wav/flac/ogg "
+             "bytes) → job POST → status polling → result download",
+    )
+    ap.add_argument(
+        "--http-workers", type=int, default=16,
+        help="HTTP soak: concurrent client lifecycles",
+    )
+    ap.add_argument(
         "--matrix", action="store_true",
         help="run --soak seconds per arm over the service-config matrix "
              "(external-IR mix, pallas backend, device mesh, pallas+mesh)",
@@ -437,6 +723,10 @@ def main(argv=None) -> int:
         if args.soak <= 0:
             ap.error("--matrix needs --soak SECONDS (per-arm duration)")
         return matrix(args)
+    if args.http:
+        if args.soak <= 0:
+            ap.error("--http needs --soak SECONDS")
+        return http_soak(args)
     if args.soak > 0:
         return soak(args)
 
