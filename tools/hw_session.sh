@@ -35,9 +35,23 @@ run bench 3600 python bench.py
 run profile_exact 5400 python tools/profile_exact.py
 run profile_conv 3600 python tools/profile_conv.py
 run bench_serving 3600 python tools/bench_serving.py
-# 10-min Poisson soak, mixed lengths/metrics/EQ; warmup compiles up to 12
-# signatures first — slow on a cold cache (raise --stall-timeout there)
-run soak 5400 python tools/bench_serving.py --soak 600 --arrival-rate 2.0
+# host-side codec throughput table (no TPU, but it needs the idle host this
+# sequenced session guarantees — a concurrent suite read 2-25x low)
+run codecs 3600 python tools/bench_codecs.py
+# 30-min Poisson soak, mixed lengths/metrics/EQ + external-IR jobs, with
+# the memory-accounting curve (round-4 VERDICT item 1: prove the RSS
+# plateau); warmup compiles the signature set first — slow on a cold
+# cache (raise --stall-timeout there)
+run soak 5400 python tools/bench_serving.py --soak 1800 --arrival-rate 2.0 \
+    --extir-every 5
+# service-config matrix arms under load (round-4 VERDICT item 5): the
+# pallas-backend arm measured on chip; mesh arms auto-skip on one device
+run soak_matrix 5400 python tools/bench_serving.py --matrix --soak 240 \
+    --arrival-rate 2.0
+# sustained load THROUGH the HTTP layer with real mixed-codec uploads
+# (round-4 VERDICT item 3): request-thread decode vs the dispatch loop
+run http_soak 3600 python tools/bench_serving.py --http --soak 600 \
+    --arrival-rate 1.0
 run long_unity 5400 python tools/bench_long.py long --minutes 30
 run long_eq 5400 python tools/bench_long.py long --minutes 30 --bass 1.6 --treble 0.7
 # A/B: the default is now the traced-n0 padded-grid EQ (round-4 on-chip
