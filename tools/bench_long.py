@@ -40,7 +40,12 @@ def _make_long_clip(minutes: float, rate: int):
     return x
 
 
-def bench_long(minutes: float, bass: float = 1.0, treble: float = 1.0) -> dict:
+def bench_long(minutes: float, bass: float = 1.0, treble: float = 1.0,
+               exact: bool = False) -> dict:
+    """30-min streaming render timings.  ``exact`` runs fast_filters=False:
+    the reference's exact-length air transform via the blockwise traced-n0
+    Bluestein over the separated late stream (round-5) — the on-chip cost
+    of bit-honest streaming semantics vs the conv-grid default."""
     from audio_raytracing_studio_tpu.parallel.streaming import render_streaming
     from audio_raytracing_studio_tpu.params import RenderParams
 
@@ -49,22 +54,24 @@ def bench_long(minutes: float, bass: float = 1.0, treble: float = 1.0) -> dict:
     x = _make_long_clip(minutes, rate)
     p = RenderParams(target_layout="5.1 (Standard)", room_size=200.0,
                      bass_gain=bass, treble_gain=treble)
+    ff = not exact
 
     # warm at FULL shape: finish/meter executables depend on the total
     # buffer length, so a short warm run would leave compiles in the timing
     render_streaming(x, rate, p, seed=1, chunk_seconds=30.0,
-                     with_metrics=True, return_output=False)
+                     with_metrics=True, return_output=False, fast_filters=ff)
 
     start = time.perf_counter()
     _none, metrics = render_streaming(
         x, rate, p, seed=1, chunk_seconds=30.0,
-        with_metrics=True, return_output=False,
+        with_metrics=True, return_output=False, fast_filters=ff,
     )
     compute_wall = time.perf_counter() - start
 
     start = time.perf_counter()
     out, _m = render_streaming(
-        x, rate, p, seed=1, chunk_seconds=30.0, with_metrics=True
+        x, rate, p, seed=1, chunk_seconds=30.0, with_metrics=True,
+        fast_filters=ff,
     )
     e2e_wall = time.perf_counter() - start
 
@@ -73,7 +80,7 @@ def bench_long(minutes: float, bass: float = 1.0, treble: float = 1.0) -> dict:
     start = time.perf_counter()
     out16, _m = render_streaming(
         x, rate, p, seed=1, chunk_seconds=30.0, with_metrics=True,
-        pcm16_output=True,
+        pcm16_output=True, fast_filters=ff,
     )
     e2e16_wall = time.perf_counter() - start
     import numpy as np
@@ -87,6 +94,7 @@ def bench_long(minutes: float, bass: float = 1.0, treble: float = 1.0) -> dict:
     pcm16_exact = bool(np.array_equal(out16, host16))
     return {
         "metric": "streaming_long_render_realtime_factor",
+        "filters": "exact" if exact else "fast",
         "minutes": minutes,
         "rate": rate,
         "layout": "5.1 (Standard)",
@@ -165,6 +173,8 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--bass", type=float, default=1.0)
     ap.add_argument("--treble", type=float, default=1.0)
+    ap.add_argument("--exact", action="store_true",
+                    help="fast_filters=False: exact-length streaming air")
     args = ap.parse_args()
 
     from audio_raytracing_studio_tpu.utils.profiling import enable_compilation_cache
@@ -183,7 +193,9 @@ def main() -> int:
         print(json.dumps({"error": f"needs the TPU backend, got {backend!r}"}))
         return 1
     if args.which in ("long", "all"):
-        print(json.dumps(bench_long(args.minutes, args.bass, args.treble)), flush=True)
+        print(json.dumps(
+            bench_long(args.minutes, args.bass, args.treble, args.exact)
+        ), flush=True)
     if args.which in ("pallas", "all"):
         print(json.dumps(bench_pallas(args.batch)), flush=True)
     return 0

@@ -59,4 +59,7 @@ run long_eq 5400 python tools/bench_long.py long --minutes 30 --bass 1.6 --trebl
 # per-n0 exact executables so a regression in either path is visible.
 run long_eq_static 5400 env ARS_STREAM_EQ_DYNAMIC=0 \
     python tools/bench_long.py long --minutes 30 --bass 1.6 --treble 0.7
+# round-5: the exact-length streaming air transform (fast_filters=False) —
+# the on-chip cost of bit-honest streaming semantics vs the conv-grid arm
+run long_exact_air 5400 python tools/bench_long.py long --minutes 30 --exact
 echo "== done — record the numbers in BENCH_HISTORY.md =="
