@@ -482,6 +482,22 @@ def run_streaming(n_cases: int, start_seed: int) -> int:
                 if not np.array_equal(np.asarray(q_dev), q_host):
                     nbad = int(np.sum(np.asarray(q_dev) != q_host))
                     raise AssertionError(f"pcm16 mismatch on {nbad} samples")
+            if rng.uniform() < 0.3 and not p.use_external_ir:
+                # round-5 exact-air arm: fast_filters=False must match the
+                # EXACT single-shot pipeline to float32 round-off (the
+                # tests/test_streaming.py::TestExactAirStreaming bound)
+                out_x = streaming.render_streaming(
+                    x, rate, p, seed=seed, fast_filters=False, **kw
+                )
+                exact = pipeline.render(
+                    x, rate, p, seed=seed, fast_filters=False
+                )
+                err_x = float(np.max(np.abs(out_x - exact)))
+                worst = max(worst, err_x)
+                if err_x > 1e-4:
+                    raise AssertionError(
+                        f"exact-air streaming deviation {err_x:.2e} > 1e-4"
+                    )
         except AssertionError as e:
             failures += 1
             _record(
