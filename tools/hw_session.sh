@@ -32,7 +32,9 @@ run bench 3600 python bench.py
 # per-stage exact-mode roofline (PERF.md) + the conv micro-breakdown — both
 # re-measure the flat-batching (custom_vmap *_rows) change vs the session-2
 # rank-3 numbers (conv 449.7 ms, fwd_kernels 197.1 vs flat 142.1)
-run profile_exact 5400 python tools/profile_exact.py
+# BENCH_ITERS=7: round-4 left the exact-air stage number noisy at 3 iters
+# (305 ms avg / 275 min vs the 228 ms FFT unit) — settle it (VERDICT item 7)
+run profile_exact 7200 env BENCH_ITERS=7 python tools/profile_exact.py
 run profile_conv 3600 python tools/profile_conv.py
 run bench_serving 3600 python tools/bench_serving.py
 # host-side codec throughput table (no TPU, but it needs the idle host this
