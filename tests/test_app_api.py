@@ -425,6 +425,7 @@ class TestCLIPresetFlow:
         ref_float = render_streaming(
             audio, in_rate, RenderParams(bass_gain=1.6), seed=3,
             chunk_seconds=0.4,
+            fast_filters=False,  # the CLI --stream contract is exact (r5)
         )
         want = wavio.decode_pcm16(
             wavio.encode_pcm16(
