@@ -477,6 +477,20 @@ def fused_rir_bank(
     batch = seeds.shape[0]
     scal = _scalar_table(scalars, batch)
 
+    if injected_draws is not None and interpret is False:
+        # the COMPILED injected-draws kernel holds the whole IR per program:
+        # enforce its VMEM cap on what the caller requested, before any
+        # backend-driven interpreter upgrade exempts it
+        _check_injected_length(shape)
+
+    if interpret is False and jax.default_backend() != "tpu":
+        # the compiled kernel only exists on TPU; everywhere else the call
+        # would be a hard error, so auto-upgrade to the interpreter.  The
+        # hash path stays seed-correct there (counter-based draws from
+        # ops.rng — integer ops, no pltpu PRNG primitive), which is what
+        # lets CPU soaks exercise the pallas service arm unpatched.
+        interpret = True
+
     if interpret is True and injected_draws is not None:
         # pltpu.roll in the injected kernel needs the TPU-specific interpreter
         interpret = pltpu.InterpretParams()
@@ -527,13 +541,18 @@ def _hash_bank(seeds, scal, shape: IRShape, interpret):
     return early_flat[:, : shape.length], late_flat[:, : shape.length]
 
 
-def _injected_bank(seeds, scal, shape: IRShape, injected_draws, interpret):
-    if shape.length > MAX_BANK_IR_LENGTH and interpret is False:
+def _check_injected_length(shape: IRShape):
+    if shape.length > MAX_BANK_IR_LENGTH:
         raise ValueError(
             f"IR length {shape.length} exceeds the injected-draws bank's VMEM "
             f"budget (max {MAX_BANK_IR_LENGTH}); the production hash path has "
             f"no such limit"
         )
+
+
+def _injected_bank(seeds, scal, shape: IRShape, injected_draws, interpret):
+    if interpret is False:
+        _check_injected_length(shape)
     batch = seeds.shape[0]
     l_pad = _pad_to_tile(shape.length)
     cols = l_pad // SUBLANE
