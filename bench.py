@@ -187,10 +187,35 @@ def main() -> None:
             return float(jnp.sum(out))
 
         run()  # compile + warmup
-        t0 = time.perf_counter()
-        for _ in range(iters):
+        # Settle before opening the timed window: in a cold-cache process
+        # the first executions after a big compile still contend with
+        # executable serialization / program paging through the tunnel on
+        # this 1-core host — measured depressing the steady-state number
+        # 13× (446 vs 5778 on identical code, round-5 session 4).  Run
+        # until two consecutive samples agree within 20%, bounded by
+        # BENCH_SETTLE_MAX; on a warm cache this costs two fast calls.
+        settle: list[float] = []
+        for _ in range(int(os.environ.get("BENCH_SETTLE_MAX", "12"))):
+            t0 = time.perf_counter()
             run()
-        wall = (time.perf_counter() - t0) / iters
+            settle.append(time.perf_counter() - t0)
+            if len(settle) >= 2 and abs(settle[-1] - settle[-2]) <= 0.2 * min(
+                settle[-2:]
+            ):
+                break
+        if len(settle) > 2:
+            print(
+                f"settle({'fast' if fast else 'exact'}): "
+                f"{[round(s, 3) for s in settle]}",
+                file=sys.stderr,
+            )
+        samples = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            run()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        wall = samples[len(samples) // 2]  # median: robust to one straggler
         return batch * DURATION_S / wall
 
     # BOTH modes in one process on the warm cache (round-4 VERDICT item 2):
