@@ -246,6 +246,12 @@ class RenderService:
         self._inflight_input_bytes = 0  # clips+IRs of unresolved jobs
         self._retained_result_bytes = 0  # result arrays callers still hold
         self._retained_results = 0
+        # cumulative transfer volume: on the axon backend every
+        # host↔device byte is leaked host-side by the plugin
+        # (tools/diag_transfer_rss.py), so these counters are the restart
+        # signal for long-lived chip services — RSS growth tracks them 1:1
+        self._dispatched_input_bytes_total = 0
+        self._fetched_result_bytes_total = 0
         self._stopped = False
         self._thread: Optional[threading.Thread] = None
         self._completer: Optional[threading.Thread] = None
@@ -341,6 +347,14 @@ class RenderService:
                 # owns exactly its trimmed bytes — never a batch-buffer view)
                 "retained_result_bytes": self._retained_result_bytes,
                 "retained_results": self._retained_results,
+                # cumulative host↔device volume — on axon this is also the
+                # plugin's host-side leak estimate (restart watermark)
+                "dispatched_input_bytes_total": (
+                    self._dispatched_input_bytes_total
+                ),
+                "fetched_result_bytes_total": (
+                    self._fetched_result_bytes_total
+                ),
             }
         out.update(memory_stats())
         return out
@@ -518,6 +532,9 @@ class RenderService:
             return
         with self._lock:
             self._dispatch_s += time.monotonic() - t0
+            self._dispatched_input_bytes_total += sum(
+                it.nbytes for it in items
+            )
         if self._cq is not None:
             # hand the download to the completer; blocks once
             # pipeline_depth-1 groups are already awaiting download —
@@ -553,6 +570,7 @@ class RenderService:
             return
         with self._lock:
             self._fetch_s += time.monotonic() - t0
+            self._fetched_result_bytes_total += outs.nbytes
         n_bucket = items[0].n_bucket
         ir_tail = outs.shape[1] - n_bucket  # = ir_len − 1
         svc_ref = weakref.ref(self)

@@ -988,6 +988,15 @@ class TestMemoryAccounting:
             # memory_stats merge: process + runtime context for soak diffing
             assert st["rss_mb"] > 0 and st["executables"] >= 1
             assert "device_buffer_mb" in st
+            # cumulative transfer counters (axon host-leak restart signal):
+            # inputs = both clips' stereo-ized bytes, results = at least
+            # the trimmed result bytes (the download buffer is bucket-padded)
+            assert st["dispatched_input_bytes_total"] == sum(
+                make_clip(i).nbytes * 2 for i in range(2)
+            )
+            assert st["fetched_result_bytes_total"] >= sum(
+                r.audio.nbytes for r in results
+            )
             del results, futs
             gc.collect()
             st = svc.stats()
