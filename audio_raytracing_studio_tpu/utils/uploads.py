@@ -20,12 +20,17 @@ from typing import Optional
 
 
 class UploadStore:
-    """Temp-dir upload store with an insertion-ordered realpath allowlist.
+    """Temp-dir upload store with an LRU-ordered realpath allowlist.
 
-    ``max_files`` bounds the store: the oldest uploads are unlinked and
-    dropped from the allowlist once the cap is exceeded (a long-running
-    service stays disk-bounded; pass None for the studio's keep-everything
-    behavior — its sessions are interactive and short).
+    ``max_files`` bounds the store: the least-recently-USED uploads are
+    unlinked and dropped from the allowlist once the cap is exceeded (a
+    long-running service stays disk-bounded; pass None for the studio's
+    keep-everything behavior — its sessions are interactive and short).
+    Each successful ``allowed()`` check refreshes the file's age: a
+    shared upload that jobs keep referencing (the upload-one-IR,
+    submit-many-jobs client pattern) is never evicted by a stream of
+    newer one-shot uploads — insertion-age eviction 403'd every
+    external-IR job after 64 clip uploads in the round-5 HTTP soak.
     """
 
     def __init__(self, prefix: str, max_files: Optional[int] = None):
@@ -71,9 +76,13 @@ class UploadStore:
         return path
 
     def allowed(self, realpath: str) -> bool:
-        """Membership test against the allowlist (caller passes a realpath)."""
+        """Membership test against the allowlist (caller passes a
+        realpath).  A hit marks the file most-recently-used."""
         with self._lock:
-            return realpath in self._paths
+            if realpath in self._paths:
+                self._paths.move_to_end(realpath)
+                return True
+            return False
 
     def cleanup(self):
         """Remove the upload directory and clear the allowlist."""

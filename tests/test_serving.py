@@ -881,6 +881,34 @@ class TestHTTPService:
             http.stop()
         assert not os.path.exists(paths[1])  # stop() removed the dirs
 
+    def test_upload_eviction_is_lru_not_insertion_age(self):
+        """A shared upload that jobs keep referencing survives a stream of
+        newer one-shot uploads (upload-one-IR, submit-many-jobs pattern —
+        insertion-age eviction 403'd every external-IR job after the cap's
+        worth of clip uploads in the round-5 HTTP soak)."""
+        import os
+
+        svc = RenderService(max_batch=2, max_wait_ms=20, start=False)
+        http = RenderHTTPService(svc, host="127.0.0.1", port=0, max_uploads=2)
+        http.start()
+        try:
+            shared, _ = self._upload_clip(http, 0)
+            for i in range(1, 5):
+                # each reference touches the shared upload → it stays MRU
+                assert http._uploads.allowed(os.path.realpath(shared))
+                p, _ = self._upload_clip(http, i)
+            assert os.path.exists(shared)
+            assert http._uploads.allowed(os.path.realpath(shared))
+            # the shared upload is still referencable for new jobs
+            job = _post(
+                http,
+                "/v1/jobs",
+                json.dumps({"input": shared, "params": {}}).encode(),
+            )
+            assert "job_id" in job
+        finally:
+            http.stop()
+
     def test_cancel_queued_job(self):
         """A queued job cancels cleanly: the batcher skips it, status reads
         'cancelled', the result endpoint answers 410."""
